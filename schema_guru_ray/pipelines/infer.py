@@ -1,0 +1,114 @@
+"""Schema-inference pipelines (the reference's primary entry points,
+re-expressed Ray-Data-first).
+
+Topology (SURVEY.md §3.5): ``Dataset`` → ``map_batches(StateBatcher)``
+emitting one tiny pickled partial state per batch (per segment key when
+segmented) → merge:
+
+* global: the per-batch states are a few KB × #batches — they stream to the
+  driver and fold there (the reference's ``RDD.reduce`` final merge,
+  SchemaGuruRDD.scala:89, without ever collecting rows);
+* segmented: ``groupby('segment').map_groups(merge)`` over states only —
+  the rows themselves never shuffle, unlike the reference's
+  ``RDD.groupBy`` which materializes whole groups
+  (JsonPathExtractorRDD.scala:73-88).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict, Optional
+
+import pandas as pd
+import pyarrow as pa
+
+from schema_guru_ray.context import SchemaContext
+from schema_guru_ray.schema.finalize import describe, merge_and_transform
+from schema_guru_ray.schema.keys import duplicate_key_pairs, extract_keys
+from schema_guru_ray.schema.states import ZERO, State, merge
+from schema_guru_ray.stages.derive import StateBatcher
+
+
+def fold_states(states_ds, ctx: SchemaContext) -> Dict[str, Any]:
+    """Stream the (tiny) per-batch state rows to the driver and fold.
+    Returns {state, n_errors, n_rows}."""
+    acc: State = ZERO
+    n_errors = 0
+    n_rows = 0
+    for batch in states_ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for st_bytes, ne, nr in zip(
+            batch["state"].to_pylist(), batch["n_errors"].to_pylist(), batch["n_rows"].to_pylist()
+        ):
+            acc = merge(acc, pickle.loads(st_bytes), ctx)
+            n_errors += ne
+            n_rows += nr
+    return {"state": acc, "n_errors": n_errors, "n_rows": n_rows}
+
+
+def infer_schema(
+    ds,
+    ctx: SchemaContext = SchemaContext(),
+    json_column: Optional[str] = None,
+    vendor: Optional[str] = None,
+    name: Optional[str] = None,
+    version: str = "1-0-0",
+    batch_size: int = 8192,
+) -> Dict[str, Any]:
+    """Global schema inference over a Dataset. When ``json_column`` is given,
+    documents are parsed from that string column (the reference's JSON-corpus
+    shape); otherwise the typed Arrow columns are derived directly.
+
+    Returns {schema, warnings, n_errors, n_rows}. The heavy work streams;
+    only serialized states reach the driver."""
+    states = ds.map_batches(
+        StateBatcher(ctx, json_column=json_column),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    folded = fold_states(states, ctx)
+    state = folded["state"]
+    schema = merge_and_transform(state, ctx)
+    if vendor and name:
+        schema = describe(schema, vendor, name, version)
+    return {
+        "schema": schema,
+        "warnings": sorted(duplicate_key_pairs(extract_keys(state))),
+        "n_errors": folded["n_errors"],
+        "n_rows": folded["n_rows"],
+    }
+
+
+def infer_schema_segmented(
+    ds,
+    segment_key: str,
+    ctx: SchemaContext = SchemaContext(),
+    json_column: Optional[str] = None,
+    batch_size: int = 8192,
+):
+    """Per-segment schema inference (the reference's ``--schema-by``,
+    SchemaDerive.scala:101-118) as a true grouped aggregation.
+
+    Returns a Dataset of rows (segment, schema_json, n_errors, n_rows) —
+    suitable for partitioned write; never materializes groups of rows."""
+    states = ds.map_batches(
+        StateBatcher(ctx, json_column=json_column, segment_key=segment_key),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc: State = ZERO
+        for buf in g["state"]:
+            acc = merge(acc, pickle.loads(buf), ctx)
+        import json as _json
+
+        return pd.DataFrame(
+            {
+                "segment": [g["segment"].iloc[0]],
+                "schema_json": [_json.dumps(merge_and_transform(acc, ctx), sort_keys=True)],
+                "n_errors": [int(g["n_errors"].sum())],
+                "n_rows": [int(g["n_rows"].sum())],
+            }
+        )
+
+    return states.groupby("segment").map_groups(merge_group, batch_format="pandas")

@@ -1,0 +1,297 @@
+"""Flagship constraint-validation pipeline over the clips table.
+
+Topology (SURVEY.md §3.5):
+
+    read clips → map_batches(ClipValidator, actor pool)   [bytes dropped here]
+      → verdicts Dataset (streams; audio never crosses a shuffle)
+      ├─ write/consume verdict rows + exploded violation rows
+      ├─ exact clip_id dedup: groupby(clip_id) count>1     [hash shuffle of ids only]
+      └─ per-codec aggregate: per-batch partials keyed by (codec, salt)
+         → groupby([codec, salt]) merge → groupby(codec) merge+finalize
+         (two-level salted aggregate — codec is Zipf-skewed by construction;
+         the salt bounds any single reducer's load, north rule)
+
+Only tiny pickled aggregate states shuffle; the wide ``bytes`` column is
+projected away by the validator stage itself.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from schema_guru_ray.sketches.drift import ks_statistic, psi
+from schema_guru_ray.sketches.hll import HLL
+from schema_guru_ray.sketches.kll import KLL
+from schema_guru_ray.stages.audio import ClipValidator, explode_violations
+from schema_guru_ray.stages.profile import stable_hash64
+
+
+@dataclass(frozen=True)
+class ValidationConfig:
+    snr_threshold_db: float = 30.0
+    check_transcript: bool = True
+    strict_codecs: bool = False
+    pass_violation_rate: float = 0.02  # per-codec verdict threshold
+    pass_psi: float = 0.25  # drift verdict threshold (industry convention)
+    n_salts: int = 8
+    hll_p: int = 12
+    kll_k: int = 200
+    validator_batch_size: int = 256
+    validator_concurrency: object = 4  # int or (min, max)
+    validator_num_cpus: float = 1.0
+
+
+def validate_clips(ds, cfg: ValidationConfig = ValidationConfig()):
+    """clips Dataset → verdicts Dataset (lazy). The actor pool holds the
+    decoder registry + thresholds; audio bytes do not flow past this stage."""
+    return ds.map_batches(
+        ClipValidator,
+        fn_constructor_kwargs=dict(
+            snr_threshold_db=cfg.snr_threshold_db,
+            check_transcript=cfg.check_transcript,
+            strict_codecs=cfg.strict_codecs,
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.validator_batch_size,
+        concurrency=cfg.validator_concurrency,
+        num_cpus=cfg.validator_num_cpus,
+    )
+
+
+def violations_dataset(verdicts):
+    """Long-format violation rows (clip_id, codec, kind) — the error sink
+    analogue (reference SchemaDerive.scala:58-62), written as a Dataset,
+    never collected to the driver."""
+    return verdicts.map_batches(explode_violations, batch_format="pyarrow")
+
+
+def duplicate_clip_ids(verdicts):
+    """Exact uniqueness check on clip_id (SURVEY.md §2.7 D4): hash-shuffle of
+    the id column only → groups with count > 1."""
+    counts = verdicts.select_columns(["clip_id"]).groupby("clip_id").count()
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)).rename_columns(
+            ["clip_id", "n_copies"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --- per-codec aggregate ----------------------------------------------------
+
+
+@dataclass
+class CodecAgg:
+    """Mergeable per-codec validation aggregate."""
+
+    n: int = 0
+    n_ok: int = 0
+    viol_counts: Counter = field(default_factory=Counter)
+    clip_hll: Optional[HLL] = None
+    dur_kll: Optional[KLL] = None
+    sr_kll: Optional[KLL] = None
+    snr_kll: Optional[KLL] = None
+
+    def merge(self, other: "CodecAgg") -> "CodecAgg":
+        def m(a, b):
+            return a.merge(b) if a is not None and b is not None else (a or b)
+
+        out = CodecAgg(
+            n=self.n + other.n,
+            n_ok=self.n_ok + other.n_ok,
+            viol_counts=self.viol_counts + other.viol_counts,
+            clip_hll=m(self.clip_hll, other.clip_hll),
+            dur_kll=m(self.dur_kll, other.dur_kll),
+            sr_kll=m(self.sr_kll, other.sr_kll),
+            snr_kll=m(self.snr_kll, other.snr_kll),
+        )
+        return out
+
+
+class CodecPartialAggregator:
+    """map_batches kernel over verdict batches → one pickled CodecAgg per
+    (codec, salt) per batch. The salt (stable hash of clip_id mod S) spreads
+    a hot codec over S reducers for the first-level merge."""
+
+    def __init__(self, cfg: ValidationConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        df_ids = batch["clip_id"].to_pandas()
+        salts = (stable_hash64(df_ids) % np.uint64(cfg.n_salts)).astype(np.int32)
+        codecs = np.asarray(batch["codec"].to_pylist())
+        oks = batch["ok"].to_numpy(zero_copy_only=False)
+        durs = batch["dur_ms"].to_numpy(zero_copy_only=False).astype(np.float64)
+        srs = batch["sr_hz"].to_numpy(zero_copy_only=False).astype(np.float64)
+        snrs = batch["snr_db"].to_numpy(zero_copy_only=False)
+        viols = batch["violations"].to_pylist()
+        hashes = stable_hash64(df_ids)
+
+        rows = []
+        for codec in np.unique(codecs):
+            cmask = codecs == codec
+            for salt in np.unique(salts[cmask]):
+                mask = cmask & (salts == salt)
+                agg = CodecAgg(
+                    n=int(mask.sum()),
+                    n_ok=int(oks[mask].sum()),
+                    viol_counts=Counter(
+                        k for i in np.nonzero(mask)[0] for k in viols[i]
+                    ),
+                    clip_hll=HLL(cfg.hll_p).add_hashes(hashes[mask]),
+                    dur_kll=KLL(cfg.kll_k).add_many(durs[mask]),
+                    sr_kll=KLL(cfg.kll_k).add_many(srs[mask]),
+                    snr_kll=KLL(cfg.kll_k).add_many(snrs[mask][~np.isnan(snrs[mask])]),
+                )
+                rows.append(
+                    {"codec": str(codec), "salt": int(salt), "agg": pickle.dumps(agg)}
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("codec", pa.string()), ("salt", pa.int32()), ("agg", pa.binary())]
+            ),
+        )
+
+
+def _merge_agg_group(g: pd.DataFrame) -> pd.DataFrame:
+    acc: Optional[CodecAgg] = None
+    for buf in g["agg"]:
+        a = pickle.loads(buf)
+        acc = a if acc is None else acc.merge(a)
+    return pd.DataFrame(
+        {"codec": [g["codec"].iloc[0]], "salt": [0], "agg": [pickle.dumps(acc)]}
+    )
+
+
+def codec_verdicts(
+    verdicts,
+    cfg: ValidationConfig = ValidationConfig(),
+    baseline: Optional[Dict[str, Dict[str, bytes]]] = None,
+) -> pd.DataFrame:
+    """verdicts Dataset → per-codec pass/fail verdict table (small, pandas).
+
+    Two-level salted aggregate: groupby([codec, salt]) merges the per-batch
+    partials, then groupby(codec) merges the ≤ n_salts survivors and
+    finalizes (counts, HLL distinct, KLL quantiles, PSI/KS drift vs the
+    broadcast baseline store, pass/fail)."""
+    partials = verdicts.map_batches(
+        CodecPartialAggregator(cfg), batch_format="pyarrow", batch_size=4096
+    )
+    level1 = partials.groupby(["codec", "salt"]).map_groups(
+        _merge_agg_group, batch_format="pandas"
+    )
+    level2 = level1.groupby("codec").map_groups(_merge_agg_group, batch_format="pandas")
+    rows = []
+    for row in level2.take_all():  # one row per codec — tiny
+        codec = row["codec"]
+        agg: CodecAgg = pickle.loads(row["agg"])
+        viol_total = sum(agg.viol_counts.values())
+        rate = viol_total / max(1, agg.n)
+        distinct = agg.clip_hll.estimate() if agg.clip_hll else 0.0
+        rec = {
+            "codec": codec,
+            "n_clips": agg.n,
+            "n_ok": agg.n_ok,
+            "n_violations": viol_total,
+            "violation_rate": rate,
+            "violations_by_kind": dict(sorted(agg.viol_counts.items())),
+            "approx_distinct_clips": distinct,
+            "approx_dup_ratio": max(0.0, 1.0 - distinct / max(1, agg.n)),
+            "dur_p50": agg.dur_kll.quantile(0.5) if agg.dur_kll else None,
+            "dur_p95": agg.dur_kll.quantile(0.95) if agg.dur_kll else None,
+            "snr_p50": agg.snr_kll.quantile(0.5) if agg.snr_kll and agg.snr_kll.n else None,
+        }
+        drift_fail = False
+        if baseline and codec in baseline:
+            base = baseline[codec]
+            for col, sk in (("dur_ms", agg.dur_kll), ("sr_hz", agg.sr_kll)):
+                if col in base and sk is not None:
+                    b = KLL.from_bytes(base[col])
+                    rec[f"psi_{col}"] = psi(b, sk)
+                    rec[f"ks_{col}"] = ks_statistic(b, sk)
+                    drift_fail = drift_fail or rec[f"psi_{col}"] > cfg.pass_psi
+        rec["passed"] = bool(rate <= cfg.pass_violation_rate and not drift_fail)
+        rows.append(rec)
+    return pd.DataFrame(rows).sort_values("codec").reset_index(drop=True)
+
+
+def run_validation_checkpointed(
+    clips_dir: str,
+    out_dir: str,
+    cfg: ValidationConfig = ValidationConfig(),
+    baseline: Optional[Dict[str, Dict[str, bytes]]] = None,
+    num_partitions: int = 8,
+):
+    """Checkpointed flagship run: the clips parquet files are grouped into
+    partitions; each partition streams read → validate → write
+    (verdicts/violations parquet + codec verdict csv) and commits an atomic
+    ``_SUCCESS.json`` with lineage + metrics. A rerun skips finished
+    partitions (see state/checkpoint.py)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from schema_guru_ray.state.checkpoint import config_hash, run_partitioned
+
+    files = sorted(glob.glob(os.path.join(clips_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {clips_dir}")
+
+    def process(part_files, tmp_dir):
+        ds = rd.read_parquet(part_files)
+        verdicts = validate_clips(ds, cfg).materialize()  # per-partition working set
+        verdicts.write_parquet(os.path.join(tmp_dir, "verdicts"))
+        violations_dataset(verdicts).write_parquet(os.path.join(tmp_dir, "violations"))
+        cv = codec_verdicts(verdicts, cfg, baseline=baseline)
+        cv.assign(
+            violations_by_kind=cv["violations_by_kind"].map(
+                lambda d: __import__("json").dumps(d)
+            )
+        ).to_parquet(os.path.join(tmp_dir, "codec_verdicts.parquet"))
+        n = verdicts.count()
+        return {
+            "n_clips": n,
+            "n_ok": int(cv["n_ok"].sum()),
+            "n_violations": int(cv["n_violations"].sum()),
+            "codecs_passed": int(cv["passed"].sum()),
+            "codecs_total": int(len(cv)),
+        }
+
+    return run_partitioned(
+        files,
+        out_dir,
+        process,
+        cfg_hash=config_hash(vars(cfg) | {"baseline": baseline is not None}),
+        num_partitions=num_partitions,
+    )
+
+
+def build_baseline(verdicts, cfg: ValidationConfig = ValidationConfig()):
+    """Build a baseline sketch store {codec: {col: KLL bytes}} from a
+    reference run. Small (KBs/codec); broadcast with ray.put at use time."""
+    partials = verdicts.map_batches(
+        CodecPartialAggregator(cfg), batch_format="pyarrow", batch_size=4096
+    )
+    level1 = partials.groupby(["codec", "salt"]).map_groups(
+        _merge_agg_group, batch_format="pandas"
+    )
+    level2 = level1.groupby("codec").map_groups(_merge_agg_group, batch_format="pandas")
+    out: Dict[str, Dict[str, bytes]] = {}
+    for row in level2.take_all():
+        agg: CodecAgg = pickle.loads(row["agg"])
+        out[row["codec"]] = {
+            "dur_ms": agg.dur_kll.to_bytes(),
+            "sr_hz": agg.sr_kll.to_bytes(),
+        }
+    return out

@@ -30,6 +30,7 @@ from typing import Any, Dict, List, Optional, Tuple
 from schema_guru_ray.context import SchemaContext
 from schema_guru_ray.schema.states import (
     ArrayState,
+    BinaryState,
     BoolState,
     IntState,
     NullState,
@@ -39,6 +40,7 @@ from schema_guru_ray.schema.states import (
     ProductState,
     State,
     StringState,
+    TimestampState,
     ZeroState,
 )
 
@@ -165,6 +167,15 @@ def to_json_schema(state: State, ctx: SchemaContext) -> Dict[str, Any]:
         if e is not None:
             out["enum"] = e
         return out
+    if isinstance(state, TimestampState):
+        return {"type": "string", "format": "date-time"}
+    if isinstance(state, BinaryState):
+        out = {"type": "string", "contentEncoding": "binary"}
+        if state.min_length is not None:
+            out["minLength"] = state.min_length
+        if state.max_length is not None:
+            out["maxLength"] = state.max_length
+        return out
     if isinstance(state, ObjectState):
         return {
             "type": "object",
@@ -190,7 +201,11 @@ def to_json_schema(state: State, ctx: SchemaContext) -> Dict[str, Any]:
                 enums.extend(e)
             j.pop("type", None)
             out.update(j)
-        out["type"] = sorted(t for t in state.slots)
+        # extension tags render as JSON-schema "string" (their json already
+        # carries format/contentEncoding)
+        out["type"] = sorted(
+            {"string" if t in ("timestamp", "binary") else t for t in state.slots}
+        )
         if enums:
             out["enum"] = enums
         return out

@@ -150,8 +150,42 @@ class ArrayState:
         return id(self)
 
 
+@dataclass(frozen=True)
+class TimestampState:
+    """Engine extension (no reference analogue — JSON has no timestamp type;
+    Arrow does). Carries min/max as epoch-microseconds; renders as
+    ``{"type": "string", "format": "date-time"}`` to stay inside the
+    reference's vocabulary."""
+
+    minimum: Optional[int] = None
+    maximum: Optional[int] = None
+
+    type_tag = "timestamp"
+
+
+@dataclass(frozen=True)
+class BinaryState:
+    """Engine extension for Arrow binary columns (audio/image payloads):
+    byte-length bounds only — content checks live in the validation stages."""
+
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+
+    type_tag = "binary"
+
+
 # slot order is the canonical rendering order for product types
-PRODUCT_SLOTS = ("object", "array", "string", "integer", "number", "boolean", "null")
+PRODUCT_SLOTS = (
+    "object",
+    "array",
+    "string",
+    "integer",
+    "number",
+    "boolean",
+    "timestamp",
+    "binary",
+    "null",
+)
 
 
 @dataclass(frozen=True)
@@ -176,6 +210,8 @@ State = Union[
     ObjectState,
     ArrayState,
     ProductState,
+    TimestampState,
+    BinaryState,
 ]
 
 ZERO = ZeroState()
@@ -286,6 +322,15 @@ def merge(a: State, b: State, ctx: SchemaContext) -> State:
             return _merge_object(a, b, ctx)
         if ta is ArrayState:
             return _merge_array(a, b, ctx)
+        if ta is TimestampState:
+            return TimestampState(
+                _min_or_none(a.minimum, b.minimum), _max_or_none(a.maximum, b.maximum)
+            )
+        if ta is BinaryState:
+            return BinaryState(
+                _min_or_none(a.min_length, b.min_length),
+                _max_or_none(a.max_length, b.max_length),
+            )
         return a  # Bool/Null: no fields
     # integer ⊔ number → number (IntegerSchema.scala:49, NumberSchema.scala:54-61)
     if ta is IntState and tb is NumState:

@@ -1,0 +1,184 @@
+"""Stateful audio-validation stage (actor pool).
+
+Enforces the north-star per-row invariants (BASELINE.json) over the clips
+table:
+
+* decode: ``bytes`` must decode as PCM16 WAV (strict parser) — codec routing
+  goes through a decoder registry; non-PCM codecs are STUBS (the container
+  has no flac/opus/mp3 libraries) that either fall back to the WAV parser
+  (synthetic fixtures carry WAV bytes regardless of the ``codec`` label) or,
+  in ``strict_codecs`` mode, raise NotImplementedError — the Ray-side
+  plumbing (actor signature, batch flow, output layout) is real either way;
+* allclose: decoded PCM vs the deterministic reference signal re-synthesized
+  from ``clip_id`` must reach SNR >= 30 dB;
+* transcript equality vs the reference transcript;
+* referential: transcript non-null IFF audio decodable;
+* sr_hz within the valid enum; dur_ms consistent with decoded sample count.
+
+Run as ``ds.map_batches(ClipValidator, concurrency=(min,max), num_cpus=1,
+batch_size=B, batch_format="pyarrow")`` — construction-time state (decoder
+registry, thresholds) loads once per actor (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from schema_guru_ray.audio import synth
+from schema_guru_ray.audio.wav import WavDecodeError, decode_wav, snr_db
+from schema_guru_ray.sources.clips import SR_VALUES
+
+VERDICT_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("codec", pa.string()),
+        ("sr_hz", pa.int32()),
+        ("dur_ms", pa.int32()),
+        ("decodable", pa.bool_()),
+        ("snr_db", pa.float64()),
+        ("ok", pa.bool_()),
+        ("violations", pa.list_(pa.string())),
+    ]
+)
+
+
+def _decode_pcm_s16le(buf: bytes):
+    return decode_wav(buf)
+
+
+def _stub_codec(name: str) -> Callable[[bytes], Tuple[np.ndarray, int]]:
+    def decode(buf: bytes):
+        # STUB: a real deployment would link libflac/libopus/libmp3lame here.
+        raise NotImplementedError(f"{name} decode not available in this environment")
+
+    return decode
+
+
+class ClipValidator:
+    """Actor-pool kernel: clips batch in → verdict batch out (audio bytes are
+    dropped from the output, so nothing heavy flows downstream)."""
+
+    SNR_THRESHOLD_DB = 30.0
+
+    def __init__(
+        self,
+        snr_threshold_db: float = 30.0,
+        check_transcript: bool = True,
+        strict_codecs: bool = False,
+        valid_srs: Tuple[int, ...] = SR_VALUES,
+        dur_tolerance_ms: int = 1,
+    ):
+        self.snr_threshold_db = snr_threshold_db
+        self.check_transcript = check_transcript
+        self.valid_srs = frozenset(valid_srs)
+        self.dur_tolerance_ms = dur_tolerance_ms
+        # decoder registry — per-actor state, built once (SURVEY.md §2.3)
+        self.decoders: Dict[str, Callable[[bytes], Tuple[np.ndarray, int]]] = {
+            "pcm_s16le": _decode_pcm_s16le
+        }
+        for codec in ("flac", "opus", "mp3"):
+            self.decoders[codec] = (
+                _stub_codec(codec) if strict_codecs else _decode_pcm_s16le
+            )
+
+    def _validate_row(
+        self,
+        clip_id: str,
+        buf: Optional[bytes],
+        sr_col: int,
+        dur_col: int,
+        codec: str,
+        transcript: Optional[str],
+    ) -> Tuple[bool, float, List[str]]:
+        violations: List[str] = []
+        decodable = False
+        snr = float("nan")
+        pcm = None
+        sr_wav = None
+        decoder = self.decoders.get(codec, _decode_pcm_s16le)
+        if buf is not None:
+            try:
+                pcm, sr_wav = decoder(buf)
+                decodable = True
+            except (WavDecodeError, NotImplementedError):
+                decodable = False
+        if not decodable:
+            violations.append("undecodable_audio")
+            if transcript is not None:
+                violations.append("transcript_on_undecodable")
+        else:
+            expected = synth.reference_pcm(clip_id, sr_wav, len(pcm))
+            snr = snr_db(expected, pcm)
+            if snr < self.snr_threshold_db:
+                violations.append("snr_below_threshold")
+            if transcript is None:
+                violations.append("null_transcript_on_decodable")
+            elif self.check_transcript and transcript != synth.reference_transcript(clip_id):
+                violations.append("transcript_mismatch")
+            actual_ms = round(len(pcm) / sr_wav * 1000.0)
+            if abs(actual_ms - dur_col) > self.dur_tolerance_ms:
+                violations.append("dur_inconsistent")
+        if sr_col not in self.valid_srs:
+            violations.append("sr_out_of_range")
+        return decodable, snr, violations
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        clip_ids = batch["clip_id"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        durs = batch["dur_ms"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        transcripts = batch["transcript"].to_pylist()
+        n = len(clip_ids)
+        decodable = np.zeros(n, dtype=bool)
+        snrs = np.full(n, np.nan)
+        oks = np.zeros(n, dtype=bool)
+        viols: List[List[str]] = []
+        for i in range(n):
+            d, s, v = self._validate_row(
+                clip_ids[i], bufs[i], srs[i], durs[i], codecs[i], transcripts[i]
+            )
+            decodable[i] = d
+            snrs[i] = s
+            oks[i] = not v
+            viols.append(v)
+        return pa.Table.from_arrays(
+            [
+                pa.array(clip_ids, pa.string()),
+                pa.array(codecs, pa.string()),
+                pa.array(srs, pa.int32()),
+                pa.array(durs, pa.int32()),
+                pa.array(decodable),
+                pa.array(snrs),
+                pa.array(oks),
+                pa.array(viols, pa.list_(pa.string())),
+            ],
+            schema=VERDICT_SCHEMA,
+        )
+
+
+def explode_violations(batch: pa.Table) -> pa.Table:
+    """Verdict batch → long-format violation rows (clip_id, codec, kind)."""
+    import pyarrow.compute as pc
+
+    mask = pc.greater(pc.list_value_length(batch["violations"]), 0)
+    bad = batch.filter(mask)
+    out_ids, out_codecs, out_kinds = [], [], []
+    for cid, codec, vs in zip(
+        bad["clip_id"].to_pylist(), bad["codec"].to_pylist(), bad["violations"].to_pylist()
+    ):
+        for kind in vs:
+            out_ids.append(cid)
+            out_codecs.append(codec)
+            out_kinds.append(kind)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_ids, pa.string()),
+            pa.array(out_codecs, pa.string()),
+            pa.array(out_kinds, pa.string()),
+        ],
+        names=["clip_id", "codec", "kind"],
+    )

@@ -1,0 +1,155 @@
+"""Column profiling: exact stats (count/null/min/max/sum) + mergeable
+sketches (HLL distinct, KLL quantiles) per column, optionally grouped by a
+key with salt-based skew mitigation.
+
+This is the A11 extension of the derive-then-merge shape (SURVEY.md §2.5):
+per-batch partial profiles are tiny and merge associatively, so a grouped
+profile shuffles only states — one row per (batch × key) — never data rows.
+Hot low-cardinality keys (``codec`` is Zipf-skewed by construction) are
+already neutralized by the per-batch pre-aggregation; the optional salt
+column exists for the two-level aggregate pattern on even bigger partials
+(north rule: "salt-based skew mitigation on codec-keyed groupbys").
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from schema_guru_ray.sketches.hll import HLL
+from schema_guru_ray.sketches.kll import KLL
+
+
+def stable_hash64(series: pd.Series) -> np.ndarray:
+    """Deterministic, process-independent uint64 hashes (siphash via pandas
+    with its fixed default key) — Python's builtin ``hash`` is salted per
+    process and must never be used for distributed hashing."""
+    return pd.util.hash_pandas_object(series, index=False).to_numpy(dtype=np.uint64)
+
+
+@dataclass
+class ColumnProfile:
+    """Mergeable per-column stats state."""
+
+    non_null: int = 0
+    nulls: int = 0
+    minimum: object = None
+    maximum: object = None
+    total: float = 0.0  # sum for numeric columns
+    hll: Optional[HLL] = None
+    kll: Optional[KLL] = None
+
+    def merge(self, other: "ColumnProfile") -> "ColumnProfile":
+        def _mn(a, b):
+            return b if a is None else a if b is None else min(a, b)
+
+        def _mx(a, b):
+            return b if a is None else a if b is None else max(a, b)
+
+        hll = self.hll.merge(other.hll) if self.hll and other.hll else (self.hll or other.hll)
+        kll = self.kll.merge(other.kll) if self.kll and other.kll else (self.kll or other.kll)
+        return ColumnProfile(
+            non_null=self.non_null + other.non_null,
+            nulls=self.nulls + other.nulls,
+            minimum=_mn(self.minimum, other.minimum),
+            maximum=_mx(self.maximum, other.maximum),
+            total=self.total + other.total,
+            hll=hll,
+            kll=kll,
+        )
+
+    def to_row(self, column: str) -> Dict[str, object]:
+        return {
+            "column": column,
+            "non_null": self.non_null,
+            "nulls": self.nulls,
+            "minimum": None if self.minimum is None else str(self.minimum),
+            "maximum": None if self.maximum is None else str(self.maximum),
+            "total": self.total,
+            "approx_distinct": None if self.hll is None else float(self.hll.estimate()),
+            "p50": None if self.kll is None else self.kll.quantile(0.5),
+            "p95": None if self.kll is None else self.kll.quantile(0.95),
+            "p99": None if self.kll is None else self.kll.quantile(0.99),
+        }
+
+
+def profile_column(arr: pa.ChunkedArray | pa.Array, name: str, *, hll_p: int = 12,
+                   kll_k: int = 200, with_sketches: bool = True) -> ColumnProfile:
+    typ = arr.type
+    nulls = arr.null_count
+    nn_arr = pc.drop_null(arr) if nulls else arr
+    prof = ColumnProfile(non_null=len(nn_arr), nulls=nulls)
+    if len(nn_arr) == 0:
+        return prof
+    is_num = pa.types.is_integer(typ) or pa.types.is_floating(typ)
+    if is_num or pa.types.is_string(typ) or pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+        mm = pc.min_max(nn_arr)
+        prof.minimum, prof.maximum = mm["min"].as_py(), mm["max"].as_py()
+    if is_num:
+        prof.total = float(pc.sum(nn_arr).as_py())
+        if with_sketches:
+            prof.kll = KLL(kll_k).add_many(nn_arr.to_numpy(zero_copy_only=False).astype(np.float64))
+    if with_sketches and (is_num or pa.types.is_string(typ)):
+        series = nn_arr.to_pandas()
+        prof.hll = HLL(hll_p).add_hashes(stable_hash64(series))
+    return prof
+
+
+class TableProfiler:
+    """map_batches kernel → one serialized dict {column: ColumnProfile} per
+    batch (per key when ``by`` is set), plus row counts."""
+
+    def __init__(self, columns: Sequence[str], by: Optional[str] = None,
+                 hll_p: int = 12, kll_k: int = 200, with_sketches: bool = True):
+        self.columns = list(columns)
+        self.by = by
+        self.hll_p = hll_p
+        self.kll_k = kll_k
+        self.with_sketches = with_sketches
+
+    def _profile(self, batch: pa.Table) -> bytes:
+        profs = {
+            c: profile_column(
+                batch.column(c).combine_chunks(), c,
+                hll_p=self.hll_p, kll_k=self.kll_k, with_sketches=self.with_sketches,
+            )
+            for c in self.columns
+        }
+        return pickle.dumps(profs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.by is None:
+            groups = [("", batch)]
+        else:
+            keys = batch.column(self.by)
+            groups = [
+                (str(k), batch.filter(pc.equal(keys, k)))
+                for k in pc.unique(keys).to_pylist()
+                if k is not None
+            ]
+            nullmask = pc.is_null(keys)
+            if pc.any(nullmask).as_py():
+                groups.append(("__null__", batch.filter(nullmask)))
+        return pa.Table.from_pylist(
+            [
+                {"group": k, "profile": self._profile(sub), "n_rows": sub.num_rows}
+                for k, sub in groups
+            ],
+            schema=pa.schema(
+                [("group", pa.string()), ("profile", pa.binary()), ("n_rows", pa.int64())]
+            ),
+        )
+
+
+def merge_profile_rows(rows: Sequence[bytes]) -> Dict[str, ColumnProfile]:
+    acc: Dict[str, ColumnProfile] = {}
+    for buf in rows:
+        for col, prof in pickle.loads(buf).items():
+            acc[col] = acc[col].merge(prof) if col in acc else prof
+    return acc

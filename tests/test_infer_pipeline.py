@@ -1,0 +1,124 @@
+"""Ray Data schema-inference pipelines over the driver testdata (typed
+tables + the events.props JSON column), and the Arrow-batch deriver's
+equivalence with the row-wise JSON derive path."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from schema_guru_ray.context import SchemaContext
+from schema_guru_ray.schema.finalize import merge_and_transform
+from schema_guru_ray.schema.states import derive, derive_value, merge, ZERO
+from schema_guru_ray.stages.derive import derive_arrow_batch
+
+
+class TestArrowDeriveEquivalence:
+    """derive_arrow_batch must equal the row-wise JSON derive fold on the
+    same logical values (the vectorized kernel is a pure optimization)."""
+
+    def _check(self, rows, ctx=SchemaContext()):
+        tab = pa.Table.from_pylist(rows)
+        vec = merge_and_transform(derive_arrow_batch(tab, ctx), ctx)
+        row = merge_and_transform(derive(rows, ctx), ctx)
+        assert vec == row, f"\nvec: {vec}\nrow: {row}"
+
+    def test_ints_strings(self):
+        self._check([{"a": 1, "b": "xy"}, {"a": -40000, "b": "longer"}])
+
+    def test_formats(self):
+        self._check(
+            [
+                {"u": "f0e89550-7fda-11e4-bbe8-22000ad9bf74", "ip": "10.0.0.1"},
+                {"u": "aaaa9550-7fda-11e4-bbe8-22000ad9bf74", "ip": "192.168.1.1"},
+            ]
+        )
+
+    def test_mixed_format_dropped(self):
+        self._check([{"s": "10.0.0.1"}, {"s": "not an ip"}])
+
+    def test_nulls_make_product(self):
+        self._check([{"x": 5}, {"x": None}])
+
+    def test_floats(self):
+        self._check([{"x": 1.5}, {"x": -2.5}])
+
+    def test_enums(self):
+        self._check(
+            [{"c": "AB"}, {"c": "AC"}, {"c": "AB"}],
+            SchemaContext(enum_cardinality=5),
+        )
+
+    def test_enum_cap(self):
+        self._check(
+            [{"c": "A"}, {"c": "B"}, {"c": "C"}],
+            SchemaContext(enum_cardinality=2),
+        )
+
+    def test_lists(self):
+        self._check([{"l": [1, 2]}, {"l": [3]}])
+
+    def test_base64_quantity(self):
+        self._check(
+            [{"b": "aGVsbG8="}, {"b": "d29ybGQh"}],
+            SchemaContext(quantity=10000),
+        )
+        self._check(
+            [{"b": "aGVsbG8="}, {"b": "d29ybGQh"}],
+            SchemaContext(quantity=2),
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInferPipelines:
+    def test_typed_table(self, sf_dir):
+        import ray.data as rd
+
+        from schema_guru_ray.pipelines.infer import infer_schema
+
+        ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+        res = infer_schema(ds, SchemaContext(enum_cardinality=5))
+        sch = res["schema"]
+        assert sch["type"] == "object"
+        props = sch["properties"]
+        assert props["l_returnflag"]["type"] == "string"
+        assert set(props["l_returnflag"]["enum"]) == {"A", "N", "R"}
+        assert props["l_quantity"]["type"] == "number"
+        assert props["l_shipdate"]["format"] == "date-time"
+        assert res["n_errors"] == 0
+        assert res["n_rows"] > 0
+
+    def test_json_column(self, sf_dir):
+        import ray.data as rd
+
+        from schema_guru_ray.pipelines.infer import infer_schema
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        res = infer_schema(ds, SchemaContext(), json_column="props")
+        assert res["schema"]["type"] == "object"
+        assert res["n_errors"] == 0
+
+    def test_segmented(self, sf_dir):
+        import ray.data as rd
+
+        from schema_guru_ray.pipelines.infer import infer_schema_segmented
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        out = infer_schema_segmented(ds, "event_type", SchemaContext()).to_pandas()
+        assert set(out["segment"]) == {"click", "error", "purchase", "signup", "view"}
+        assert out["n_rows"].sum() == ds.count()
+        for s in out["schema_json"]:
+            assert json.loads(s)["type"] == "object"
+
+    def test_merge_independent_of_batch_size(self, sf_dir):
+        """Partial-aggregation correctness: different batch sizes (different
+        merge groupings) must yield identical schemas."""
+        import ray.data as rd
+
+        from schema_guru_ray.pipelines.infer import infer_schema
+
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet")
+        ctx = SchemaContext(enum_cardinality=8)
+        a = infer_schema(ds, ctx, batch_size=64)["schema"]
+        b = infer_schema(ds, ctx, batch_size=4096)["schema"]
+        assert a == b

@@ -1,0 +1,90 @@
+"""HLL / KLL / drift sketch properties: accuracy bounds, merge = whole,
+serialization round-trip, determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from schema_guru_ray.sketches import HLL, KLL, ks_statistic, psi
+from schema_guru_ray.stages.profile import stable_hash64
+
+
+def _hashes(n, prefix="v"):
+    return stable_hash64(pd.Series([f"{prefix}{i}" for i in range(n)]))
+
+
+class TestHLL:
+    def test_accuracy(self):
+        sk = HLL(12).add_hashes(_hashes(50000))
+        assert abs(sk.estimate() - 50000) / 50000 < 0.05
+
+    def test_small_range_exactish(self):
+        sk = HLL(12).add_hashes(_hashes(200))
+        assert abs(sk.estimate() - 200) < 10
+
+    def test_merge_equals_whole(self):
+        h = _hashes(10000)
+        a = HLL(12).add_hashes(h[:6000])
+        b = HLL(12).add_hashes(h[4000:])
+        whole = HLL(12).add_hashes(h)
+        assert a.merge(b).estimate() == whole.estimate()
+
+    def test_serialization(self):
+        sk = HLL(12).add_hashes(_hashes(1000))
+        assert HLL.from_bytes(sk.to_bytes()).estimate() == sk.estimate()
+
+    def test_duplicates_do_not_inflate(self):
+        h = np.tile(_hashes(100), 50)
+        sk = HLL(12).add_hashes(h)
+        assert abs(sk.estimate() - 100) < 10
+
+
+class TestKLL:
+    def test_quantile_accuracy(self):
+        rng = np.random.default_rng(7)
+        data = rng.normal(0, 1, 100000)
+        sk = KLL(200)
+        for chunk in np.array_split(data, 23):
+            sk.add_many(chunk)
+        for q in (0.1, 0.5, 0.9):
+            assert abs(sk.quantile(q) - np.quantile(data, q)) < 0.08
+        assert sk.n == 100000
+
+    def test_merge_accuracy(self):
+        rng = np.random.default_rng(8)
+        data = rng.uniform(0, 100, 60000)
+        a = KLL(200).add_many(data[:30000])
+        b = KLL(200).add_many(data[30000:])
+        m = a.merge(b)
+        assert abs(m.quantile(0.5) - 50) < 3
+        assert m.n == 60000
+
+    def test_bounded_memory(self):
+        sk = KLL(200)
+        for chunk in np.array_split(np.arange(500000, dtype=float), 100):
+            sk.add_many(chunk)
+        assert sum(len(l) for l in sk.levels) < 3000
+
+    def test_serialization(self):
+        sk = KLL(100).add_many(np.arange(1000, dtype=float))
+        rt = KLL.from_bytes(sk.to_bytes())
+        assert rt.quantile(0.5) == sk.quantile(0.5)
+
+    def test_empty(self):
+        assert KLL().quantile(0.5) is None
+
+
+class TestDrift:
+    def test_psi_zero_on_identical(self):
+        sk = KLL().add_many(np.random.default_rng(0).normal(0, 1, 10000))
+        assert psi(sk, sk) == pytest.approx(0.0, abs=1e-9)
+        assert ks_statistic(sk, sk) == 0.0
+
+    def test_psi_detects_shift(self):
+        rng = np.random.default_rng(1)
+        base = KLL().add_many(rng.normal(0, 1, 50000))
+        same = KLL().add_many(rng.normal(0, 1, 50000))
+        shifted = KLL().add_many(rng.normal(0.6, 1, 50000))
+        assert psi(base, same) < 0.05
+        assert psi(base, shifted) > 0.25
+        assert ks_statistic(base, shifted) > 0.15
