@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline (clips validation — the BASELINE.json metric is
+clips/sec validation throughput) plus a representative query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "clips_per_sec": ...}
+
+``--scaling`` re-runs the benchmark in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports both throughputs plus
+scaling efficiency (the in-sandbox evidence for the north rule's N vs 4N
+cluster criterion).
+
+This script OWNS its Ray session (unlike __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from schema_guru_ray.pipelines import queries as Q
+    from schema_guru_ray.pipelines.validate import ValidationConfig, codec_verdicts, validate_clips
+    from schema_guru_ray.sources.clips import ensure_clips, n_clips_for_sf
+
+    # --- headline: clips validation throughput -----------------------------
+    clips_path = ensure_clips(sf_dir)  # one-off generation, cached in /tmp
+    n_clips = n_clips_for_sf(sf_dir)
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    rd.read_parquet(clips_path).count()
+
+    vcfg = ValidationConfig(
+        validator_concurrency=(1, max(2, num_cpus - 2)),
+        validator_batch_size=256,
+    )
+    t0 = time.perf_counter()
+    verdicts = validate_clips(rd.read_parquet(clips_path), vcfg)
+    cv = codec_verdicts(verdicts, vcfg)
+    headline_sec = time.perf_counter() - t0
+    assert cv["n_clips"].sum() == n_clips
+
+    # --- representative query suite ----------------------------------------
+    suite = [
+        "q1_lineitem_agg",
+        "grouped_stats_events",
+        "distinct_counts",
+        "sessionize_events",
+        "dedup_exact_documents",
+        "minhash_dedup_documents",
+        "ann_topk_embeddings",
+        "schema_infer_lineitem",
+        "schema_infer_events_props",
+        "token_counts_documents",
+    ]
+    timings = {"clips_validation": round(headline_sec, 3)}
+    for name in suite:
+        t0 = time.perf_counter()
+        res = Q.QUERIES[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "clips validation throughput + query suite wall time",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_clips": n_clips,
+        "clips_per_sec": round(n_clips / headline_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (cache already
+    warm from the first run's generation)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (clips validation, 8 vs 32 cpus)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "clips_per_sec_8": r_lo["clips_per_sec"],
+        "clips_per_sec_32": r_hi["clips_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

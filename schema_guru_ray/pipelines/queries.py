@@ -1,0 +1,570 @@
+"""Named query/operator catalog backing ``__ray_entry__.queries()``.
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table. Numeric aggregate outputs use integer cents / explicit
+rounding so the Ray result and the DuckDB oracle hash identically despite
+floating-point summation order (driver compares row-count + schema +
+order-insensitive value hash; column names must match the SQL aliases
+EXACTLY).
+
+None of these call ray.init — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from schema_guru_ray.context import SchemaContext
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# --- relational aggregates (partial-agg over Arrow batches) -----------------
+
+
+def q1_lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape: per-batch partial aggregation inside map_batches
+    (integer-cents arithmetic → order-independent), then a tiny groupby
+    merge. The wide shuffle moves one row per (batch × group)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        price_c = np.floor(price * 100 + 0.5).astype(np.int64)  # half-up like SQL round()
+        disc_price_c = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "qty": np.floor(qty + 0.5).astype(np.int64),
+                "price_c": price_c,
+                "disc_price_c": disc_price_c,
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("qty", "sum"), sum_price_cents=("price_c", "sum"),
+                 sum_disc_price_cents=("disc_price_c", "sum"), n=("qty", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
+        Sum("n", alias_name="n"),
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def grouped_stats_events(sf_dir: str):
+    """Grouped stats with the two-level pattern on a skewed-ish key."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "value_milli": np.floor(
+                    t["value"].to_numpy(zero_copy_only=False) * 1000 + 0.5
+                ).astype(np.int64),
+                "ts": t["ts"].to_pandas(),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value_milli", "size"),
+            sum_value_milli=("value_milli", "sum"),
+            min_ts=("ts", "min"),
+            max_ts=("ts", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value_milli", alias_name="sum_value_milli"),
+            Min("min_ts", alias_name="min_ts"),
+            Max("max_ts", alias_name="max_ts"),
+        )
+    )
+
+
+GROUPED_STATS_EVENTS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+def column_stats_lineitem(sf_dir: str):
+    """Per-column profile rows (the reference's min/max/null derive as exact
+    stats; SURVEY.md §2.5 A11) via mergeable ColumnProfile states."""
+    from schema_guru_ray.stages.profile import TableProfiler, merge_profile_rows
+
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    ds = _read(sf_dir, "lineitem", cols)
+    prof_ds = ds.map_batches(
+        TableProfiler(cols, with_sketches=False), batch_format="pyarrow", batch_size=65536
+    )
+    profs = merge_profile_rows([r["profile"] for r in prof_ds.take_all()])
+    rows = []
+    for c in cols:
+        p = profs[c]
+        rows.append(
+            {
+                "column": c,
+                "non_null": p.non_null,
+                "nulls": p.nulls,
+                "minimum": str(p.minimum),
+                "maximum": str(p.maximum),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+COLUMN_STATS_LINEITEM_SQL = """
+SELECT 'l_orderkey' AS column, count(l_orderkey) AS non_null,
+       count(*) - count(l_orderkey) AS nulls,
+       CAST(min(l_orderkey) AS VARCHAR) AS minimum, CAST(max(l_orderkey) AS VARCHAR) AS maximum
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(l_quantity), count(*) - count(l_quantity),
+       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(l_returnflag), count(*) - count(l_returnflag),
+       min(l_returnflag), max(l_returnflag) FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(l_shipdate), count(*) - count(l_shipdate),
+       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
+"""
+
+
+def distinct_counts(sf_dir: str):
+    """Exact distincts (shuffle) + per-batch-unique pre-reduction."""
+    rows = []
+    for table, col in (("lineitem", "l_orderkey"), ("orders", "o_custkey"),
+                       ("events", "user_id")):
+        ds = _read(sf_dir, table, [col])
+        # pre-reduce: per-batch unique, then global unique on the survivors
+        pre = ds.map_batches(
+            lambda t, c=col: pa.Table.from_arrays([pc.unique(t[c])], names=[c]),
+            batch_format="pyarrow",
+            batch_size=131072,
+        )
+        rows.append({"table_col": f"{table}.{col}", "n_distinct": len(pre.unique(col))})
+    return pd.DataFrame(rows)
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT 'lineitem.l_orderkey' AS table_col, count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'orders.o_custkey', count(DISTINCT o_custkey) FROM orders
+UNION ALL
+SELECT 'events.user_id', count(DISTINCT user_id) FROM events
+"""
+
+
+def referential_orphans(sf_dir: str):
+    """Anti-join via broadcast key set (no shuffle): orders whose o_custkey
+    has no customer row (SURVEY.md §2.4 J3 referential checks)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    keys = frozenset(r["c_custkey"] for r in cust.take_all())  # small side
+    keys_ref = ray.put(keys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = [k not in ks for k in t["o_custkey"].to_pylist()]
+        return t.filter(pa.array(mask))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n = orders.map_batches(anti, batch_format="pyarrow").count()
+    return pd.DataFrame({"n_orphans": [n]})
+
+
+REFERENTIAL_ORPHANS_SQL = """
+SELECT count(*) AS n_orphans
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def sessionize_events(sf_dir: str, gap_sec: int = 1800):
+    """Stream-shaped op: per-user session count with a 30-min gap rule —
+    groupby(user).map_groups over ts-sorted groups (ray guide
+    'Streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds()
+        n_sessions = int(1 + (gaps > gap_sec).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH d AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts - prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM d GROUP BY user_id
+"""
+
+
+def top_customers_revenue(sf_dir: str, k: int = 10):
+    """Top-k by grouped sum; broadcast join of the (small) customer side for
+    names — no row shuffle of the fact table beyond the pre-agged partials."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": t["o_custkey"].to_pandas(),
+                "cents": np.floor(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g.rename(columns={"cents": "revenue_cents"}),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    top = agg.sort("revenue_cents", descending=True).limit(k).to_pandas()
+    names = ray.get(name_ref)
+    top["c_name"] = top["o_custkey"].map(names)
+    return top[["o_custkey", "c_name", "revenue_cents"]]
+
+
+TOP_CUSTOMERS_REVENUE_SQL = """
+SELECT o_custkey, c_name,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY o_custkey, c_name
+ORDER BY revenue_cents DESC LIMIT 10
+"""
+
+
+# --- text / dedup operators -------------------------------------------------
+
+
+def token_counts_documents(sf_dir: str):
+    from schema_guru_ray.stages.text import TokenCounter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TokenCounter(), batch_format="pandas")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+TOKEN_COUNTS_DOCUMENTS_SQL = """
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def quality_documents(sf_dir: str):
+    from schema_guru_ray.stages.text import QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(QualityScorer(), batch_format="pandas")
+    return out.select_columns(["doc_id", "n_chars", "n_words"])
+
+
+QUALITY_DOCUMENTS_SQL = """
+SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(lower(text), '[\\w'']+')) AS BIGINT) AS n_words
+FROM documents
+"""
+
+
+def fingerprint_documents(sf_dir: str):
+    from schema_guru_ray.stages.text import Fingerprinter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter(), batch_format="pandas")
+    return out.select_columns(["doc_id", "fp_md5"])
+
+
+FINGERPRINT_DOCUMENTS_SQL = """
+SELECT doc_id, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
+FROM documents
+"""
+
+
+def dedup_exact_documents(sf_dir: str):
+    from schema_guru_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+DEDUP_EXACT_DOCUMENTS_SQL = """
+SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def minhash_dedup_documents(sf_dir: str):
+    """Near-dup candidate pairs (MinHash+LSH). Rows-only check: LSH output
+    is not SQL-expressible."""
+    from schema_guru_ray.stages.dedup import MinHashSigner, minhash_candidate_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_candidate_pairs(ds, MinHashSigner(), min_est_jaccard=0.5)
+
+
+def simhash_documents(sf_dir: str):
+    from schema_guru_ray.stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def langid_documents(sf_dir: str):
+    from schema_guru_ray.stages.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId(), batch_format="pandas")
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def _load_queries(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = tab.to_pandas().sort_values("vec_id").head(n)
+    return np.stack(df["embedding"].to_numpy())
+
+
+def ann_topk_embeddings(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k (exact baseline) for queries = embeddings of
+    vec_id 0..2. Scores rounded to 4 dp to match the SQL oracle despite
+    float32/float64 path differences."""
+    from schema_guru_ray.stages.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, _load_queries(sf_dir), k=k)
+    # integer basis points → float-representation-proof oracle compare
+    out["score_bp"] = np.floor(out["score"] * 10000 + 0.5).astype("int64")
+    out["query_idx"] = out["query_idx"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["query_idx", "vec_id", "score_bp"]]
+
+
+ANN_TOPK_EMBEDDINGS_SQL = """
+WITH q AS (SELECT vec_id AS query_idx, embedding AS qe FROM embeddings WHERE vec_id < 3)
+SELECT query_idx, vec_id,
+       CAST(round(list_cosine_similarity(qe, embedding) * 10000) AS BIGINT) AS score_bp
+FROM q CROSS JOIN embeddings
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) <= 10
+"""
+
+
+def ivf_topk_embeddings(sf_dir: str, k: int = 10):
+    """IVF approximate top-k (rows-only: approximate by design)."""
+    from schema_guru_ray.stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, _load_queries(sf_dir), k=k, n_cells=16, n_probe=4)
+
+
+def embedding_near_dup(sf_dir: str):
+    from schema_guru_ray.stages.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, dim=64, threshold=0.95, n_bits=8)
+
+
+# --- schema inference -------------------------------------------------------
+
+
+def schema_infer_lineitem(sf_dir: str):
+    """Merged JSON Schema of the lineitem table (rows-only: JSON output)."""
+    from schema_guru_ray.pipelines.infer import infer_schema
+
+    ds = _read(sf_dir, "lineitem")
+    res = infer_schema(ds, SchemaContext(enum_cardinality=5))
+    return pd.DataFrame(
+        {
+            "schema_json": [json.dumps(res["schema"], sort_keys=True)],
+            "n_rows": [res["n_rows"]],
+            "n_errors": [res["n_errors"]],
+        }
+    )
+
+
+def schema_infer_events_props(sf_dir: str):
+    """Schema of the JSON documents in events.props (the reference's exact
+    input shape: a corpus of JSON instances)."""
+    from schema_guru_ray.pipelines.infer import infer_schema
+
+    ds = _read(sf_dir, "events", ["props"])
+    res = infer_schema(ds, SchemaContext(enum_cardinality=4), json_column="props")
+    return pd.DataFrame(
+        {
+            "schema_json": [json.dumps(res["schema"], sort_keys=True)],
+            "n_rows": [res["n_rows"]],
+            "n_errors": [res["n_errors"]],
+        }
+    )
+
+
+def schema_segmented_events(sf_dir: str):
+    """Per-event-type schema (the reference's --schema-by). The n_rows
+    accounting is SQL-checkable; schemas ride along as JSON."""
+    from schema_guru_ray.pipelines.infer import infer_schema_segmented
+
+    ds = _read(sf_dir, "events")
+    out = infer_schema_segmented(ds, "event_type", SchemaContext()).to_pandas()
+    return out[["segment", "n_rows"]].astype({"n_rows": "int64"})
+
+
+SCHEMA_SEGMENTED_EVENTS_SQL = """
+SELECT event_type AS segment, count(*) AS n_rows FROM events GROUP BY event_type
+"""
+
+
+# --- clips flagship (rows-only: engine-generated input) ---------------------
+
+
+def clips_codec_verdicts(sf_dir: str):
+    """Flagship: validate the deterministic clips corpus for this scale
+    factor; per-codec pass/fail verdict rows."""
+    import ray.data as rd
+
+    from schema_guru_ray.pipelines.validate import (
+        ValidationConfig,
+        codec_verdicts,
+        validate_clips,
+    )
+    from schema_guru_ray.sources.clips import ensure_clips
+
+    path = ensure_clips(sf_dir)
+    ds = rd.read_parquet(path)
+    cfg = ValidationConfig()
+    cv = codec_verdicts(validate_clips(ds, cfg), cfg)
+    cv["violations_by_kind"] = cv["violations_by_kind"].map(
+        lambda d: json.dumps(d, sort_keys=True)
+    )
+    return cv
+
+
+def clips_violations(sf_dir: str):
+    import ray.data as rd
+
+    from schema_guru_ray.pipelines.validate import ValidationConfig, validate_clips, violations_dataset
+    from schema_guru_ray.sources.clips import ensure_clips
+
+    path = ensure_clips(sf_dir)
+    return violations_dataset(validate_clips(rd.read_parquet(path), ValidationConfig()))
+
+
+def clips_duplicate_ids(sf_dir: str):
+    import ray.data as rd
+
+    from schema_guru_ray.pipelines.validate import ValidationConfig, duplicate_clip_ids, validate_clips
+    from schema_guru_ray.sources.clips import ensure_clips
+
+    path = ensure_clips(sf_dir)
+    return duplicate_clip_ids(validate_clips(rd.read_parquet(path), ValidationConfig()))
+
+
+QUERIES = {
+    "q1_lineitem_agg": q1_lineitem_agg,
+    "grouped_stats_events": grouped_stats_events,
+    "column_stats_lineitem": column_stats_lineitem,
+    "distinct_counts": distinct_counts,
+    "referential_orphans": referential_orphans,
+    "sessionize_events": sessionize_events,
+    "top_customers_revenue": top_customers_revenue,
+    "token_counts_documents": token_counts_documents,
+    "quality_documents": quality_documents,
+    "fingerprint_documents": fingerprint_documents,
+    "dedup_exact_documents": dedup_exact_documents,
+    "minhash_dedup_documents": minhash_dedup_documents,
+    "simhash_documents": simhash_documents,
+    "langid_documents": langid_documents,
+    "ann_topk_embeddings": ann_topk_embeddings,
+    "ivf_topk_embeddings": ivf_topk_embeddings,
+    "embedding_near_dup": embedding_near_dup,
+    "schema_infer_lineitem": schema_infer_lineitem,
+    "schema_infer_events_props": schema_infer_events_props,
+    "schema_segmented_events": schema_segmented_events,
+    "clips_codec_verdicts": clips_codec_verdicts,
+    "clips_violations": clips_violations,
+    "clips_duplicate_ids": clips_duplicate_ids,
+}
+
+ORACLES = {
+    "q1_lineitem_agg": Q1_SQL,
+    "grouped_stats_events": GROUPED_STATS_EVENTS_SQL,
+    "column_stats_lineitem": COLUMN_STATS_LINEITEM_SQL,
+    "distinct_counts": DISTINCT_COUNTS_SQL,
+    "referential_orphans": REFERENTIAL_ORPHANS_SQL,
+    "sessionize_events": SESSIONIZE_EVENTS_SQL,
+    "top_customers_revenue": TOP_CUSTOMERS_REVENUE_SQL,
+    "token_counts_documents": TOKEN_COUNTS_DOCUMENTS_SQL,
+    "quality_documents": QUALITY_DOCUMENTS_SQL,
+    "fingerprint_documents": FINGERPRINT_DOCUMENTS_SQL,
+    "dedup_exact_documents": DEDUP_EXACT_DOCUMENTS_SQL,
+    "ann_topk_embeddings": ANN_TOPK_EMBEDDINGS_SQL,
+    "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
+}

@@ -45,7 +45,10 @@ class ValidationConfig:
     hll_p: int = 12
     kll_k: int = 200
     validator_batch_size: int = 256
-    validator_concurrency: object = 4  # int or (min, max)
+    # autoscaling actor pool: min 1 so the stage can always start even when
+    # the pool would otherwise reserve every CPU (4-CPU test sessions);
+    # scales up to 24 on big hosts. Override per deployment.
+    validator_concurrency: object = (1, 24)  # int or (min, max)
     validator_num_cpus: float = 1.0
 
 

@@ -1,0 +1,393 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine
+near-dup.
+
+Distribution shape (see ray guide "Aggregation at scale"): vectorized
+per-batch signature computation in ``map_batches`` → explode to
+(bucket, key, id) rows → ``groupby`` bucket keys (only signatures shuffle,
+never documents) → in-bucket candidate pairs → verification. Connected
+components run as driver union-find over the *confirmed pair set* — orders
+of magnitude smaller than the corpus; the 100 TB path swaps it for a few
+rounds of min-label propagation via groupby without changing the operators
+upstream.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from typing import Dict, Iterable, List, Optional, Set, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from schema_guru_ray.stages.profile import stable_hash64
+
+_MERSENNE = (1 << 61) - 1
+_WS_RE = re.compile(r"\s+")
+
+
+def _normalize(s: str) -> str:
+    return _WS_RE.sub(" ", s).lower().strip()
+
+
+def word_shingles(text: str, n: int = 3) -> List[str]:
+    toks = _normalize(text).split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)] if toks and toks[0] else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def jaccard(a: Iterable[str], b: Iterable[str]) -> float:
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+class ExactDedupHasher:
+    """map_batches kernel → (id, fp_md5) rows; groupby fp downstream."""
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id"):
+        import hashlib
+
+        self.column = column
+        self.id_column = id_column
+        self._md5 = hashlib.md5
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fp = batch[self.column].fillna("").map(
+            lambda s: self._md5(_normalize(s).encode()).hexdigest()
+        )
+        return pd.DataFrame({self.id_column: batch[self.id_column], "fp_md5": fp})
+
+
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+    """Hash-partitioned exact dedup: one keeper (min id) per content hash.
+    Returns rows (fp_md5, keeper_id, n_copies). Only (id, 16-byte hash)
+    pairs shuffle."""
+    hashed = ds.map_batches(
+        ExactDedupHasher(column, id_column), batch_format="pandas"
+    )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "fp_md5": [g["fp_md5"].iloc[0]],
+                "keeper_id": [int(g[id_column].min())],
+                "n_copies": [int(len(g))],
+            }
+        )
+
+    return hashed.groupby("fp_md5").map_groups(keep_first, batch_format="pandas")
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+class MinHashSigner:
+    """map_batches kernel → one row per (doc × band): (band, band_key, id,
+    sig bytes). Signature: k universal-hash minima over word n-gram shingle
+    hashes, banded b×r (Broder 1997; LSH banding per Mining of Massive
+    Datasets ch.3). All shingles of a batch are hashed in ONE vectorized
+    pass; per-doc minima via segmented reduction."""
+
+    def __init__(
+        self,
+        column: str = "text",
+        id_column: str = "doc_id",
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_n: int = 3,
+        seed: int = 7,
+    ):
+        assert num_perm % bands == 0
+        self.column = column
+        self.id_column = id_column
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_n = shingle_n
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signatures(self, texts: pd.Series) -> Tuple[np.ndarray, List[int]]:
+        """(n_docs × num_perm) uint64 signature matrix."""
+        shingle_lists = [word_shingles(t or "", self.shingle_n) for t in texts]
+        lengths = [len(s) for s in shingle_lists]
+        flat = list(itertools.chain.from_iterable(shingle_lists))
+        n_docs = len(shingle_lists)
+        sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if flat:
+            h = stable_hash64(pd.Series(flat)) % np.uint64(_MERSENNE)
+            # (n_shingles × num_perm) universal hashes, then per-doc min
+            t = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+            offsets = np.concatenate([[0], np.cumsum(lengths)])
+            for d in range(n_docs):
+                if lengths[d]:
+                    sigs[d] = t[offsets[d] : offsets[d + 1]].min(axis=0)
+        return sigs, lengths
+
+    def band_keys(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs × bands) uint64 band keys (mult-xor fold of each band)."""
+        n = sigs.shape[0]
+        keys = np.zeros((n, self.bands), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):  # mod-2^64 fold
+            for b in range(self.bands):
+                chunk = sigs[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+                for r in range(self.rows_per_band):
+                    acc = (acc ^ chunk[:, r]) * mult
+                keys[:, b] = acc
+        return keys
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_column].to_numpy()
+        sigs, lengths = self.signatures(batch[self.column])
+        keys = self.band_keys(sigs)
+        sig_bytes = [s.tobytes() for s in sigs]
+        n = len(ids)
+        out = {
+            "band": np.repeat(np.arange(self.bands, dtype=np.int32), n),
+            "band_key": keys.T.reshape(-1),
+            "doc_id": np.tile(ids, self.bands),
+            "sig": [sig_bytes[i] for _ in range(self.bands) for i in range(n)],
+        }
+        return pd.DataFrame(out)
+
+
+def minhash_candidate_pairs(ds, signer: MinHashSigner, min_est_jaccard: float = 0.5):
+    """Dataset → candidate near-dup pairs with signature-estimated Jaccard.
+    Returns rows (id_a, id_b, est_jaccard), deduped across bands."""
+    exploded = ds.map_batches(signer, batch_format="pandas")
+
+    num_perm = signer.num_perm
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        # one row per doc per bucket; small buckets by LSH design
+        uniq = g.drop_duplicates("doc_id")
+        ids = uniq["doc_id"].to_numpy()
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.uint64) for s in uniq["sig"]]
+        )
+        rows = []
+        for i, j in itertools.combinations(range(len(ids)), 2):
+            est = float((sigs[i] == sigs[j]).sum()) / num_perm
+            if est >= min_est_jaccard:
+                a, b = int(ids[i]), int(ids[j])
+                if a > b:
+                    a, b = b, a
+                rows.append((a, b, est))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+
+    pairs = exploded.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair, batch_format="pandas")
+
+
+def connected_components(pairs: Iterable[Tuple[int, int]]) -> Dict[int, int]:
+    """Union-find over confirmed duplicate pairs → {id: cluster_root}.
+    Driver-side by design: the confirmed-pair set is tiny relative to the
+    corpus. Scale path: iterative min-label propagation via groupby."""
+    parent: Dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+class SimHasher:
+    """map_batches kernel → (id, simhash, chunk0..chunk3) rows.
+    64-bit SimHash (Charikar 2002): sign of per-bit sums of token-hash ±1
+    contributions; candidates must share at least one 16-bit chunk
+    (pigeonhole for hamming distance <= 3)."""
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id"):
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.column].fillna("")
+        token_lists = [_normalize(t).split(" ") for t in texts]
+        lengths = [len(t) for t in token_lists]
+        flat = list(itertools.chain.from_iterable(token_lists))
+        n = len(token_lists)
+        sims = np.zeros(n, dtype=np.uint64)
+        if flat:
+            h = stable_hash64(pd.Series(flat))
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            contrib = bits.astype(np.int32) * 2 - 1  # (n_tokens × 64) of ±1
+            offsets = np.concatenate([[0], np.cumsum(lengths)])
+            for d in range(n):
+                if lengths[d]:
+                    s = contrib[offsets[d] : offsets[d + 1]].sum(axis=0)
+                    packed = np.packbits((s > 0).astype(np.uint8), bitorder="little")
+                    sims[d] = packed.view(np.uint64)[0]
+        out = {self.id_column: batch[self.id_column], "simhash": sims}
+        for c in range(4):
+            out[f"chunk{c}"] = ((sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(
+                np.int32
+            )
+        return pd.DataFrame(out)
+
+
+def simhash_pairs(ds, max_hamming: int = 3, column: str = "text", id_column: str = "doc_id"):
+    """Near-dup pairs by SimHash: bucket on each 16-bit chunk, verify hamming
+    distance in-bucket. Returns (id_a, id_b, hamming)."""
+    import pandas as pd
+
+    hashed = ds.map_batches(SimHasher(column, id_column), batch_format="pandas")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "chunk_idx": c,
+                        "chunk_val": b[f"chunk{c}"],
+                        id_column: b[id_column],
+                        "simhash": b["simhash"],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = hashed.map_batches(explode, batch_format="pandas")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        uniq = g.drop_duplicates(id_column)
+        ids = uniq[id_column].to_numpy()
+        hs = uniq["simhash"].to_numpy(dtype=np.uint64)
+        rows = []
+        for i, j in itertools.combinations(range(len(ids)), 2):
+            d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+            if d <= max_hamming:
+                a, b_ = int(ids[i]), int(ids[j])
+                if a > b_:
+                    a, b_ = b_, a
+                rows.append((a, b_, d))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    pairs = exploded.groupby(["chunk_idx", "chunk_val"]).map_groups(
+        bucket, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# --- n-gram Jaccard verification -------------------------------------------
+
+
+def verify_pairs_jaccard(
+    pairs_df: pd.DataFrame,
+    texts_by_id: Dict[int, str],
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (driver-side over a
+    broadcast id→text map; at scale this runs inside map_groups with texts
+    carried into the bucket). Adds ``exact_jaccard`` and filters."""
+    rows = []
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        ja = jaccard(
+            word_shingles(texts_by_id.get(int(a), ""), shingle_n),
+            word_shingles(texts_by_id.get(int(b), ""), shingle_n),
+        )
+        rows.append(ja)
+    out = pairs_df.copy()
+    out["exact_jaccard"] = rows
+    return out[out["exact_jaccard"] >= threshold].reset_index(drop=True)
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+
+class HyperplaneLSH:
+    """map_batches kernel → (bucket, id, unit-vector bytes) rows using
+    random-hyperplane signatures (Charikar 2002) for cosine buckets."""
+
+    def __init__(self, dim: int, n_bits: int = 12, column: str = "embedding",
+                 id_column: str = "vec_id", seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[self.column].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.clip(norms, 1e-12, None)
+        bits = (unit @ self.planes) > 0
+        buckets = np.packbits(
+            np.pad(bits, ((0, 0), (0, (-bits.shape[1]) % 8))), axis=1, bitorder="little"
+        )
+        keys = np.zeros(len(vecs), dtype=np.int64)
+        for c in range(buckets.shape[1]):
+            keys |= buckets[:, c].astype(np.int64) << (8 * c)
+        return pd.DataFrame(
+            {
+                "bucket": keys,
+                self.id_column: batch[self.id_column],
+                "unit": [u.astype(np.float32).tobytes() for u in unit],
+            }
+        )
+
+
+def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
+                             n_bits: int = 12, column: str = "embedding",
+                             id_column: str = "vec_id"):
+    """Cosine near-dup pairs via hyperplane-LSH buckets + in-bucket exact
+    cosine. Returns (id_a, id_b, cosine). Note: LSH recall < 1 by nature —
+    pair with multiple plane seeds for higher recall at scale."""
+    hashed = ds.map_batches(HyperplaneLSH(dim, n_bits, column, id_column),
+                            batch_format="pandas")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g[id_column].to_numpy()
+        vecs = np.stack([np.frombuffer(u, dtype=np.float32) for u in g["unit"]])
+        sims = vecs @ vecs.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        mask = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ii[mask]], ids[jj[mask]]),
+                "id_b": np.maximum(ids[ii[mask]], ids[jj[mask]]),
+                "cosine": sims[ii, jj][mask].astype(np.float64),
+            }
+        )
+
+    pairs = hashed.groupby("bucket").map_groups(bucket, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

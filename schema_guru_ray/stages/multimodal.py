@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed by actor-pool ``map_batches`` stages.
+
+The container ships no image/video libraries, so the *decoders* here are
+STUBS behind an import-try (``NotImplementedError`` in strict mode, a
+deterministic fake in test mode) — but the Ray-side plumbing is real and
+tested: schema contracts, actor signatures, batch sizing for wide binary
+rows, output layout. Audio is the exception: the PCM WAV decoder in
+``audio/wav.py`` is fully real.
+
+Batch-size guidance for wide binary rows (SURVEY.md §7.4): keep
+``batch_size`` small enough that ``batch_size × median_payload ×
+concurrency`` fits the worker heap, and raise
+``DataContext.target_max_block_size`` so blocks aren't split absurdly
+small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def fake_decode_image(buf: bytes, size: Tuple[int, int] = (32, 32)) -> np.ndarray:
+    """Deterministic fake decoder: payload digest → seeded RGB array. Lets
+    the full pipeline (decode → resize → featurize) run end-to-end without
+    an image library; swap for PIL/libjpeg in deployment."""
+    seed = int.from_bytes(hashlib.blake2b(buf, digest_size=8).digest(), "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(size[0], size[1], 3), dtype=np.uint8)
+
+
+def resize_nearest(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbour resize in pure numpy (no image lib needed)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_hw[0]) * h // out_hw[0]).clip(0, h - 1)
+    cols = (np.arange(out_hw[1]) * w // out_hw[1]).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+class ImageFeaturizer:
+    """Actor-pool kernel: (id, image binary) → decoded-shape metadata +
+    small feature vector (channel means + 8-bin luminance histogram).
+
+    ``strict=True`` demands a real decoder (PIL) and raises
+    NotImplementedError when absent — marking exactly where libjpeg-class
+    dependencies plug in."""
+
+    def __init__(self, column: str = "media", id_column: str = "doc_id",
+                 resize_to: Tuple[int, int] = (16, 16), strict: bool = False):
+        self.column = column
+        self.id_column = id_column
+        self.resize_to = resize_to
+        self.pil = _try_import_pil()
+        if strict and self.pil is None:
+            raise NotImplementedError(
+                "image decode requires PIL/libjpeg — not available in this environment"
+            )
+
+    def _decode(self, buf: bytes) -> np.ndarray:
+        if self.pil is not None:
+            import io
+
+            return np.asarray(self.pil.open(io.BytesIO(buf)).convert("RGB"))
+        return fake_decode_image(buf)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats, heights, widths = [], [], []
+        for buf in batch[self.column]:
+            img = self._decode(buf)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            small = resize_nearest(img, self.resize_to).astype(np.float32)
+            lum = small.mean(axis=2)
+            hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+            feat = np.concatenate(
+                [small.reshape(-1, 3).mean(axis=0) / 255.0, hist / max(1, lum.size)]
+            )
+            feats.append(feat.astype(np.float32))
+        return pd.DataFrame(
+            {
+                self.id_column: batch[self.id_column],
+                "height": pd.array(heights, dtype="int32"),
+                "width": pd.array(widths, dtype="int32"),
+                "features": feats,
+            }
+        )
+
+
+class FrameSampler:
+    """Video frame-sampling STUB: real decode needs ffmpeg-class libraries.
+    The plumbing contract is: (id, video binary, fps metadata) →
+    one row per sampled frame (id, frame_idx, frame binary)."""
+
+    def __init__(self, every_n_frames: int = 30, column: str = "media",
+                 id_column: str = "doc_id"):
+        self.every_n_frames = every_n_frames
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        raise NotImplementedError(
+            "video frame sampling requires ffmpeg — not available in this "
+            "environment; plug a decoder into FrameSampler._decode and emit "
+            "(id, frame_idx, frame) rows"
+        )

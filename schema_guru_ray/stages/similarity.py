@@ -1,0 +1,179 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_force_topk` — the exactness baseline: the query matrix is
+  broadcast once (``ray.put``), every batch computes a numpy matmul against
+  it and emits only its LOCAL top-k per query; the tiny partials merge in a
+  final groupby. Nothing but (query, id, score) triples shuffle.
+* :func:`ivf_topk` — the scale path: a k-means-lite coarse quantizer is fit
+  on a driver-side sample (one pass), centroids broadcast; each batch
+  assigns its vectors to cells and only cells within the query's ``n_probe``
+  nearest centroids are scored.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+
+
+class BatchTopK:
+    """map_batches kernel: batch embeddings × broadcast queries → local
+    top-k rows (query_idx, id, score)."""
+
+    def __init__(self, queries_ref, k: int, column: str = "embedding",
+                 id_column: str = "vec_id"):
+        import ray
+
+        self.queries = _unit(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.k = k
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _unit(np.stack(batch[self.column].to_numpy()).astype(np.float64))
+        ids = batch[self.id_column].to_numpy()
+        sims = self.queries @ vecs.T  # (n_q × n_batch)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(np.arange(sims.shape[0]), k)
+        rows_i = idx.reshape(-1)
+        return pd.DataFrame(
+            {
+                "query_idx": rows_q.astype(np.int64),
+                self.id_column: ids[rows_i],
+                "score": sims[rows_q, rows_i],
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     column: str = "embedding", id_column: str = "vec_id") -> pd.DataFrame:
+    """Exact cosine top-k for each query row. Result is (n_q × k) rows —
+    driver-side merge of per-batch partials via a single heap pass over the
+    (tiny) partial top-k stream."""
+    import ray
+
+    qref = ray.put(np.asarray(queries))
+    partials = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, column=column, id_column=id_column),
+        batch_format="pandas",
+        concurrency=2,
+    )
+    heaps: dict = {}
+    for b in partials.iter_batches(batch_size=8192, batch_format="pandas"):
+        for q, i, s in zip(b["query_idx"], b[id_column], b["score"]):
+            h = heaps.setdefault(int(q), [])
+            if len(h) < k:
+                heapq.heappush(h, (float(s), int(i)))
+            else:
+                heapq.heappushpop(h, (float(s), int(i)))
+    rows = []
+    for q in sorted(heaps):
+        for s, i in sorted(heaps[q], reverse=True):
+            rows.append((q, i, s))
+    return pd.DataFrame(rows, columns=["query_idx", id_column, "score"])
+
+
+def fit_centroids(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 3) -> np.ndarray:
+    """k-means-lite on a sample (Lloyd iterations, unit-normalized)."""
+    rng = np.random.default_rng(seed)
+    x = _unit(np.asarray(sample, dtype=np.float64))
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(axis=0)
+        cents = _unit(cents)
+    return cents
+
+
+class IVFBatchTopK:
+    """map_batches kernel for IVF search: scores only vectors whose cell is
+    probed by at least one query."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, n_probe: int,
+                 column: str = "embedding", id_column: str = "vec_id"):
+        import ray
+
+        self.queries = _unit(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.centroids = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        self.k = k
+        self.column = column
+        self.id_column = id_column
+        # per-query probed cells, precomputed once per actor
+        sims = self.queries @ self.centroids.T
+        n_probe = min(n_probe, self.centroids.shape[0])
+        self.probed = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _unit(np.stack(batch[self.column].to_numpy()).astype(np.float64))
+        ids = batch[self.id_column].to_numpy()
+        cells = np.argmax(vecs @ self.centroids.T, axis=1)
+        frames = []
+        for q in range(len(self.queries)):
+            mask = np.isin(cells, self.probed[q])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ self.queries[q]
+            k = min(self.k, sims.size)
+            idx = np.argpartition(-sims, k - 1)[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_idx": np.int64(q),
+                        self.id_column: ids[mask][idx],
+                        "score": sims[idx],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"query_idx": [], self.id_column: [], "score": []})
+        return pd.concat(frames, ignore_index=True)
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
+             n_probe: int = 4, sample_size: int = 2000,
+             column: str = "embedding", id_column: str = "vec_id") -> pd.DataFrame:
+    """Approximate cosine top-k with an IVF coarse quantizer. Recall grows
+    with ``n_probe`` (== n_cells → exact)."""
+    import heapq
+
+    import ray
+
+    sample = np.stack(
+        [r[column] for r in ds.limit(sample_size).take(sample_size)]
+    )
+    cents = fit_centroids(sample, n_cells)
+    qref, cref = ray.put(np.asarray(queries)), ray.put(cents)
+    partials = ds.map_batches(
+        IVFBatchTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, centroids_ref=cref, k=k, n_probe=n_probe,
+            column=column, id_column=id_column,
+        ),
+        batch_format="pandas",
+        concurrency=2,
+    )
+    heaps: dict = {}
+    for b in partials.iter_batches(batch_size=8192, batch_format="pandas"):
+        for q, i, s in zip(b["query_idx"], b[id_column], b["score"]):
+            h = heaps.setdefault(int(q), [])
+            if len(h) < k:
+                heapq.heappush(h, (float(s), int(i)))
+            else:
+                heapq.heappushpop(h, (float(s), int(i)))
+    rows = []
+    for q in sorted(heaps):
+        for s, i in sorted(heaps[q], reverse=True):
+            rows.append((q, i, s))
+    return pd.DataFrame(rows, columns=["query_idx", id_column, "score"])

@@ -1,0 +1,178 @@
+"""Dedup family (exact, MinHash+LSH, SimHash, embedding near-dup) and
+similarity search (brute-force + IVF) over synthetic corpora with planted
+duplicates/neighbors."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from schema_guru_ray.stages.dedup import (
+    MinHashSigner,
+    connected_components,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_candidate_pairs,
+    simhash_pairs,
+    verify_pairs_jaccard,
+    word_shingles,
+)
+from schema_guru_ray.stages.similarity import brute_force_topk, fit_centroids, ivf_topk
+
+WORDS = (
+    "data table query scan filter join merge sort hash batch stream window "
+    "column row value key part order line fast slow big small vector spark"
+).split()
+
+
+def _corpus(n=60, seed=5):
+    """n base docs + planted near-dups (ids n..n+9 are perturbed copies of
+    0..9) + planted exact dups (ids n+10..n+14 copy 10..14)."""
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(rng.choice(WORDS, size=rng.integers(30, 60)))
+        for _ in range(n)
+    ]
+    near = []
+    for i in range(10):
+        toks = texts[i].split()
+        toks[rng.integers(0, len(toks))] = "PERTURBED"
+        near.append(" ".join(toks))
+    exact = [texts[10 + i] for i in range(5)]
+    all_texts = texts + near + exact
+    return pd.DataFrame({"doc_id": range(len(all_texts)), "text": all_texts})
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_pandas(_corpus()).repartition(4)
+
+
+class TestExactDedup:
+    def test_planted_exact_dups(self, corpus_ds):
+        out = exact_dedup(corpus_ds).to_pandas()
+        dups = out[out["n_copies"] > 1]
+        assert len(dups) == 5
+        assert set(dups["keeper_id"]) == {10, 11, 12, 13, 14}
+        assert out["n_copies"].sum() == 75
+
+
+class TestMinHash:
+    def test_signature_estimates_jaccard(self):
+        signer = MinHashSigner(num_perm=128, bands=32)
+        texts = pd.Series(
+            [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy cat again and again",
+                "completely unrelated text about something else entirely here",
+            ]
+        )
+        sigs, _ = signer.signatures(texts)
+        est01 = (sigs[0] == sigs[1]).mean()
+        true01 = jaccard(word_shingles(texts[0]), word_shingles(texts[1]))
+        assert abs(est01 - true01) < 0.2
+        assert (sigs[0] == sigs[2]).mean() < 0.15
+
+    def test_lsh_finds_planted_near_dups(self, corpus_ds):
+        signer = MinHashSigner(num_perm=64, bands=16)
+        pairs = minhash_candidate_pairs(corpus_ds, signer, min_est_jaccard=0.5).to_pandas()
+        found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        planted_near = {(i, 60 + i) for i in range(10)}
+        planted_exact = {(10 + i, 70 + i) for i in range(5)}
+        assert planted_exact <= found
+        assert len(planted_near & found) >= 8  # LSH recall is probabilistic
+        # no wildly-false positives among base docs
+        base_pairs = {p for p in found if p[0] < 60 and p[1] < 60}
+        assert len(base_pairs) <= 2
+
+    def test_verify_and_components(self, corpus_ds):
+        signer = MinHashSigner(num_perm=64, bands=16)
+        pairs = minhash_candidate_pairs(corpus_ds, signer, min_est_jaccard=0.5).to_pandas()
+        texts = dict(
+            zip(_corpus()["doc_id"], _corpus()["text"])
+        )
+        verified = verify_pairs_jaccard(pairs, texts, threshold=0.6)
+        assert (verified["exact_jaccard"] >= 0.6).all()
+        comp = connected_components(
+            list(zip(verified["id_a"], verified["id_b"]))
+        )
+        # every exact-dup pair collapses to the base id
+        for i in range(5):
+            assert comp.get(70 + i) == 10 + i
+
+
+class TestSimHash:
+    def test_planted_near_dups(self, corpus_ds):
+        pairs = simhash_pairs(corpus_ds, max_hamming=6).to_pandas()
+        found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        planted_exact = {(10 + i, 70 + i) for i in range(5)}
+        assert planted_exact <= found
+        assert (pairs["hamming"] <= 6).all()
+
+
+class TestEmbeddingNearDup:
+    def test_planted_neighbors(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        base = rng.standard_normal((80, 32))
+        # ids 80..89 are tiny perturbations of 0..9
+        near = base[:10] + rng.standard_normal((10, 32)) * 0.01
+        vecs = np.vstack([base, near])
+        df = pd.DataFrame(
+            {"vec_id": range(90), "embedding": [v.astype(np.float32) for v in vecs]}
+        )
+        ds = rd.from_pandas(df).repartition(3)
+        pairs = embedding_near_dup_pairs(ds, dim=32, threshold=0.98, n_bits=8).to_pandas()
+        found = set(map(tuple, pairs[["id_a", "id_b"]].astype(int).to_numpy()))
+        planted = {(i, 80 + i) for i in range(10)}
+        assert len(planted & found) >= 8  # LSH recall
+
+
+class TestSimilaritySearch:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_brute_force_matches_numpy(self, emb_ds, sf_dir):
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        vecs = np.stack(tab["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        ids = tab["vec_id"].to_numpy()
+        queries = vecs[:3]
+        got = brute_force_topk(emb_ds, queries, k=5)
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qunit = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = qunit @ unit.T
+        for q in range(3):
+            want = set(ids[np.argsort(-sims[q])[:5]])
+            have = set(got[got["query_idx"] == q]["vec_id"])
+            assert have == want
+        # self-match at score ~1
+        assert got.groupby("query_idx")["score"].max().min() > 0.999
+
+    def test_ivf_recall(self, emb_ds, sf_dir):
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        vecs = np.stack(tab["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        queries = vecs[5:8]
+        exact = brute_force_topk(emb_ds, queries, k=10)
+        approx = ivf_topk(emb_ds, queries, k=10, n_cells=8, n_probe=4)
+        recalls = []
+        for q in range(3):
+            want = set(exact[exact["query_idx"] == q]["vec_id"])
+            have = set(approx[approx["query_idx"] == q]["vec_id"])
+            recalls.append(len(want & have) / len(want))
+        assert np.mean(recalls) >= 0.6
+
+    def test_centroids(self):
+        rng = np.random.default_rng(1)
+        cents = fit_centroids(rng.standard_normal((500, 16)), 8)
+        assert cents.shape == (8, 16)
+        assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)

@@ -1,0 +1,112 @@
+"""Driver-style correctness gate: run every ``queries()`` entry at the test
+scale factor and compare SQL-expressible ones against their DuckDB oracle —
+row count, column names, and order-insensitive values (mirrors the driver's
+compare)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOracleParity:
+    def _compare(self, name, sf_dir, con):
+        import __ray_entry__ as e
+
+        ray_df = _to_pandas(e.queries()[name](sf_dir))
+        sql = e.oracle_sql().get(name)
+        assert len(ray_df) >= 0
+        if sql is None:
+            assert len(ray_df) > 0 or name in ("clips_violations",)
+            return
+        ora_df = con.execute(sql).df()
+        a, b = _canon(ray_df), _canon(ora_df)
+        assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+        assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+        for c in a.columns:
+            if a[c].dtype.kind == "f":
+                assert (
+                    (a[c] - b[c]).abs().max() < 1e-9
+                ), f"{name}.{c}: max diff {(a[c]-b[c]).abs().max()}"
+            else:
+                mism = (a[c].astype(str) != b[c].astype(str)).sum()
+                assert mism == 0, f"{name}.{c}: {mism} mismatched values"
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "q1_lineitem_agg",
+            "grouped_stats_events",
+            "column_stats_lineitem",
+            "distinct_counts",
+            "referential_orphans",
+            "sessionize_events",
+            "top_customers_revenue",
+            "token_counts_documents",
+            "quality_documents",
+            "fingerprint_documents",
+            "dedup_exact_documents",
+            "ann_topk_embeddings",
+            "schema_segmented_events",
+        ],
+    )
+    def test_sql_parity(self, name, sf_dir, con):
+        self._compare(name, sf_dir, con)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "minhash_dedup_documents",
+            "simhash_documents",
+            "langid_documents",
+            "ivf_topk_embeddings",
+            "embedding_near_dup",
+            "schema_infer_lineitem",
+            "schema_infer_events_props",
+        ],
+    )
+    def test_rows_only(self, name, sf_dir, con):
+        import __ray_entry__ as e
+
+        df = _to_pandas(e.queries()[name](sf_dir))
+        assert df is not None
+
+    def test_entry_smoke(self):
+        import __ray_entry__ as e
+
+        res = _to_pandas(e.entry())
+        assert len(res) > 0
+        assert "passed" in res.columns
