@@ -226,19 +226,37 @@ FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o
 """
 
 
-def sessionize_events(sf_dir: str, gap_sec: int = 1800):
-    """Stream-shaped op: per-user session count with a 30-min gap rule —
-    groupby(user).map_groups over ts-sorted groups (ray guide
-    'Streaming-shaped workloads')."""
+def sessionize_events(sf_dir: str, gap_sec: int = 1800, n_buckets: int = 64):
+    """Stream-shaped op: per-user session count with a 30-min gap rule.
+
+    Users are hash-bucketed (64 coarse groups instead of one Python
+    map_groups call per user); inside a bucket the whole computation is a
+    vectorized pandas sort + shift — session starts are rows where the user
+    changes or the in-user gap exceeds the threshold."""
+    from schema_guru_ray.stages.profile import stable_hash64
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds()
-        n_sessions = int(1 + (gaps > gap_sec).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]})
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            bucket=(stable_hash64(b["user_id"]) % np.uint64(n_buckets)).astype(np.int32)
+        )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff().dt.total_seconds() > gap_sec
+        starts = new_user | (gap & ~new_user)
+        out = starts.groupby(g["user_id"], sort=False).sum()
+        return pd.DataFrame(
+            {"user_id": out.index.to_numpy(), "n_sessions": out.to_numpy().astype("int64")}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+    )
 
 
 SESSIONIZE_EVENTS_SQL = """

@@ -44,24 +44,40 @@ class ValidationConfig:
     n_salts: int = 8
     hll_p: int = 12
     kll_k: int = 200
-    validator_batch_size: int = 256
-    # autoscaling actor pool: min 1 so the stage can always start even when
-    # the pool would otherwise reserve every CPU (4-CPU test sessions);
-    # scales up to 24 on big hosts. Override per deployment.
+    validator_batch_size: int = 512
+    # "tasks": warm-worker cached state (fast start; right when the decoder
+    # state is cheap to build, as here). "actors": explicit actor pool —
+    # right when per-actor state is expensive (real codec libs, broadcast
+    # baseline sketch stores); pays pool spin-up per execution.
+    validator_mode: str = "tasks"
+    # actor-pool sizing (mode="actors"): autoscaling, min 1 so the stage can
+    # always start even when the pool would otherwise reserve every CPU
+    # (4-CPU test sessions).
     validator_concurrency: object = (1, 24)  # int or (min, max)
     validator_num_cpus: float = 1.0
 
 
 def validate_clips(ds, cfg: ValidationConfig = ValidationConfig()):
-    """clips Dataset → verdicts Dataset (lazy). The actor pool holds the
-    decoder registry + thresholds; audio bytes do not flow past this stage."""
+    """clips Dataset → verdicts Dataset (lazy). The validator state (decoder
+    registry + thresholds) loads once per worker/actor; audio bytes do not
+    flow past this stage."""
+    kwargs = dict(
+        snr_threshold_db=cfg.snr_threshold_db,
+        check_transcript=cfg.check_transcript,
+        strict_codecs=cfg.strict_codecs,
+    )
+    if cfg.validator_mode == "tasks":
+        from schema_guru_ray.stages.audio import validate_batch_task
+
+        return ds.map_batches(
+            validate_batch_task,
+            fn_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.validator_batch_size,
+        )
     return ds.map_batches(
         ClipValidator,
-        fn_constructor_kwargs=dict(
-            snr_threshold_db=cfg.snr_threshold_db,
-            check_transcript=cfg.check_transcript,
-            strict_codecs=cfg.strict_codecs,
-        ),
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=cfg.validator_batch_size,
         concurrency=cfg.validator_concurrency,

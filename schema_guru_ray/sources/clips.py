@@ -230,13 +230,26 @@ def ensure_clips(sf_dir: str, cfg: ClipsConfig = ClipsConfig()) -> str:
     """Generate-and-cache the clips parquet for a testdata scale factor.
     Returns the parquet directory. Resumable: skips when the _DONE marker
     exists."""
-    path = clips_path_for_sf(sf_dir)
+    return _ensure(clips_path_for_sf(sf_dir), n_clips_for_sf(sf_dir), cfg)
+
+
+def _ensure(path: str, n: int, cfg: ClipsConfig) -> str:
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
-    n = n_clips_for_sf(sf_dir)
     ds = clips_dataset(n, cfg)
     ds.write_parquet(path)
     with open(done, "w") as f:
         f.write(f"n={n} seed={cfg.seed}\n")
     return path
+
+
+# Scaling-evidence corpus: longer clips (median 1 s) so decode+SNR compute
+# dominates fixed pipeline overhead — the regime a real 10^12-clip corpus is
+# in. Used by `bench.py --scaling` at two parallelism levels.
+SCALING_N_CLIPS = 250_000
+SCALING_CFG = ClipsConfig(median_dur_ms=1000.0, max_dur_ms=4000)
+
+
+def ensure_scaling_clips() -> str:
+    return _ensure("/tmp/graft_clips/scaling", SCALING_N_CLIPS, SCALING_CFG)

@@ -70,21 +70,17 @@ class ExactDedupHasher:
 def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
     """Hash-partitioned exact dedup: one keeper (min id) per content hash.
     Returns rows (fp_md5, keeper_id, n_copies). Only (id, 16-byte hash)
-    pairs shuffle."""
+    pairs shuffle, and the reduce is Ray's vectorized Min/Count aggregate —
+    no per-group Python dispatch."""
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(
         ExactDedupHasher(column, id_column), batch_format="pandas"
     )
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "fp_md5": [g["fp_md5"].iloc[0]],
-                "keeper_id": [int(g[id_column].min())],
-                "n_copies": [int(len(g))],
-            }
-        )
-
-    return hashed.groupby("fp_md5").map_groups(keep_first, batch_format="pandas")
+    return hashed.groupby("fp_md5").aggregate(
+        Min(id_column, alias_name="keeper_id"),
+        Count(alias_name="n_copies"),
+    )
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -118,21 +114,24 @@ class MinHashSigner:
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
 
     def signatures(self, texts: pd.Series) -> Tuple[np.ndarray, List[int]]:
-        """(n_docs × num_perm) uint64 signature matrix."""
+        """(n_docs × num_perm) uint64 signature matrix. Per-doc minima via
+        ``np.minimum.reduceat`` segment reduction — one small temp per
+        permutation instead of an (n_shingles × num_perm) matrix, and no
+        per-doc Python loop."""
         shingle_lists = [word_shingles(t or "", self.shingle_n) for t in texts]
-        lengths = [len(s) for s in shingle_lists]
+        lengths = np.array([len(s) for s in shingle_lists], dtype=np.int64)
         flat = list(itertools.chain.from_iterable(shingle_lists))
         n_docs = len(shingle_lists)
         sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         if flat:
             h = stable_hash64(pd.Series(flat)) % np.uint64(_MERSENNE)
-            # (n_shingles × num_perm) universal hashes, then per-doc min
-            t = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
-            offsets = np.concatenate([[0], np.cumsum(lengths)])
-            for d in range(n_docs):
-                if lengths[d]:
-                    sigs[d] = t[offsets[d] : offsets[d + 1]].min(axis=0)
-        return sigs, lengths
+            nonempty = np.nonzero(lengths > 0)[0]
+            starts = np.concatenate([[0], np.cumsum(lengths)])[:-1][nonempty]
+            with np.errstate(over="ignore"):  # wrap-around is part of the hash
+                for j in range(self.num_perm):
+                    t = (h * self.a[j] + self.b[j]) % np.uint64(_MERSENNE)
+                    sigs[nonempty, j] = np.minimum.reduceat(t, starts)
+        return sigs, list(lengths)
 
     def band_keys(self, sigs: np.ndarray) -> np.ndarray:
         """(n_docs × bands) uint64 band keys (mult-xor fold of each band)."""
@@ -163,40 +162,54 @@ class MinHashSigner:
         return pd.DataFrame(out)
 
 
-def minhash_candidate_pairs(ds, signer: MinHashSigner, min_est_jaccard: float = 0.5):
+def minhash_candidate_pairs(ds, signer: MinHashSigner, min_est_jaccard: float = 0.5,
+                            n_buckets: int = 256):
     """Dataset → candidate near-dup pairs with signature-estimated Jaccard.
-    Returns rows (id_a, id_b, est_jaccard), deduped across bands."""
-    exploded = ds.map_batches(signer, batch_format="pandas")
+    Returns rows (id_a, id_b, est_jaccard), deduped across bands.
+
+    Shuffle shape: the exploded (band, band_key) rows are grouped by a
+    COARSE hash bucket (``band_key % n_buckets``) — a few hundred groups
+    regardless of corpus size — and each bucket runs a vectorized pandas
+    groupby over its real keys, generating pairs only for keys with >= 2
+    docs (rare, by LSH design). This avoids per-collision-group Python
+    dispatch, which dominates wall time with millions of tiny groups.
+    Final pair dedup across bands is a vectorized Max aggregate."""
+    exploded = ds.map_batches(signer, batch_format="pandas").map_batches(
+        lambda b: b.assign(bucket=(b["band_key"] % np.uint64(n_buckets)).astype(np.int32)),
+        batch_format="pandas",
+    )
 
     num_perm = signer.num_perm
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        # one row per doc per bucket; small buckets by LSH design
-        uniq = g.drop_duplicates("doc_id")
-        ids = uniq["doc_id"].to_numpy()
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in uniq["sig"]]
-        )
         rows = []
-        for i, j in itertools.combinations(range(len(ids)), 2):
-            est = float((sigs[i] == sigs[j]).sum()) / num_perm
-            if est >= min_est_jaccard:
-                a, b = int(ids[i]), int(ids[j])
-                if a > b:
-                    a, b = b, a
-                rows.append((a, b, est))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+        # vectorized split by (band, band_key); python only touches real
+        # collision groups
+        for _, grp in g.groupby(["band", "band_key"], sort=False):
+            if len(grp) < 2:
+                continue
+            uniq = grp.drop_duplicates("doc_id")
+            if len(uniq) < 2:
+                continue
+            ids = uniq["doc_id"].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in uniq["sig"]])
+            for i, j in itertools.combinations(range(len(ids)), 2):
+                est = float((sigs[i] == sigs[j]).sum()) / num_perm
+                if est >= min_est_jaccard:
+                    a, b = int(ids[i]), int(ids[j])
+                    if a > b:
+                        a, b = b, a
+                    rows.append((a, b, est))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"]).astype(
+            {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+        )
 
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
     )
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair, batch_format="pandas")
 
 
 def connected_components(pairs: Iterable[Tuple[int, int]]) -> Dict[int, int]:
@@ -278,29 +291,35 @@ def simhash_pairs(ds, max_hamming: int = 3, column: str = "text", id_column: str
             )
         return pd.concat(frames, ignore_index=True)
 
-    exploded = hashed.map_batches(explode, batch_format="pandas")
-
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        uniq = g.drop_duplicates(id_column)
-        ids = uniq[id_column].to_numpy()
-        hs = uniq["simhash"].to_numpy(dtype=np.uint64)
-        rows = []
-        for i, j in itertools.combinations(range(len(ids)), 2):
-            d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-            if d <= max_hamming:
-                a, b_ = int(ids[i]), int(ids[j])
-                if a > b_:
-                    a, b_ = b_, a
-                rows.append((a, b_, d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
-
-    pairs = exploded.groupby(["chunk_idx", "chunk_val"]).map_groups(
-        bucket, batch_format="pandas"
+    exploded = hashed.map_batches(explode, batch_format="pandas").map_batches(
+        lambda b: b.assign(bucket=(b["chunk_val"] % 251).astype(np.int32)),
+        batch_format="pandas",
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby(["chunk_idx", "chunk_val"], sort=False):
+            if len(grp) < 2:
+                continue
+            uniq = grp.drop_duplicates(id_column)
+            ids = uniq[id_column].to_numpy()
+            hs = uniq["simhash"].to_numpy(dtype=np.uint64)
+            for i, j in itertools.combinations(range(len(ids)), 2):
+                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                if d <= max_hamming:
+                    a, b_ = int(ids[i]), int(ids[j])
+                    if a > b_:
+                        a, b_ = b_, a
+                    rows.append((a, b_, d))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
+            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+        )
+
+    pairs = exploded.groupby("bucket").map_groups(bucket_fn, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 

@@ -53,19 +53,49 @@ class BatchTopK:
         )
 
 
+_TOPK_CACHE: dict = {}
+
+
+def _topk_task(batch: pd.DataFrame, *, queries_ref, k: int, column: str,
+               id_column: str) -> pd.DataFrame:
+    """Task variant of BatchTopK: the unit-normalized query matrix is
+    fetched from the object store once per worker process and cached."""
+    import ray
+
+    key = getattr(queries_ref, "hex", lambda: id(queries_ref))()
+    q = _TOPK_CACHE.get(key)
+    if q is None:
+        q = _unit(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        _TOPK_CACHE[key] = q
+    vecs = _unit(np.stack(batch[column].to_numpy()).astype(np.float64))
+    ids = batch[id_column].to_numpy()
+    sims = q @ vecs.T
+    kk = min(k, sims.shape[1])
+    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    rows_q = np.repeat(np.arange(sims.shape[0]), kk)
+    rows_i = idx.reshape(-1)
+    return pd.DataFrame(
+        {
+            "query_idx": rows_q.astype(np.int64),
+            id_column: ids[rows_i],
+            "score": sims[rows_q, rows_i],
+        }
+    )
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      column: str = "embedding", id_column: str = "vec_id") -> pd.DataFrame:
     """Exact cosine top-k for each query row. Result is (n_q × k) rows —
     driver-side merge of per-batch partials via a single heap pass over the
-    (tiny) partial top-k stream."""
+    (tiny) partial top-k stream. Query matrix broadcast once via ray.put;
+    warm-worker task caching avoids actor-pool spin-up."""
     import ray
 
     qref = ray.put(np.asarray(queries))
     partials = ds.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k, column=column, id_column=id_column),
+        _topk_task,
+        fn_kwargs=dict(queries_ref=qref, k=k, column=column, id_column=id_column),
         batch_format="pandas",
-        concurrency=2,
     )
     heaps: dict = {}
     for b in partials.iter_batches(batch_size=8192, batch_format="pandas"):

@@ -1,0 +1,161 @@
+"""JSON corpus sources, CLI surface, and the DDL compile back-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from schema_guru_ray.schema.ddl import (
+    added_columns,
+    build_migrations,
+    column_type,
+    flatten_schema,
+    jsonpaths,
+    migration_ddl,
+    snakify,
+    table_ddl,
+)
+
+DOCS = [
+    {"id": "f0e89550-7fda-11e4-bbe8-22000ad9bf74", "count": 3, "nested": {"ip": "10.0.0.1"}},
+    {"id": "aaaa9550-7fda-11e4-bbe8-22000ad9bf74", "count": 45000, "nested": {"ip": "10.0.0.2"}},
+]
+
+
+@pytest.fixture()
+def json_dir(tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i, doc in enumerate(DOCS):
+        (d / f"doc{i}.json").write_text(json.dumps(doc))
+    (d / "broken.json").write_text("{not json")
+    (d / ".hidden.json").write_text(json.dumps({"skip": "me"}))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonSources:
+    def test_dir_reader_with_errors(self, json_dir):
+        from schema_guru_ray.sources.json_source import error_rows, read_json_dir, valid_docs
+
+        ds = read_json_dir(json_dir)
+        assert valid_docs(ds).count() == 2  # dotfile skipped, broken split out
+        errs = error_rows(ds).to_pandas()
+        assert len(errs) == 1
+        assert "broken.json" in errs["path"][0]
+
+    def test_ndjson_reader(self, tmp_path):
+        from schema_guru_ray.sources.json_source import read_ndjson, valid_docs
+
+        p = tmp_path / "docs.ndjson"
+        p.write_text("\n".join(json.dumps(d) for d in DOCS) + "\nnot-json\n")
+        ds = read_ndjson(str(p))
+        assert ds.count() == 3
+        assert valid_docs(ds).count() == 2
+
+
+class TestCli:
+    def test_schema_command_json_dir(self, json_dir, tmp_path):
+        out = tmp_path / "schema.json"
+        r = subprocess.run(
+            [sys.executable, "-m", "schema_guru_ray.cli", "schema", json_dir,
+             "--output", str(out), "--vendor", "com.example", "--name", "thing"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        schema = json.loads(out.read_text())
+        assert schema["self"]["vendor"] == "com.example"
+        assert schema["properties"]["id"]["format"] == "uuid"
+        assert schema["properties"]["nested"]["properties"]["ip"]["format"] == "ipv4"
+
+
+class TestDdl:
+    SCHEMA = {
+        "type": "object",
+        "properties": {
+            "userId": {"type": "string", "format": "uuid"},
+            "ip": {"type": "string", "format": "ipv4"},
+            "when": {"type": "string", "format": "date-time"},
+            "flag": {"type": "boolean"},
+            "count": {"type": "integer", "minimum": 0, "maximum": 32767},
+            "big": {"type": "integer", "minimum": 0, "maximum": 2**40},
+            "ratio": {"type": "number", "minimum": 0},
+            "code": {"type": "string", "minLength": 2, "maxLength": 2},
+            "maybe": {"type": ["null", "string"], "maxLength": 10},
+            "nested": {
+                "type": "object",
+                "properties": {"inner": {"type": "string", "maxLength": 5}},
+                "additionalProperties": False,
+            },
+        },
+        "additionalProperties": False,
+    }
+
+    def test_snakify(self):
+        assert snakify("someColumnName") == "some_column_name"
+        assert snakify("HTTPResponse") == "http_response"
+        assert snakify("with-dash.dot") == "with_dash_dot"
+
+    def test_flatten(self):
+        paths = [p for p, _ in flatten_schema(self.SCHEMA)]
+        assert "nested.inner" in paths and "userId" in paths
+
+    def test_column_types(self):
+        ddl = table_ddl(self.SCHEMA, "events_1")
+        assert '"user_id" CHAR(36) NOT NULL' in ddl
+        assert '"ip" VARCHAR(14) NOT NULL' in ddl
+        assert '"when" TIMESTAMP NOT NULL' in ddl
+        assert '"flag" BOOLEAN NOT NULL' in ddl
+        assert '"count" SMALLINT NOT NULL' in ddl
+        assert '"big" BIGINT NOT NULL' in ddl
+        assert '"ratio" DOUBLE PRECISION NOT NULL' in ddl
+        assert '"code" CHAR(2) NOT NULL' in ddl
+        assert '"maybe" VARCHAR(10)' in ddl and "maybe\" VARCHAR(10) NOT NULL" not in ddl
+        assert '"nested_inner" VARCHAR(5) NOT NULL' in ddl
+        assert ddl.startswith("CREATE SCHEMA IF NOT EXISTS atomic;")
+
+    def test_jsonpaths(self):
+        jp = json.loads(jsonpaths(self.SCHEMA))
+        assert "$.nested.inner" in jp["jsonpaths"]
+
+    def test_migration(self):
+        old = {"type": "object", "properties": {"a": {"type": "integer", "minimum": 0, "maximum": 5}}}
+        new = {
+            "type": "object",
+            "properties": {
+                "a": {"type": "integer", "minimum": 0, "maximum": 5},
+                "b": {"type": "string", "maxLength": 4},
+            },
+        }
+        adds = added_columns(old, new)
+        assert [p for p, _ in adds] == ["b"]
+        sql = migration_ddl(old, new, "t_1", "1-0-0", "1-0-1")
+        assert 'ADD COLUMN "b" VARCHAR(4)' in sql
+        assert "BEGIN TRANSACTION;" in sql and "END TRANSACTION;" in sql
+        migs = build_migrations({"1-0-0": old, "1-0-1": new}, "t_1")
+        assert ("1-0-0", "1-0-1") in migs
+
+    def test_ddl_cli(self, tmp_path):
+        schema_file = tmp_path / "com.example" / "thing.json"
+        schema_file.parent.mkdir()
+        schema_file.write_text(
+            json.dumps(
+                {
+                    "$schema": "x",
+                    "self": {"vendor": "com.example", "name": "thing", "format": "jsonschema", "version": "1-0-0"},
+                    **self.SCHEMA,
+                }
+            )
+        )
+        out_dir = tmp_path / "out"
+        r = subprocess.run(
+            [sys.executable, "-m", "schema_guru_ray.cli", "ddl", str(tmp_path),
+             "--output", str(out_dir), "--with-json-paths"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        sqls = os.listdir(out_dir / "sql")
+        assert any(f.startswith("com_example_thing_1") for f in sqls)
+        assert os.listdir(out_dir / "jsonpaths")

@@ -73,6 +73,21 @@ class TestValidatePipeline:
         for col in ("n_clips", "n_ok", "n_violations"):
             assert list(a[col]) == list(b[col])
 
+    def test_actor_pool_mode_equivalent(self, ray_session):
+        import ray.data as rd
+
+        tab = generate_clips_table(200, CFG)
+        a = validate_clips(
+            rd.from_arrow(tab), ValidationConfig(validator_mode="tasks")
+        ).to_pandas()
+        b = validate_clips(
+            rd.from_arrow(tab),
+            ValidationConfig(validator_mode="actors", validator_concurrency=2),
+        ).to_pandas()
+        a = a.sort_values("clip_id").reset_index(drop=True)
+        b = b.sort_values("clip_id").reset_index(drop=True)
+        assert a.drop(columns=["snr_db"]).equals(b.drop(columns=["snr_db"]))
+
     def test_drift_self_is_zero(self, verdicts):
         base = build_baseline(verdicts, VCFG)
         cv = codec_verdicts(verdicts, VCFG, baseline=base)
