@@ -88,10 +88,20 @@ def infer_schema_segmented(
     """Per-segment schema inference (the reference's ``--schema-by``,
     SchemaDerive.scala:101-118) as a true grouped aggregation.
 
+    ``segment_key`` is either a column name, or — with ``json_column`` — a
+    JSONPath (``$.event``) evaluated against each document with the
+    reference's key normalization (JsonPathExtractor.scala:39-78).
+
     Returns a Dataset of rows (segment, schema_json, n_errors, n_rows) —
     suitable for partitioned write; never materializes groups of rows."""
+    is_path = segment_key.startswith("$")
     states = ds.map_batches(
-        StateBatcher(ctx, json_column=json_column, segment_key=segment_key),
+        StateBatcher(
+            ctx,
+            json_column=json_column,
+            segment_key=None if is_path else segment_key,
+            segment_jsonpath=segment_key if is_path else None,
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -212,14 +212,50 @@ class StateBatcher:
     """
 
     def __init__(self, ctx: SchemaContext, json_column: Optional[str] = None,
-                 segment_key: Optional[str] = None):
+                 segment_key: Optional[str] = None,
+                 segment_jsonpath: Optional[str] = None):
         self.ctx = ctx
         self.json_column = json_column
         self.segment_key = segment_key
+        self.segment_jsonpath = segment_jsonpath
+        if segment_jsonpath is not None:
+            from schema_guru_ray.schema.jsonpath import parse_path
+
+            parse_path(segment_jsonpath)  # fail fast on bad paths
+
+    def _segment_by_jsonpath(self, batch: pa.Table):
+        """--schema-by semantics: key = normalized JSONPath lookup per doc
+        (JsonPathExtractorRDD.scala:53-88); derive pre-merges per key."""
+        import json as _json
+
+        from schema_guru_ray.schema.jsonpath import UNMATCHED, segment_key
+        from schema_guru_ray.schema.states import derive_instance
+
+        groups: dict = {}
+        errors: dict = {}
+        counts: dict = {}
+        for s in batch.column(self.json_column).to_pylist():
+            key = UNMATCHED
+            try:
+                doc = _json.loads(s)
+                key = segment_key(self.segment_jsonpath, doc)
+                counts[key] = counts.get(key, 0) + 1
+                st = derive_instance(doc, self.ctx)
+                groups[key] = merge(groups.get(key, ZERO), st, self.ctx)
+            except (ValueError, TypeError):
+                counts[key] = counts.get(key, 0) + 1
+                errors[key] = errors.get(key, 0) + 1
+                groups.setdefault(key, ZERO)
+        return [
+            (k, pickle.dumps(groups[k]), errors.get(k, 0), counts.get(k, 0))
+            for k in groups
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: List[Tuple[str, bytes, int, int]] = []
-        if self.segment_key is None:
+        if self.segment_jsonpath is not None:
+            rows = self._segment_by_jsonpath(batch)
+        elif self.segment_key is None:
             state, errors = self._derive(batch)
             rows.append(("", pickle.dumps(state), len(errors), batch.num_rows))
         else:

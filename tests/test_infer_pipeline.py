@@ -110,6 +110,44 @@ class TestInferPipelines:
         for s in out["schema_json"]:
             assert json.loads(s)["type"] == "object"
 
+    def test_segmented_by_jsonpath(self, ray_session):
+        """FIXTURES.md §B9: mixed instances keyed by $.event → per-key
+        schemas; non-string/absent key → 'unmatched' bucket."""
+        import json as _json
+
+        import ray.data as rd
+
+        from schema_guru_ray.pipelines.infer import infer_schema_segmented
+
+        docs = [
+            {"event": "Purchased an Item", "price": 10},
+            {"event": "Purchased an Item", "price": 20},
+            {"event": "Posted a Comment", "body": "hi"},
+            {"no_event": True},
+            {"event": None},
+        ]
+        ds = rd.from_items([{"doc": _json.dumps(d)} for d in docs])
+        out = infer_schema_segmented(ds, "$.event", json_column="doc").to_pandas()
+        by = dict(zip(out["segment"], out["n_rows"]))
+        # key normalization: 30-char slice, [^a-zA-Z0-9.-] → _
+        assert by == {"Purchased_an_Item": 2, "Posted_a_Comment": 1, "unmatched": 2}
+        purchased = _json.loads(
+            out[out["segment"] == "Purchased_an_Item"]["schema_json"].iloc[0]
+        )
+        assert purchased["properties"]["price"]["maximum"] == 32767
+
+    def test_jsonpath_unit(self):
+        from schema_guru_ray.schema.jsonpath import UNMATCHED, normalize_key, query, segment_key
+
+        doc = {"a": {"b": [{"c": 7}]}, "event": "Sign-Up Done!"}
+        assert query("$.a.b[0].c", doc) == 7
+        assert query("$['a'].b", doc) == [{"c": 7}]
+        assert query("$.missing", doc) is None
+        assert segment_key("$.event", doc) == "Sign-Up_Done_"
+        assert normalize_key("x" * 50) == "x" * 30
+        assert normalize_key("") == UNMATCHED
+        assert normalize_key(None) == UNMATCHED
+
     def test_merge_independent_of_batch_size(self, sf_dir):
         """Partial-aggregation correctness: different batch sizes (different
         merge groupings) must yield identical schemas."""
