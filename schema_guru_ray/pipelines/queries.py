@@ -545,6 +545,84 @@ def clips_duplicate_ids(sf_dir: str):
     return duplicate_clip_ids(validate_clips(rd.read_parquet(path), ValidationConfig()))
 
 
+def clips_schema_infer(sf_dir: str):
+    """Schema inference over the clips table itself — exercises the binary
+    and product(null) extension states (rows-only)."""
+    import ray.data as rd
+
+    from schema_guru_ray.pipelines.infer import infer_schema
+    from schema_guru_ray.sources.clips import ensure_clips
+
+    path = ensure_clips(sf_dir)
+    res = infer_schema(rd.read_parquet(path), SchemaContext(enum_cardinality=8))
+    return pd.DataFrame(
+        {
+            "schema_json": [json.dumps(res["schema"], sort_keys=True)],
+            "n_rows": [res["n_rows"]],
+            "n_errors": [res["n_errors"]],
+        }
+    )
+
+
+def clips_profile(sf_dir: str):
+    """Per-column profiles (exact stats + HLL distinct + KLL quantiles) over
+    the clips table, grouped per codec (rows-only: sketch outputs)."""
+    import ray.data as rd
+
+    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.stages.profile import TableProfiler, merge_profile_rows
+
+    path = ensure_clips(sf_dir)
+    cols = ["clip_id", "sr_hz", "dur_ms"]
+    ds = rd.read_parquet(path, columns=cols + ["codec"])
+    prof_ds = ds.map_batches(
+        TableProfiler(cols, by="codec"), batch_format="pyarrow", batch_size=8192
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        profs = merge_profile_rows(list(g["profile"]))
+        rows = []
+        for c in cols:
+            row = profs[c].to_row(c)
+            row["codec"] = g["group"].iloc[0]
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return prof_ds.groupby("group").map_groups(merge_group, batch_format="pandas")
+
+
+def clips_drift(sf_dir: str):
+    """PSI/KS drift verdicts: baseline sketches from the corpus itself (self
+    drift ≈ 0) plus a deliberately duration-shifted comparison corpus
+    (PSI > 0.25 → failed verdict). Rows-only."""
+    import ray.data as rd
+
+    from schema_guru_ray.pipelines.validate import (
+        ValidationConfig,
+        build_baseline,
+        codec_verdicts,
+        validate_clips,
+    )
+    from schema_guru_ray.sources.clips import ClipsConfig, clips_dataset, ensure_clips
+
+    path = ensure_clips(sf_dir)
+    cfg = ValidationConfig()
+    verdicts = validate_clips(rd.read_parquet(path), cfg)
+    baseline = build_baseline(verdicts, cfg)
+
+    shifted_cfg = ClipsConfig(median_dur_ms=600.0, seed=43)
+    shifted = validate_clips(clips_dataset(2000, shifted_cfg), cfg)
+    self_cv = codec_verdicts(validate_clips(rd.read_parquet(path), cfg), cfg, baseline=baseline)
+    shift_cv = codec_verdicts(shifted, cfg, baseline=baseline)
+    self_cv["comparison"] = "self"
+    shift_cv["comparison"] = "duration_shifted"
+    out = pd.concat([self_cv, shift_cv], ignore_index=True)
+    out["violations_by_kind"] = out["violations_by_kind"].map(
+        lambda d: json.dumps(d, sort_keys=True)
+    )
+    return out
+
+
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "grouped_stats_events": grouped_stats_events,
@@ -569,6 +647,9 @@ QUERIES = {
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
+    "clips_schema_infer": clips_schema_infer,
+    "clips_profile": clips_profile,
+    "clips_drift": clips_drift,
 }
 
 ORACLES = {

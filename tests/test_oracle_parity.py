@@ -96,6 +96,9 @@ class TestOracleParity:
             "embedding_near_dup",
             "schema_infer_lineitem",
             "schema_infer_events_props",
+            "clips_schema_infer",
+            "clips_profile",
+            "clips_drift",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
