@@ -545,6 +545,95 @@ def clips_duplicate_ids(sf_dir: str):
     return duplicate_clip_ids(validate_clips(rd.read_parquet(path), ValidationConfig()))
 
 
+# --- joins / windows --------------------------------------------------------
+
+
+def join_orders_customers(sf_dir: str):
+    """Distributed hash join (both sides as Datasets; Ray's native
+    hash-partitioned join)."""
+    from schema_guru_ray.stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return t.drop_columns(["o_totalprice"]).append_column("price_cents", pa.array(c))
+
+    orders = orders.map_batches(cents, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).rename_columns(
+        {"c_custkey": "o_custkey"}
+    )
+    out = hash_join(orders, cust, on="o_custkey", num_partitions=8)
+    return out.select_columns(["o_orderkey", "o_custkey", "c_name", "c_mktsegment", "price_cents"])
+
+
+JOIN_ORDERS_CUSTOMERS_SQL = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def asof_latest_order_before_event(sf_dir: str):
+    """As-of join: for each event, the latest order of the same key placed
+    at or before the event time (bucketed pd.merge_asof; DuckDB ASOF JOIN
+    oracle). Right side deduped to one order per (key, date) so ties are
+    deterministic on both engines."""
+    from schema_guru_ray.stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["o_custkey", "o_orderdate"], as_index=False)[
+            "o_orderkey"
+        ].max()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    orders_d = (
+        orders.groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+        .rename_columns({"o_custkey": "user_id"})
+    )
+    out = asof_join(
+        events, orders_d, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_columns=["o_orderkey"],
+    )
+    return out.select_columns(["event_id", "user_id", "o_orderkey"])
+
+
+ASOF_LATEST_ORDER_SQL = """
+WITH orders_d AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e ASOF JOIN orders_d o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def windowed_events_daily(sf_dir: str):
+    """Tumbling 1-day event-time windows per event_type (count + integer
+    milli sum) — batch semantics over the ordered log."""
+    from schema_guru_ray.stages.joins import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return tumbling_window_agg(ds, "ts", 86400, ["event_type"], "value")
+
+
+WINDOWED_EVENTS_DAILY_SQL = """
+SELECT event_type,
+       to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT))::TIMESTAMP AS window_start,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def clips_schema_infer(sf_dir: str):
     """Schema inference over the clips table itself — exercises the binary
     and product(null) extension states (rows-only)."""
@@ -644,6 +733,9 @@ QUERIES = {
     "schema_infer_lineitem": schema_infer_lineitem,
     "schema_infer_events_props": schema_infer_events_props,
     "schema_segmented_events": schema_segmented_events,
+    "join_orders_customers": join_orders_customers,
+    "asof_latest_order_before_event": asof_latest_order_before_event,
+    "windowed_events_daily": windowed_events_daily,
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
@@ -665,5 +757,8 @@ ORACLES = {
     "fingerprint_documents": FINGERPRINT_DOCUMENTS_SQL,
     "dedup_exact_documents": DEDUP_EXACT_DOCUMENTS_SQL,
     "ann_topk_embeddings": ANN_TOPK_EMBEDDINGS_SQL,
+    "join_orders_customers": JOIN_ORDERS_CUSTOMERS_SQL,
+    "asof_latest_order_before_event": ASOF_LATEST_ORDER_SQL,
+    "windowed_events_daily": WINDOWED_EVENTS_DAILY_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
 }

@@ -212,6 +212,62 @@ def minhash_candidate_pairs(ds, signer: MinHashSigner, min_est_jaccard: float = 
     )
 
 
+def connected_components_distributed(pairs_ds, max_rounds: int = 20):
+    """Scale-path connected components over a PAIRS Dataset: iterative
+    min-label propagation via groupby (ray guide: 'iterate a few rounds of
+    min-label propagation with groupby'). Each round: every node adopts the
+    minimum label in its neighborhood; converges in O(component diameter)
+    rounds. Returns a Dataset of (node, label) rows.
+
+    Use when the candidate-pair set itself is too big for the driver;
+    :func:`connected_components` (union-find) is the small-case default."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    # initial labels: node → min(node, all direct neighbors)
+    def edges_both(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([b["id_a"], b["id_b"]], ignore_index=True),
+                "peer": pd.concat([b["id_b"], b["id_a"]], ignore_index=True),
+            }
+        )
+
+    edges = pairs_ds.map_batches(edges_both, batch_format="pandas").materialize()
+    labels = edges.groupby("node").aggregate(Min("peer", alias_name="label"))
+    labels = labels.map_batches(
+        lambda b: b.assign(label=b[["node", "label"]].min(axis=1)),
+        batch_format="pandas",
+    ).materialize()
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join
+
+    def label_sum(lab) -> int:
+        return int(
+            lab.map_batches(
+                lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}),
+                batch_format="pandas",
+            ).to_pandas()["s"].sum()
+        )
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_rounds):
+        # propagate: node's label → its peers; keep the min seen
+        joined = bucketed_hash_join(edges, labels, on="node", num_buckets=8)
+        prop = joined.map_batches(
+            lambda b: pd.DataFrame({"node": b["peer"], "label": b["label"]}),
+            batch_format="pandas",
+        )
+        both = labels.union(prop)
+        labels = both.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        # labels only ever decrease: unchanged sum ⇒ fixed point
+        cur = label_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
 def connected_components(pairs: Iterable[Tuple[int, int]]) -> Dict[int, int]:
     """Union-find over confirmed duplicate pairs → {id: cluster_root}.
     Driver-side by design: the confirmed-pair set is tiny relative to the

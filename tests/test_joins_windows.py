@@ -1,0 +1,119 @@
+"""Join operators (broadcast, hash, bucketed, as-of), tumbling windows, and
+distributed connected components."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoins:
+    @pytest.fixture(scope="class")
+    def sides(self, ray_session):
+        import ray.data as rd
+
+        left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "x": [10, 20, 21, 30, 50]})
+        right = pd.DataFrame({"k": [1, 2, 4], "y": ["a", "b", "d"]})
+        return rd.from_pandas(left).repartition(2), rd.from_pandas(right), left, right
+
+    def test_broadcast_join(self, sides):
+        from schema_guru_ray.stages.joins import broadcast_join
+
+        lds, _rds, left, right = sides
+        out = broadcast_join(lds, right, on="k").to_pandas().sort_values(["k", "x"])
+        want = left.merge(right, on="k").sort_values(["k", "x"])
+        assert out.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_hash_join_native(self, sides):
+        from schema_guru_ray.stages.joins import hash_join
+
+        lds, rds, left, right = sides
+        out = hash_join(lds, rds, on="k", num_partitions=4).to_pandas()
+        want = left.merge(right, on="k")
+        assert sorted(map(tuple, out[["k", "x", "y"]].to_numpy().tolist())) == sorted(
+            map(tuple, want[["k", "x", "y"]].to_numpy().tolist())
+        )
+
+    def test_bucketed_hash_join(self, sides):
+        from schema_guru_ray.stages.joins import bucketed_hash_join
+
+        lds, rds, left, right = sides
+        out = bucketed_hash_join(lds, rds, on="k", num_buckets=4).to_pandas()
+        want = left.merge(right, on="k")
+        assert sorted(out["x"].tolist()) == sorted(want["x"].tolist())
+
+    def test_asof_join(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import asof_join
+
+        left = pd.DataFrame(
+            {
+                "key": [1, 1, 1, 2, 3],
+                "ts": pd.to_datetime(["2024-01-05", "2024-01-10", "2024-01-01",
+                                      "2024-01-07", "2024-01-07"]),
+                "ev": ["a", "b", "c", "d", "e"],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "key": [1, 1, 2],
+                "rts": pd.to_datetime(["2024-01-02", "2024-01-08", "2024-01-09"]),
+                "val": [100, 200, 300],
+            }
+        )
+        out = (
+            asof_join(rd.from_pandas(left).repartition(2), rd.from_pandas(right),
+                      key="key", left_ts="ts", right_ts="rts")
+            .to_pandas()
+            .sort_values("ev")
+        )
+        # ev a: latest rts <= 01-05 is 01-02 (100); ev b: 01-08 (200);
+        # ev c: none before 01-01 → dropped; ev d: none (<09) → dropped; ev e: no key
+        assert dict(zip(out["ev"], out["val"])) == {"a": 100, "b": 200}
+
+    def test_tumbling_window(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import tumbling_window_agg
+
+        df = pd.DataFrame(
+            {
+                "g": ["x", "x", "x", "y"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10",
+                     "2024-01-01 00:20"]
+                ),
+                "v": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+        out = (
+            tumbling_window_agg(rd.from_pandas(df).repartition(2), "ts", 3600, ["g"], "v")
+            .to_pandas()
+            .sort_values(["g", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert out["n"].tolist() == [2, 1, 1]
+        assert out["sum_value_milli"].tolist() == [3000, 3000, 4000]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedComponents:
+    def test_matches_union_find(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.dedup import (
+            connected_components,
+            connected_components_distributed,
+        )
+
+        rng = np.random.default_rng(3)
+        # chain components of varying diameter + singleton pairs
+        pairs = [(i, i + 1) for i in range(0, 5)]  # one chain 0..5
+        pairs += [(100, 101), (102, 103), (200, 201), (201, 202)]
+        pairs_df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        ds = rd.from_pandas(pairs_df).repartition(3)
+        dist = connected_components_distributed(ds).to_pandas()
+        got = dict(zip(dist["node"].astype(int), dist["label"].astype(int)))
+        want = connected_components(pairs)
+        assert got == want

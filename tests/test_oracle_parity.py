@@ -80,6 +80,9 @@ class TestOracleParity:
             "fingerprint_documents",
             "dedup_exact_documents",
             "ann_topk_embeddings",
+            "join_orders_customers",
+            "asof_latest_order_before_event",
+            "windowed_events_daily",
             "schema_segmented_events",
         ],
     )
