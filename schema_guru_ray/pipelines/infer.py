@@ -60,6 +60,12 @@ def infer_schema(
 
     Returns {schema, warnings, n_errors, n_rows}. The heavy work streams;
     only serialized states reach the driver."""
+    if ctx.quantity is None:
+        # corpus-size-dependent rules (base64, SchemaGenerator.scala:191-200)
+        # need the row count up front — cheap parquet-metadata count
+        from dataclasses import replace as _replace
+
+        ctx = _replace(ctx, quantity=ds.count())
     states = ds.map_batches(
         StateBatcher(ctx, json_column=json_column),
         batch_format="pyarrow",

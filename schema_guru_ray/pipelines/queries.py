@@ -545,6 +545,40 @@ def clips_duplicate_ids(sf_dir: str):
     return duplicate_clip_ids(validate_clips(rd.read_parquet(path), ValidationConfig()))
 
 
+def image_featurize_documents(sf_dir: str):
+    """Multimodal plumbing demo: a deterministic binary media column (doc
+    text bytes stand in for image payloads) through the ImageFeaturizer
+    actor pool — decode(stub) → resize → featurize. Rows-only."""
+    from schema_guru_ray.stages.multimodal import ImageFeaturizer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "media": [t.encode() for t in b["text"]]}
+        )
+
+    media = ds.map_batches(to_media, batch_format="pandas")
+    out = media.map_batches(
+        ImageFeaturizer,
+        batch_format="pandas",
+        batch_size=64,  # small batches: wide binary rows
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return out.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "height": b["height"],
+                "width": b["width"],
+                "feat_norm": [float(np.linalg.norm(f)) for f in b["features"]],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 # --- joins / windows --------------------------------------------------------
 
 
@@ -739,6 +773,7 @@ QUERIES = {
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
+    "image_featurize_documents": image_featurize_documents,
     "clips_schema_infer": clips_schema_infer,
     "clips_profile": clips_profile,
     "clips_drift": clips_drift,

@@ -253,3 +253,19 @@ SCALING_CFG = ClipsConfig(median_dur_ms=1000.0, max_dur_ms=4000)
 
 def ensure_scaling_clips() -> str:
     return _ensure("/tmp/graft_clips/scaling", SCALING_N_CLIPS, SCALING_CFG)
+
+
+def read_clips(path: str, columns=None):
+    """Read a clips corpus as a Dataset. The deployment format is Lance
+    (BASELINE.json input_hint) — used via ``ray.data.read_lance`` when the
+    lance package is importable; this container ships no lance, so the
+    deterministic fixtures are parquet with the identical schema and the
+    rest of the pipeline is format-agnostic (it sees Arrow batches)."""
+    import ray.data as rd
+
+    try:
+        import lance  # noqa: F401
+
+        return rd.read_lance(path, columns=columns)
+    except ImportError:
+        return rd.read_parquet(path, columns=columns)
