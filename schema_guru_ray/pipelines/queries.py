@@ -545,6 +545,41 @@ def clips_duplicate_ids(sf_dir: str):
     return duplicate_clip_ids(validate_clips(rd.read_parquet(path), ValidationConfig()))
 
 
+def schema_roundtrip_validate_events(sf_dir: str):
+    """The inference→validation closed loop: derive a schema from the
+    events table, then (a) validate the table against it — zero violations
+    by the round-trip contract — and (b) validate a deterministically
+    perturbed copy — violations flagged. Returns per-scenario violation
+    counts (rows-only)."""
+    from schema_guru_ray.pipelines.infer import infer_schema
+    from schema_guru_ray.pipelines.validate_schema import validate_against_schema
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value", "user_id"])
+    schema = infer_schema(ds, SchemaContext(enum_cardinality=8))["schema"]
+
+    clean_violations = validate_against_schema(ds, schema, id_column="event_id").count()
+
+    def perturb(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = t.to_pandas()
+        # deterministic corruption: every 10th row gets an out-of-range value
+        # and an unseen event_type
+        idx = df.index[df["event_id"] % 10 == 0]
+        df.loc[idx, "value"] = 1e12
+        df.loc[idx, "event_type"] = "___corrupted___"
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    perturbed = ds.map_batches(perturb, batch_format="pyarrow")
+    bad_violations = validate_against_schema(perturbed, schema, id_column="event_id").count()
+    return pd.DataFrame(
+        {
+            "scenario": ["clean", "perturbed"],
+            "n_violations": [clean_violations, bad_violations],
+        }
+    )
+
+
 def image_featurize_documents(sf_dir: str):
     """Multimodal plumbing demo: a deterministic binary media column (doc
     text bytes stand in for image payloads) through the ImageFeaturizer
@@ -773,6 +808,7 @@ QUERIES = {
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
+    "schema_roundtrip_validate_events": schema_roundtrip_validate_events,
     "image_featurize_documents": image_featurize_documents,
     "clips_schema_infer": clips_schema_infer,
     "clips_profile": clips_profile,

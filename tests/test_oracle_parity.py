@@ -99,6 +99,7 @@ class TestOracleParity:
             "embedding_near_dup",
             "schema_infer_lineitem",
             "schema_infer_events_props",
+            "schema_roundtrip_validate_events",
             "image_featurize_documents",
             "clips_schema_infer",
             "clips_profile",
