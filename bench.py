@@ -91,6 +91,10 @@ def run_bench() -> dict:
         "schema_infer_lineitem",
         "schema_infer_events_props",
         "token_counts_documents",
+        "join_orders_customers",
+        "asof_latest_order_before_event",
+        "windowed_events_daily",
+        "schema_roundtrip_validate_events",
     ]
     timings = {"clips_validation": round(headline_sec, 3)}
     for name in suite:
