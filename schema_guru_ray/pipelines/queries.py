@@ -331,6 +331,33 @@ FROM documents
 """
 
 
+def token_frequencies_documents(sf_dir: str):
+    """Global token frequency table (the vocabulary-count primitive of a
+    training-data pipeline): per-batch vectorized counts pre-aggregate, then
+    a tiny groupby sum — only (token, count) partials shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"[\w']+").explode()
+        counts = toks.value_counts()
+        return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+TOKEN_FREQUENCIES_DOCUMENTS_SQL = """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[\\w'']+')) AS token FROM documents)
+GROUP BY token
+"""
+
+
 def quality_documents(sf_dir: str):
     from schema_guru_ray.stages.text import QualityScorer
 
@@ -790,6 +817,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "top_customers_revenue": top_customers_revenue,
     "token_counts_documents": token_counts_documents,
+    "token_frequencies_documents": token_frequencies_documents,
     "quality_documents": quality_documents,
     "fingerprint_documents": fingerprint_documents,
     "dedup_exact_documents": dedup_exact_documents,
@@ -824,6 +852,7 @@ ORACLES = {
     "sessionize_events": SESSIONIZE_EVENTS_SQL,
     "top_customers_revenue": TOP_CUSTOMERS_REVENUE_SQL,
     "token_counts_documents": TOKEN_COUNTS_DOCUMENTS_SQL,
+    "token_frequencies_documents": TOKEN_FREQUENCIES_DOCUMENTS_SQL,
     "quality_documents": QUALITY_DOCUMENTS_SQL,
     "fingerprint_documents": FINGERPRINT_DOCUMENTS_SQL,
     "dedup_exact_documents": DEDUP_EXACT_DOCUMENTS_SQL,

@@ -148,6 +148,47 @@ class TestInferPipelines:
         assert normalize_key("") == UNMATCHED
         assert normalize_key(None) == UNMATCHED
 
+    def test_pipeline_equals_local_on_random_corpora(self, ray_session):
+        """Distributed derive-then-merge must equal the sequential local
+        fold for arbitrary JSON corpora (hypothesis-generated, executed
+        through the REAL Ray pipeline at an awkward batch size)."""
+        import json as _json
+
+        import ray.data as rd
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from schema_guru_ray.pipelines.infer import infer_schema
+        from schema_guru_ray.schema.finalize import merge_and_transform
+        from schema_guru_ray.schema.states import derive
+
+        scalars = st.one_of(
+            st.text(max_size=12),
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.booleans(),
+            st.none(),
+            st.uuids().map(str),
+        )
+        docs = st.lists(
+            st.dictionaries(st.text(min_size=1, max_size=6), scalars, max_size=4),
+            min_size=1,
+            max_size=12,
+        )
+
+        @given(docs)
+        @settings(
+            max_examples=10, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def check(corpus):
+            ctx = SchemaContext(enum_cardinality=3, quantity=len(corpus))
+            local = merge_and_transform(derive(corpus, ctx), ctx)
+            ds = rd.from_items([{"doc": _json.dumps(d)} for d in corpus]).repartition(3)
+            dist = infer_schema(ds, ctx, json_column="doc", batch_size=2)["schema"]
+            assert dist == local
+
+        check()
+
     def test_merge_independent_of_batch_size(self, sf_dir):
         """Partial-aggregation correctness: different batch sizes (different
         merge groupings) must yield identical schemas."""

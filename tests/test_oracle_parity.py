@@ -76,6 +76,7 @@ class TestOracleParity:
             "sessionize_events",
             "top_customers_revenue",
             "token_counts_documents",
+            "token_frequencies_documents",
             "quality_documents",
             "fingerprint_documents",
             "dedup_exact_documents",
