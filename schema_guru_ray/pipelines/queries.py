@@ -808,6 +808,25 @@ def clips_drift(sf_dir: str):
     return out
 
 
+def clips_audio_features(sf_dir: str):
+    """Real-DSP log-filterbank features per clip (rows-only)."""
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
+    from schema_guru_ray.stages.audio_features import audio_features
+
+    path = ensure_clips(sf_dir)
+    return audio_features(read_clips(path))
+
+
+def clips_content_dedup(sf_dir: str):
+    """Content-based audio near-dup pairs: same-signal clips found via
+    feature-vector LSH regardless of clip_id (rows-only)."""
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
+    from schema_guru_ray.stages.audio_features import content_dedup_pairs
+
+    path = ensure_clips(sf_dir)
+    return content_dedup_pairs(read_clips(path))
+
+
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "grouped_stats_events": grouped_stats_events,
@@ -841,6 +860,8 @@ QUERIES = {
     "clips_schema_infer": clips_schema_infer,
     "clips_profile": clips_profile,
     "clips_drift": clips_drift,
+    "clips_audio_features": clips_audio_features,
+    "clips_content_dedup": clips_content_dedup,
 }
 
 ORACLES = {

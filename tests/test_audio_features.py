@@ -1,0 +1,84 @@
+"""Real-DSP audio featurizer + content-based audio dedup."""
+
+import numpy as np
+import pytest
+
+from schema_guru_ray.audio import synth
+from schema_guru_ray.audio.wav import encode_wav
+from schema_guru_ray.sources.clips import ClipsConfig, generate_clips_table
+from schema_guru_ray.stages.audio_features import (
+    FEATURE_DIM,
+    AudioFeaturizer,
+    clip_features,
+)
+
+
+class TestClipFeatures:
+    def test_shape_and_determinism(self):
+        pcm = synth.reference_pcm("a", 16000, 8000)
+        f1, f2 = clip_features(pcm, 16000), clip_features(pcm, 16000)
+        assert f1.shape == (FEATURE_DIM,) and f1.dtype == np.float32
+        assert np.array_equal(f1, f2)
+
+    def test_discriminates_signals(self):
+        a = clip_features(synth.reference_pcm("a", 16000, 8000), 16000)
+        b = clip_features(synth.reference_pcm("b", 16000, 8000), 16000)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos < 0.999
+
+    def test_robust_to_tiny_noise(self):
+        pcm = synth.reference_pcm("a", 16000, 8000)
+        noisy = np.clip(
+            pcm + np.random.default_rng(0).normal(0, 20, pcm.shape), -32768, 32767
+        ).astype(np.int16)
+        a, b = clip_features(pcm, 16000), clip_features(noisy, 16000)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.999
+
+    def test_short_clip(self):
+        pcm = synth.reference_pcm("a", 8000, 50)  # shorter than one frame
+        assert clip_features(pcm, 8000).shape == (FEATURE_DIM,)
+
+
+class TestAudioFeaturizerBatch:
+    def test_batch_contract_and_undecodable(self):
+        cfg = ClipsConfig(rate_corrupt=0.2, rate_dup=0, rate_ref_transcript_on_bad=0,
+                          rate_ref_null_on_good=0, rate_snr=0,
+                          rate_transcript_mismatch=0, rate_sr_invalid=0,
+                          rate_dur_mismatch=0)
+        tab = generate_clips_table(60, cfg)
+        out = AudioFeaturizer()(tab)
+        assert out.column_names == ["clip_id", "codec", "decodable", "embedding"]
+        assert out.num_rows == 60
+        ok = out["decodable"].to_pylist()
+        assert any(ok) and not all(ok)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContentDedup:
+    def test_finds_signal_duplicates(self):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.audio_features import content_dedup_pairs
+        from schema_guru_ray.stages.profile import stable_hash64
+        import pandas as pd
+
+        dup_cfg = ClipsConfig(
+            rate_dup=0.05, rate_corrupt=0, rate_ref_transcript_on_bad=0,
+            rate_ref_null_on_good=0, rate_snr=0, rate_transcript_mismatch=0,
+            rate_sr_invalid=0, rate_dur_mismatch=0,
+        )
+        tab = generate_clips_table(400, dup_cfg)
+        ids = tab["clip_id"].to_pylist()
+        dup_ids = {i for i in ids if ids.count(i) > 1}
+        assert dup_ids, "fixture should contain duplicates"
+        pairs = content_dedup_pairs(rd.from_arrow(tab).repartition(3)).to_pandas()
+        # every clip_id-duplicate pair must be found BY CONTENT
+        hashes = {
+            int(h): cid
+            for cid, h in zip(ids, stable_hash64(pd.Series(ids)).astype(np.int64))
+        }
+        found_ids = {hashes[int(a)] for a in pairs["id_a"]} | {
+            hashes[int(b)] for b in pairs["id_b"]
+        }
+        assert dup_ids <= found_ids

@@ -105,6 +105,8 @@ class TestOracleParity:
             "clips_schema_infer",
             "clips_profile",
             "clips_drift",
+            "clips_audio_features",
+            "clips_content_dedup",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
