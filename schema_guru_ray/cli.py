@@ -86,9 +86,16 @@ def cmd_schema(args) -> int:
         target = args.output or "segmented_schemas"
         os.makedirs(target, exist_ok=True)
         n = 0
+        used: dict = {}
         for row in out.iter_rows():
             safe = "".join(c if c.isalnum() or c in ".-" else "_" for c in row["segment"])[:30]
-            with open(os.path.join(target, f"{safe or 'unmatched'}.json"), "w") as f:
+            safe = safe or "unmatched"
+            # distinct segments can sanitize to the same filename — suffix
+            # instead of silently overwriting
+            used[safe] = used.get(safe, 0) + 1
+            if used[safe] > 1:
+                safe = f"{safe}-{used[safe]}"
+            with open(os.path.join(target, f"{safe}.json"), "w") as f:
                 f.write(row["schema_json"])
             n += 1
         print(f"wrote {n} segment schemas to {target}", file=sys.stderr)

@@ -29,6 +29,14 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+
+def _int_units(values: np.ndarray, scale: int) -> pd.Series:
+    """NaN-safe half-up integer conversion (SQL round semantics): NULLs stay
+    NA and are skipped by pandas group sums, like SQL sum()."""
+    with np.errstate(invalid="ignore"):
+        return pd.Series(np.floor(values * scale + 0.5)).astype("Int64")
+
+
 # --- relational aggregates (partial-agg over Arrow batches) -----------------
 
 
@@ -45,15 +53,13 @@ def q1_lineitem_agg(sf_dir: str):
         qty = t["l_quantity"].to_numpy(zero_copy_only=False)
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
-        price_c = np.floor(price * 100 + 0.5).astype(np.int64)  # half-up like SQL round()
-        disc_price_c = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
         df = pd.DataFrame(
             {
                 "l_returnflag": t["l_returnflag"].to_pandas(),
                 "l_linestatus": t["l_linestatus"].to_pandas(),
-                "qty": np.floor(qty + 0.5).astype(np.int64),
-                "price_c": price_c,
-                "disc_price_c": disc_price_c,
+                "qty": _int_units(qty, 1),
+                "price_c": _int_units(price, 100),
+                "disc_price_c": _int_units(price * (1.0 - disc), 100),
             }
         )
         g = (
@@ -61,6 +67,8 @@ def q1_lineitem_agg(sf_dir: str):
             .agg(sum_qty=("qty", "sum"), sum_price_cents=("price_c", "sum"),
                  sum_disc_price_cents=("disc_price_c", "sum"), n=("qty", "size"))
         )
+        for c in ("sum_qty", "sum_price_cents", "sum_disc_price_cents"):
+            g[c] = g[c].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -94,9 +102,9 @@ def grouped_stats_events(sf_dir: str):
         df = pd.DataFrame(
             {
                 "event_type": t["event_type"].to_pandas(),
-                "value_milli": np.floor(
-                    t["value"].to_numpy(zero_copy_only=False) * 1000 + 0.5
-                ).astype(np.int64),
+                "value_milli": _int_units(
+                    t["value"].to_numpy(zero_copy_only=False), 1000
+                ),
                 "ts": t["ts"].to_pandas(),
             }
         )
@@ -106,6 +114,7 @@ def grouped_stats_events(sf_dir: str):
             min_ts=("ts", "min"),
             max_ts=("ts", "max"),
         )
+        g["sum_value_milli"] = g["sum_value_milli"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Max, Min, Sum
@@ -283,12 +292,13 @@ def top_customers_revenue(sf_dir: str, k: int = 10):
         df = pd.DataFrame(
             {
                 "o_custkey": t["o_custkey"].to_pandas(),
-                "cents": np.floor(
-                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
-                ).astype(np.int64),
+                "cents": _int_units(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False), 100
+                ),
             }
         )
         g = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        g["cents"] = g["cents"].astype("int64")
         return pa.Table.from_pandas(g.rename(columns={"cents": "revenue_cents"}),
                                     preserve_index=False)
 
@@ -652,8 +662,10 @@ def join_orders_customers(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def cents(t: pa.Table) -> pa.Table:
-        c = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
-        return t.drop_columns(["o_totalprice"]).append_column("price_cents", pa.array(c))
+        c = _int_units(t["o_totalprice"].to_numpy(zero_copy_only=False), 100)
+        return t.drop_columns(["o_totalprice"]).append_column(
+            "price_cents", pa.Array.from_pandas(c)
+        )
 
     orders = orders.map_batches(cents, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).rename_columns(
@@ -792,12 +804,14 @@ def clips_drift(sf_dir: str):
 
     path = ensure_clips(sf_dir)
     cfg = ValidationConfig()
-    verdicts = validate_clips(rd.read_parquet(path), cfg)
+    # decode+SNR runs ONCE: the materialized verdicts feed both the
+    # baseline build and the self-comparison
+    verdicts = validate_clips(rd.read_parquet(path), cfg).materialize()
     baseline = build_baseline(verdicts, cfg)
 
     shifted_cfg = ClipsConfig(median_dur_ms=600.0, seed=43)
     shifted = validate_clips(clips_dataset(2000, shifted_cfg), cfg)
-    self_cv = codec_verdicts(validate_clips(rd.read_parquet(path), cfg), cfg, baseline=baseline)
+    self_cv = codec_verdicts(verdicts, cfg, baseline=baseline)
     shift_cv = codec_verdicts(shifted, cfg, baseline=baseline)
     self_cv["comparison"] = "self"
     shift_cv["comparison"] = "duration_shifted"

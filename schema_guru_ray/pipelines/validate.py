@@ -145,15 +145,14 @@ class CodecPartialAggregator:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        df_ids = batch["clip_id"].to_pandas()
-        salts = (stable_hash64(df_ids) % np.uint64(cfg.n_salts)).astype(np.int32)
+        hashes = stable_hash64(batch["clip_id"].to_pandas())
+        salts = (hashes % np.uint64(cfg.n_salts)).astype(np.int32)
         codecs = np.asarray(batch["codec"].to_pylist())
         oks = batch["ok"].to_numpy(zero_copy_only=False)
         durs = batch["dur_ms"].to_numpy(zero_copy_only=False).astype(np.float64)
         srs = batch["sr_hz"].to_numpy(zero_copy_only=False).astype(np.float64)
         snrs = batch["snr_db"].to_numpy(zero_copy_only=False)
         viols = batch["violations"].to_pylist()
-        hashes = stable_hash64(df_ids)
 
         rows = []
         for codec in np.unique(codecs):

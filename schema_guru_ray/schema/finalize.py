@@ -188,10 +188,16 @@ def to_json_schema(state: State, ctx: SchemaContext) -> Dict[str, Any]:
         return {"type": "array", "items": to_json_schema(state.items, ctx)}
     if isinstance(state, ProductState):
         # ProductSchema.toJson: fold subtype jsons, then override type + enum
-        # (ProductSchema.scala:59-66); slot order canonical, type list sorted
+        # (ProductSchema.scala:59-66); slot order canonical, type list sorted.
+        # Extension slots (timestamp/binary) render FIRST so a real string
+        # slot's format/length attrs win on key conflicts instead of being
+        # stomped by byte-length bounds.
+        render_order = ("timestamp", "binary") + tuple(
+            t for t in PRODUCT_SLOTS if t not in ("timestamp", "binary")
+        )
         out = {}
         enums: List[Any] = []
-        for tag in PRODUCT_SLOTS:
+        for tag in render_order:
             s = state.slots.get(tag)
             if s is None:
                 continue
@@ -284,7 +290,15 @@ def validate_instance(value, schema: Dict[str, Any], path: str = "$") -> List[st
         if "maximum" in schema and value > schema["maximum"]:
             errs.append(f"{path}: {value} > maximum {schema['maximum']}")
     if "enum" in schema and vt not in ("object", "array"):
-        if not any(value == e and type(value) is type(e) or value == e for e in schema["enum"]):
+
+        def enum_match(v, e):
+            # bool is an int subtype in Python but a distinct JSON type:
+            # true must not match enum value 1
+            if isinstance(v, bool) or isinstance(e, bool):
+                return isinstance(v, bool) and isinstance(e, bool) and v == e
+            return v == e
+
+        if not any(enum_match(value, e) for e in schema["enum"]):
             errs.append(f"{path}: {value!r} not in enum")
     if vt == "object":
         props = schema.get("properties", {})

@@ -234,13 +234,27 @@ def ensure_clips(sf_dir: str, cfg: ClipsConfig = ClipsConfig()) -> str:
 
 
 def _ensure(path: str, n: int, cfg: ClipsConfig) -> str:
+    """Atomic cache commit: generate into a tmp sibling, rename into place,
+    then mark _DONE with the generation key. A crash mid-write leaves only
+    the tmp dir (cleaned on retry); a _DONE with a different key (n/config
+    changed) invalidates the cache."""
+    import shutil
+
+    key = f"n={n} cfg={sorted(vars(cfg).items())!r}"
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
-        return path
+        with open(done) as f:
+            if f.read().strip() == key:
+                return path
+        shutil.rmtree(path, ignore_errors=True)
+    tmp = path.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     ds = clips_dataset(n, cfg)
-    ds.write_parquet(path)
-    with open(done, "w") as f:
-        f.write(f"n={n} seed={cfg.seed}\n")
+    ds.write_parquet(tmp)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write(key + "\n")
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
     return path
 
 

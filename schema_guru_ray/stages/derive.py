@@ -239,13 +239,12 @@ class StateBatcher:
             try:
                 doc = _json.loads(s)
                 key = segment_key(self.segment_jsonpath, doc)
-                counts[key] = counts.get(key, 0) + 1
                 st = derive_instance(doc, self.ctx)
                 groups[key] = merge(groups.get(key, ZERO), st, self.ctx)
             except (ValueError, TypeError):
-                counts[key] = counts.get(key, 0) + 1
                 errors[key] = errors.get(key, 0) + 1
                 groups.setdefault(key, ZERO)
+            counts[key] = counts.get(key, 0) + 1  # exactly once per row
         return [
             (k, pickle.dumps(groups[k]), errors.get(k, 0), counts.get(k, 0))
             for k in groups

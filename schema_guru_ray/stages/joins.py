@@ -148,10 +148,14 @@ def tumbling_window_agg(ds, ts_col: str, window_sec: int,
         b["window_start"] = pd.to_datetime(
             (epoch // window_sec) * window_sec, unit="s"
         ).astype("datetime64[us]")
-        b["value_milli"] = np.floor(b[value_col] * 1000 + 0.5).astype("int64")
+        with np.errstate(invalid="ignore"):
+            b["value_milli"] = pd.Series(
+                np.floor(b[value_col].to_numpy() * 1000 + 0.5), index=b.index
+            ).astype("Int64")  # NaN-safe: NULLs skipped by the sum, like SQL
         g = b.groupby([*keys, "window_start"], as_index=False).agg(
             n=("value_milli", "size"), sum_value_milli=("value_milli", "sum")
         )
+        g["sum_value_milli"] = g["sum_value_milli"].astype("int64")
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")

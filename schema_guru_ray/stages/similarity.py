@@ -71,12 +71,18 @@ def _topk_task(batch: pd.DataFrame, *, queries_ref, k: int, column: str,
     ids = batch[id_column].to_numpy()
     sims = q @ vecs.T
     kk = min(k, sims.shape[1])
-    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-    rows_q = np.repeat(np.arange(sims.shape[0]), kk)
-    rows_i = idx.reshape(-1)
+    # deterministic tie-break: score desc, then id ASC (matches the SQL
+    # oracle's ORDER BY similarity DESC, vec_id)
+    out_q, out_i = [], []
+    for qi in range(sims.shape[0]):
+        order = np.lexsort((ids, -sims[qi]))[:kk]
+        out_q.append(np.full(kk, qi, dtype=np.int64))
+        out_i.append(order)
+    rows_q = np.concatenate(out_q)
+    rows_i = np.concatenate(out_i)
     return pd.DataFrame(
         {
-            "query_idx": rows_q.astype(np.int64),
+            "query_idx": rows_q,
             id_column: ids[rows_i],
             "score": sims[rows_q, rows_i],
         }
@@ -101,14 +107,16 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     for b in partials.iter_batches(batch_size=8192, batch_format="pandas"):
         for q, i, s in zip(b["query_idx"], b[id_column], b["score"]):
             h = heaps.setdefault(int(q), [])
+            # (score, -id): on score ties the LARGER id is evicted first, so
+            # the kept set matches the oracle's ORDER BY score DESC, id ASC
             if len(h) < k:
-                heapq.heappush(h, (float(s), int(i)))
+                heapq.heappush(h, (float(s), -int(i)))
             else:
-                heapq.heappushpop(h, (float(s), int(i)))
+                heapq.heappushpop(h, (float(s), -int(i)))
     rows = []
     for q in sorted(heaps):
-        for s, i in sorted(heaps[q], reverse=True):
-            rows.append((q, i, s))
+        for s, ni in sorted(heaps[q], key=lambda t: (-t[0], -t[1])):
+            rows.append((q, -ni, s))
     return pd.DataFrame(rows, columns=["query_idx", id_column, "score"])
 
 
@@ -198,12 +206,14 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     for b in partials.iter_batches(batch_size=8192, batch_format="pandas"):
         for q, i, s in zip(b["query_idx"], b[id_column], b["score"]):
             h = heaps.setdefault(int(q), [])
+            # (score, -id): on score ties the LARGER id is evicted first, so
+            # the kept set matches the oracle's ORDER BY score DESC, id ASC
             if len(h) < k:
-                heapq.heappush(h, (float(s), int(i)))
+                heapq.heappush(h, (float(s), -int(i)))
             else:
-                heapq.heappushpop(h, (float(s), int(i)))
+                heapq.heappushpop(h, (float(s), -int(i)))
     rows = []
     for q in sorted(heaps):
-        for s, i in sorted(heaps[q], reverse=True):
-            rows.append((q, i, s))
+        for s, ni in sorted(heaps[q], key=lambda t: (-t[0], -t[1])):
+            rows.append((q, -ni, s))
     return pd.DataFrame(rows, columns=["query_idx", id_column, "score"])

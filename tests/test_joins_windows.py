@@ -96,6 +96,24 @@ class TestJoins:
         assert out["n"].tolist() == [2, 1, 1]
         assert out["sum_value_milli"].tolist() == [3000, 3000, 4000]
 
+    def test_tumbling_window_null_values(self, ray_session):
+        """NULL values: counted by n (count(*)) but skipped by the sum —
+        SQL semantics, not NaN-to-int garbage."""
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import tumbling_window_agg
+
+        df = pd.DataFrame(
+            {
+                "g": ["x", "x", "x"],
+                "ts": pd.to_datetime(["2024-01-01 00:10"] * 3),
+                "v": [1.0, None, 2.0],
+            }
+        )
+        out = tumbling_window_agg(rd.from_pandas(df), "ts", 3600, ["g"], "v").to_pandas()
+        assert out["n"].tolist() == [3]
+        assert out["sum_value_milli"].tolist() == [3000]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestDistributedComponents:
