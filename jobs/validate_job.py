@@ -1,0 +1,78 @@
+"""Cluster entry point for the flagship validation run.
+
+Submit to a fixed-size Ray cluster (the north rule's deployment shape):
+
+    ray job submit --working-dir /root/repo -- \
+        python jobs/validate_job.py CLIPS_PATH --out OUT_DIR \
+        [--partitions 64] [--baseline BASELINE.pkl]
+
+Inside a `ray job` the driver connects to the existing cluster via
+RAY_ADDRESS (auto-set by the job server); standalone it starts a local
+session. The run is checkpointed per partition (atomic _SUCCESS manifests
+with lineage + metrics) — resubmitting the identical job after a failure
+skips finished partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+# make the repo importable regardless of cwd — for the driver (sys.path)
+# AND the Ray workers it spawns (PYTHONPATH is inherited; under
+# `ray job submit --working-dir` the job server handles this instead)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("clips_path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--partitions", type=int, default=64)
+    p.add_argument("--baseline", help="pickled baseline sketch store")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="standalone only; ignored under ray job submit")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster; standalone
+        # falls back to a local session
+        import os
+
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if "RAY_ADDRESS" not in os.environ:
+            kwargs["address"] = "local"
+            if args.num_cpus:
+                kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from schema_guru_ray.pipelines.validate import ValidationConfig, run_validation_checkpointed
+
+    baseline = None
+    if args.baseline:
+        with open(args.baseline, "rb") as f:
+            baseline = pickle.load(f)
+
+    summary = run_validation_checkpointed(
+        args.clips_path, args.out, ValidationConfig(), baseline=baseline,
+        num_partitions=args.partitions, log=lambda m: print(m, file=sys.stderr),
+    )
+    print(json.dumps(summary, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -210,6 +210,49 @@ SELECT 'events.user_id', count(DISTINCT user_id) FROM events
 """
 
 
+def exact_quantiles_quantity(sf_dir: str):
+    """EXACT quantiles for a low-cardinality numeric column via a value
+    histogram: per-batch value_counts pre-agg → tiny groupby sum → driver
+    cumsum over the (few) distinct values. Complements the KLL sketch path
+    with an exact answer where cardinality allows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t["l_quantity"].to_numpy(zero_copy_only=False)).value_counts()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"value": vc.index.astype(float), "cnt": vc.to_numpy()}),
+            preserve_index=False,
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("value")
+    )
+    cum = hist["cnt"].cumsum()
+    total = int(cum.iloc[-1])
+    rows = []
+    for q in (0.25, 0.5, 0.75):
+        # quantile_disc semantics: smallest value with cum >= q * total
+        target = q * total
+        v = float(hist["value"][(cum >= target)].iloc[0])
+        rows.append({"q": q, "value": v})
+    return pd.DataFrame(rows)
+
+
+EXACT_QUANTILES_QUANTITY_SQL = """
+SELECT 0.25 AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem
+UNION ALL
+SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem
+UNION ALL
+SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem
+"""
+
+
 def referential_orphans(sf_dir: str):
     """Anti-join via broadcast key set (no shuffle): orders whose o_custkey
     has no customer row (SURVEY.md §2.4 J3 referential checks)."""
@@ -846,6 +889,7 @@ QUERIES = {
     "grouped_stats_events": grouped_stats_events,
     "column_stats_lineitem": column_stats_lineitem,
     "distinct_counts": distinct_counts,
+    "exact_quantiles_quantity": exact_quantiles_quantity,
     "referential_orphans": referential_orphans,
     "sessionize_events": sessionize_events,
     "top_customers_revenue": top_customers_revenue,
@@ -883,6 +927,7 @@ ORACLES = {
     "grouped_stats_events": GROUPED_STATS_EVENTS_SQL,
     "column_stats_lineitem": COLUMN_STATS_LINEITEM_SQL,
     "distinct_counts": DISTINCT_COUNTS_SQL,
+    "exact_quantiles_quantity": EXACT_QUANTILES_QUANTITY_SQL,
     "referential_orphans": REFERENTIAL_ORPHANS_SQL,
     "sessionize_events": SESSIONIZE_EVENTS_SQL,
     "top_customers_revenue": TOP_CUSTOMERS_REVENUE_SQL,

@@ -249,6 +249,7 @@ def run_validation_checkpointed(
     cfg: ValidationConfig = ValidationConfig(),
     baseline: Optional[Dict[str, Dict[str, bytes]]] = None,
     num_partitions: int = 8,
+    log=None,
 ):
     """Checkpointed flagship run: the clips parquet files are grouped into
     partitions; each partition streams read → validate → write
@@ -292,6 +293,7 @@ def run_validation_checkpointed(
         process,
         cfg_hash=config_hash(vars(cfg) | {"baseline": baseline is not None}),
         num_partitions=num_partitions,
+        log=log,
     )
 
 

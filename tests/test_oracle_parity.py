@@ -72,6 +72,7 @@ class TestOracleParity:
             "grouped_stats_events",
             "column_stats_lineitem",
             "distinct_counts",
+            "exact_quantiles_quantity",
             "referential_orphans",
             "sessionize_events",
             "top_customers_revenue",
