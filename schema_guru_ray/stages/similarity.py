@@ -23,42 +23,12 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
 
 
-class BatchTopK:
-    """map_batches kernel: batch embeddings × broadcast queries → local
-    top-k rows (query_idx, id, score)."""
-
-    def __init__(self, queries_ref, k: int, column: str = "embedding",
-                 id_column: str = "vec_id"):
-        import ray
-
-        self.queries = _unit(np.asarray(ray.get(queries_ref), dtype=np.float64))
-        self.k = k
-        self.column = column
-        self.id_column = id_column
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = _unit(np.stack(batch[self.column].to_numpy()).astype(np.float64))
-        ids = batch[self.id_column].to_numpy()
-        sims = self.queries @ vecs.T  # (n_q × n_batch)
-        k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows_q = np.repeat(np.arange(sims.shape[0]), k)
-        rows_i = idx.reshape(-1)
-        return pd.DataFrame(
-            {
-                "query_idx": rows_q.astype(np.int64),
-                self.id_column: ids[rows_i],
-                "score": sims[rows_q, rows_i],
-            }
-        )
-
-
 _TOPK_CACHE: dict = {}
 
 
 def _topk_task(batch: pd.DataFrame, *, queries_ref, k: int, column: str,
                id_column: str) -> pd.DataFrame:
-    """Task variant of BatchTopK: the unit-normalized query matrix is
+    """Per-batch local top-k kernel: the unit-normalized query matrix is
     fetched from the object store once per worker process and cached."""
     import ray
 

@@ -71,6 +71,54 @@ class TestCli:
         assert schema["properties"]["nested"]["properties"]["ip"]["format"] == "ipv4"
 
 
+class TestCliOptions:
+    def test_no_length_and_enum(self, json_dir, tmp_path):
+        out = tmp_path / "schema.json"
+        r = subprocess.run(
+            [sys.executable, "-m", "schema_guru_ray.cli", "schema", json_dir,
+             "--output", str(out), "--no-length", "--enum", "5"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        schema = json.loads(out.read_text())
+        cnt = schema["properties"]["count"]
+        assert "minLength" not in schema["properties"]["id"]
+        assert set(cnt["enum"]) == {3, 45000}
+
+    def test_ndjson_and_errors_path(self, tmp_path):
+        nd = tmp_path / "docs.ndjson"
+        nd.write_text("\n".join(json.dumps(d) for d in DOCS) + "\nnot json\n")
+        errs = tmp_path / "errors"
+        out = tmp_path / "schema.json"
+        r = subprocess.run(
+            [sys.executable, "-m", "schema_guru_ray.cli", "schema", str(nd),
+             "--ndjson", "--output", str(out), "--errors-path", str(errs)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert json.loads(out.read_text())["type"] == "object"
+        import glob
+
+        assert glob.glob(f"{errs}/*.parquet")
+
+    def test_user_enum_set_file(self, json_dir, tmp_path):
+        """User-defined enum set JSON file (reference SchemaCommand.scala:71-84)."""
+        enum_file = tmp_path / "ips.json"
+        enum_file.write_text(json.dumps(["10.0.0.1", "10.0.0.2", "10.0.0.3"]))
+        out = tmp_path / "schema.json"
+        r = subprocess.run(
+            [sys.executable, "-m", "schema_guru_ray.cli", "schema", json_dir,
+             "--output", str(out), "--enum-sets", str(enum_file)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        schema = json.loads(out.read_text())
+        # both observed ips are in the user set → substituted with the FULL set
+        assert set(schema["properties"]["nested"]["properties"]["ip"]["enum"]) == {
+            "10.0.0.1", "10.0.0.2", "10.0.0.3",
+        }
+
+
 class TestDdl:
     SCHEMA = {
         "type": "object",
