@@ -22,6 +22,11 @@ import json
 import os
 import subprocess
 import sys
+
+# importable from any cwd (driver + workers)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 import time
 
 

@@ -22,6 +22,12 @@ import json
 import os
 import sys
 
+# Ray workers must import schema_guru_ray too — propagate the repo root
+# when the CLI is launched from elsewhere
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 
 def _ray_init():
     import ray
