@@ -728,28 +728,19 @@ FROM orders JOIN customer ON c_custkey = o_custkey
 def asof_latest_order_before_event(sf_dir: str):
     """As-of join: for each event, the latest order of the same key placed
     at or before the event time (bucketed pd.merge_asof; DuckDB ASOF JOIN
-    oracle). Right side deduped to one order per (key, date) so ties are
-    deterministic on both engines."""
+    oracle with a max-orderkey dedupe CTE; the Ray side achieves the same
+    tie semantics via the in-bucket secondary sort — no extra shuffle)."""
     from schema_guru_ray.stages.joins import asof_join
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def dedupe(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby(["o_custkey", "o_orderdate"], as_index=False)[
-            "o_orderkey"
-        ].max()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    from ray.data.aggregate import Max
-
-    orders_d = (
-        orders.groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
-        .rename_columns({"o_custkey": "user_id"})
+    # no dedupe shuffle needed: asof_join's in-bucket secondary sort makes
+    # merge_asof pick the max o_orderkey among equal (key, date) rows,
+    # matching the oracle's max() dedupe CTE
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).rename_columns(
+        {"o_custkey": "user_id"}
     )
     out = asof_join(
-        events, orders_d, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
         right_columns=["o_orderkey"],
     )
     return out.select_columns(["event_id", "user_id", "o_orderkey"])

@@ -115,9 +115,14 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
             g[g["__side"] == "l"].reindex(columns=left_cols)
             .sort_values(left_ts, kind="stable")
         )
+        # secondary sort keys make ties at equal right_ts deterministic:
+        # merge_asof(backward) picks the LAST row ≤ ts, i.e. the max of the
+        # remaining columns — no separate dedupe shuffle needed upstream
         r = (
             g[g["__side"] == "r"].reindex(columns=right_cols)
-            .sort_values(right_ts, kind="stable")
+            .sort_values(
+                [right_ts, *[c for c in right_cols if c != right_ts]], kind="stable"
+            )
         )
         if l.empty or r.empty:
             return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
