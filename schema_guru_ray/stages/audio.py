@@ -185,24 +185,22 @@ def validate_batch_task(batch: pa.Table, *, snr_threshold_db: float = 30.0,
 
 
 def explode_violations(batch: pa.Table) -> pa.Table:
-    """Verdict batch → long-format violation rows (clip_id, codec, kind)."""
+    """Verdict batch → long-format violation rows (clip_id, codec, kind).
+    Fully vectorized: ``list_flatten`` yields the kinds, and
+    ``list_parent_indices`` maps each kind back to its clip row — no
+    per-row Python loop (matters at 100 TB of verdicts)."""
     import pyarrow.compute as pc
 
     mask = pc.greater(pc.list_value_length(batch["violations"]), 0)
     bad = batch.filter(mask)
-    out_ids, out_codecs, out_kinds = [], [], []
-    for cid, codec, vs in zip(
-        bad["clip_id"].to_pylist(), bad["codec"].to_pylist(), bad["violations"].to_pylist()
-    ):
-        for kind in vs:
-            out_ids.append(cid)
-            out_codecs.append(codec)
-            out_kinds.append(kind)
+    viols = bad["violations"].combine_chunks()
+    kinds = pc.list_flatten(viols)
+    parents = pc.list_parent_indices(viols)
     return pa.Table.from_arrays(
         [
-            pa.array(out_ids, pa.string()),
-            pa.array(out_codecs, pa.string()),
-            pa.array(out_kinds, pa.string()),
+            pc.take(bad["clip_id"].combine_chunks(), parents),
+            pc.take(bad["codec"].combine_chunks(), parents),
+            kinds,
         ],
         names=["clip_id", "codec", "kind"],
     )

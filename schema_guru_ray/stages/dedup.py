@@ -407,13 +407,22 @@ def verify_pairs_jaccard(
 
 
 class HyperplaneLSH:
-    """map_batches kernel → (bucket, id, unit-vector bytes) rows using
-    random-hyperplane signatures (Charikar 2002) for cosine buckets."""
+    """map_batches kernel → (table, bucket, id, unit-vector bytes) rows using
+    random-hyperplane signatures (Charikar 2002) for cosine buckets.
+
+    ``n_tables`` independent plane sets (multi-table LSH): a single table's
+    recall for cosine c is (1 - acos(c)/π)^n_bits — e.g. ≈0.43 at c=0.95
+    with 8 bits. With T tables a true pair is missed only if EVERY table
+    splits it: miss = (1-p)^T, so T=16 × 6 bits gives recall ≈ 1-6e-6 at
+    c=0.95. One exploded row per (vector × table) shuffles; vectors
+    themselves never pairwise-compare outside shared buckets."""
 
     def __init__(self, dim: int, n_bits: int = 12, column: str = "embedding",
-                 id_column: str = "vec_id", seed: int = 11):
+                 id_column: str = "vec_id", seed: int = 11, n_tables: int = 1):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_bits))
+        self.planes = rng.standard_normal((n_tables, dim, n_bits))
+        self.n_tables = n_tables
+        self.n_bits = n_bits
         self.column = column
         self.id_column = id_column
 
@@ -421,48 +430,90 @@ class HyperplaneLSH:
         vecs = np.stack(batch[self.column].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.clip(norms, 1e-12, None)
-        bits = (unit @ self.planes) > 0
-        buckets = np.packbits(
-            np.pad(bits, ((0, 0), (0, (-bits.shape[1]) % 8))), axis=1, bitorder="little"
-        )
-        keys = np.zeros(len(vecs), dtype=np.int64)
-        for c in range(buckets.shape[1]):
-            keys |= buckets[:, c].astype(np.int64) << (8 * c)
-        return pd.DataFrame(
-            {
-                "bucket": keys,
-                self.id_column: batch[self.id_column],
-                "unit": [u.astype(np.float32).tobytes() for u in unit],
-            }
-        )
+        n = len(vecs)
+        unit_bytes = [u.astype(np.float32).tobytes() for u in unit]
+        ids = batch[self.id_column].to_numpy()
+        frames = []
+        weights = (np.int64(1) << np.arange(self.n_bits, dtype=np.int64))
+        for t in range(self.n_tables):
+            bits = (unit @ self.planes[t]) > 0
+            keys = bits.astype(np.int64) @ weights
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "table": np.full(n, t, dtype=np.int32),
+                        "bucket": keys,
+                        self.id_column: ids,
+                        "unit": unit_bytes,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
 
 def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
                              n_bits: int = 12, column: str = "embedding",
-                             id_column: str = "vec_id"):
+                             id_column: str = "vec_id", n_tables: int = 1,
+                             n_buckets: int = 256):
     """Cosine near-dup pairs via hyperplane-LSH buckets + in-bucket exact
-    cosine. Returns (id_a, id_b, cosine). Note: LSH recall < 1 by nature —
-    pair with multiple plane seeds for higher recall at scale."""
-    hashed = ds.map_batches(HyperplaneLSH(dim, n_bits, column, id_column),
-                            batch_format="pandas")
+    cosine. Returns (id_a, id_b, cosine).
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = g[id_column].to_numpy()
-        vecs = np.stack([np.frombuffer(u, dtype=np.float32) for u in g["unit"]])
-        sims = vecs @ vecs.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        mask = sims[ii, jj] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ids[ii[mask]], ids[jj[mask]]),
-                "id_b": np.maximum(ids[ii[mask]], ids[jj[mask]]),
-                "cosine": sims[ii, jj][mask].astype(np.float64),
-            }
-        )
+    Recall: tune with ``n_tables`` (multi-table LSH, see HyperplaneLSH) —
+    n_tables=16 with n_bits=6 is effectively exhaustive at cosine ≥0.95.
+    Shuffle shape mirrors MinHash: exploded rows group by a COARSE hash
+    bucket, in-bucket work is a vectorized pandas groupby over real
+    (table, bucket) keys, and the cross-table pair dedup is Ray's
+    vectorized Max aggregate — no per-pair Python dispatch."""
+    hashed = ds.map_batches(
+        HyperplaneLSH(dim, n_bits, column, id_column, n_tables=n_tables),
+        batch_format="pandas",
+    ).map_batches(
+        lambda b: b.assign(
+            coarse=(
+                stable_hash64(b["bucket"] + 1_000_003 * b["table"].astype(np.int64))
+                % np.uint64(n_buckets)
+            ).astype(np.int32)
+        ),
+        batch_format="pandas",
+    )
 
-    pairs = hashed.groupby("bucket").map_groups(bucket, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby(["table", "bucket"], sort=False):
+            if len(grp) < 2:
+                continue
+            uniq = grp.drop_duplicates(id_column)
+            if len(uniq) < 2:
+                continue
+            ids = uniq[id_column].to_numpy()
+            vecs = np.stack([np.frombuffer(u, dtype=np.float32) for u in uniq["unit"]])
+            sims = vecs @ vecs.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            mask = sims[ii, jj] >= threshold
+            if mask.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ids[ii[mask]], ids[jj[mask]]),
+                            "id_b": np.maximum(ids[ii[mask]], ids[jj[mask]]),
+                            "cosine": sims[ii, jj][mask].astype(np.float64),
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"id_a": "int64", "id_b": "int64"})
+
+    pairs = hashed.groupby("coarse").map_groups(coarse_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine")
     )

@@ -8,22 +8,86 @@
   merge pairwise inside ``map_groups``.
 * :func:`asof_join` — per-key ordered as-of join: hash-bucket by key, sort
   inside the bucket, ``pd.merge_asof`` per bucket (the guide's as-of
-  pattern). Assumes each key's rows fit a bucket worker — document B for
-  hot keys.
+  pattern). Assumes each key's rows fit a bucket worker — bucket count is
+  data-scaled (see :func:`derive_num_buckets`), but a single hot KEY still
+  lands in one bucket by construction.
 * :func:`tumbling_window_agg` — event-time tumbling windows as a computed
   window key + vectorized per-batch partial aggregation + small groupby (no
   watermark machinery: batch semantics over an ordered log).
+
+Dtype discipline: the bucketed paths union the two tagged sides, and a
+union null-fills each side's missing columns — which silently degrades
+numpy int64/bool columns to float64/object inside the buckets (the round-1
+asof oracle mismatch: ``77`` became ``77.0``). Both paths therefore cast
+int/bool columns to pandas *nullable* dtypes (Int64/boolean) at tag time,
+so the null-fill is representable and the output Arrow schema round-trips
+to the source types exactly.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+import math
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from schema_guru_ray.stages.profile import stable_hash64
+
+# rows per pandas bucket group that a worker comfortably materializes; the
+# bucketed fallbacks derive their bucket count from this so per-group memory
+# stays bounded as the input grows (round-1 verdict: fixed 16/64 buckets
+# materialize 1/16 of the table per group at any scale).
+DEFAULT_ROWS_PER_BUCKET = 250_000
+
+
+def derive_num_buckets(n_rows: int, rows_per_bucket: int = DEFAULT_ROWS_PER_BUCKET,
+                        floor: int = 8) -> int:
+    return max(floor, math.ceil(n_rows / max(1, rows_per_bucket)))
+
+
+def _nullable_cast_map(names, types) -> Dict[str, str]:
+    """Columns whose numpy dtype cannot represent NULL → pandas nullable
+    dtype, so union null-fill does not degrade them."""
+    out: Dict[str, str] = {}
+    for name, t in zip(names, types):
+        if not isinstance(t, pa.DataType):
+            continue
+        if pa.types.is_integer(t):
+            prefix = "UInt" if pa.types.is_unsigned_integer(t) else "Int"
+            out[name] = f"{prefix}{t.bit_width}"
+        elif pa.types.is_boolean(t):
+            out[name] = "boolean"
+    return out
+
+
+def _empty_typed_frame(columns, schemas: Dict[str, str]) -> pd.DataFrame:
+    """Empty frame with stable dtypes so empty buckets unify with full ones."""
+    return pd.DataFrame(
+        {c: pd.Series(dtype=schemas.get(c, "object")) for c in columns}
+    )
+
+
+def _dtype_spec(ds) -> Dict[str, str]:
+    """column → pandas dtype string used for empty-bucket frames."""
+    sch = ds.schema()
+    spec: Dict[str, str] = {}
+    for name, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            spec[name] = "object"
+        elif pa.types.is_integer(t):
+            prefix = "UInt" if pa.types.is_unsigned_integer(t) else "Int"
+            spec[name] = f"{prefix}{t.bit_width}"
+        elif pa.types.is_boolean(t):
+            spec[name] = "boolean"
+        elif pa.types.is_floating(t):
+            spec[name] = "float32" if t == pa.float32() else "float64"
+        elif pa.types.is_timestamp(t):
+            spec[name] = "datetime64[us]"
+        else:
+            spec[name] = "object"
+    return spec
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "inner"):
@@ -49,18 +113,25 @@ def hash_join(left, right, on: str, num_partitions: int = 16,
     return bucketed_hash_join(left, right, on, num_partitions, join_type)
 
 
-def bucketed_hash_join(left, right, on: str, num_buckets: int = 16,
+def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
                        join_type: str = "inner"):
     """Portable explicit hash join: tag both sides with ``bucket =
     hash(key) % B``, union, group by bucket, pandas-merge the two sides
-    inside each bucket. Salt hot keys by raising B."""
-
-    left_cols = list(left.schema().names)
-    right_cols = list(right.schema().names)
+    inside each bucket. ``num_buckets=None`` scales B to the input row
+    count. Salt hot keys by raising B."""
+    lschema, rschema = left.schema(), right.schema()
+    left_cols = list(lschema.names)
+    right_cols = list(rschema.names)
+    nullable = _nullable_cast_map(lschema.names, lschema.types)
+    nullable.update(_nullable_cast_map(rschema.names, rschema.types))
+    spec = _dtype_spec(left)
+    spec.update(_dtype_spec(right))
+    if num_buckets is None:
+        num_buckets = derive_num_buckets(left.count() + right.count())
 
     def tag(side: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
+            b = b.astype({c: d for c, d in nullable.items() if c in b.columns})
             b["__bucket"] = (stable_hash64(b[on]) % np.uint64(num_buckets)).astype(np.int32)
             b["__side"] = side
             return b
@@ -69,33 +140,48 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 16,
 
     lt = left.map_batches(tag("l"), batch_format="pandas")
     rt = right.map_batches(tag("r"), batch_format="pandas")
-    both = lt.union(rt)  # schemas unify; missing columns null-fill per block
+    both = lt.union(rt)  # null-fill is representable: int/bool are nullable now
+
+    out_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == "l"].reindex(columns=left_cols)
         r = g[g["__side"] == "r"].reindex(columns=right_cols)
-        if r[on].dtype != l[on].dtype and len(l) and len(r):
+        if l.empty or r.empty:
+            if join_type == "inner":
+                return _empty_typed_frame(out_cols, spec)
+            # outer flavors fall through to pandas' own semantics
+        if len(l) and len(r) and r[on].dtype != l[on].dtype:
             r = r.astype({on: l[on].dtype})
-        return l.merge(r, on=on, how=join_type)
+        return l.merge(r, on=on, how=join_type).reindex(columns=out_cols)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
-              num_buckets: int = 16, direction: str = "backward",
+              num_buckets: Optional[int] = None, direction: str = "backward",
               right_columns: Optional[Sequence[str]] = None):
     """As-of join: for each left row, the latest right row of the same key
     with right_ts <= left_ts (direction='backward'). Inner semantics (left
-    rows without a match are dropped)."""
-
-    left_cols = list(left.schema().names)
+    rows without a match are dropped). ``num_buckets=None`` scales the
+    bucket count to the input row count."""
+    lschema = left.schema()
+    left_cols = list(lschema.names)
     right_cols = [key, right_ts] + [
         c for c in (right_columns or right.schema().names) if c not in (key, right_ts)
     ]
+    right_sel = right.select_columns(right_cols)
+    rschema = right_sel.schema()
+    nullable = _nullable_cast_map(lschema.names, lschema.types)
+    nullable.update(_nullable_cast_map(rschema.names, rschema.types))
+    spec = _dtype_spec(left)
+    spec.update(_dtype_spec(right_sel))
+    if num_buckets is None:
+        num_buckets = derive_num_buckets(left.count() + right.count())
 
     def tag(side: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
+            b = b.astype({c: d for c, d in nullable.items() if c in b.columns})
             b["__bucket"] = (stable_hash64(b[key]) % np.uint64(num_buckets)).astype(np.int32)
             b["__side"] = side
             return b
@@ -103,8 +189,8 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
         return fn
 
     lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right.select_columns(right_cols).map_batches(tag("r"), batch_format="pandas")
-    both = lt.union(rt)  # schemas unify; the other side's columns null-fill
+    rt = right_sel.map_batches(tag("r"), batch_format="pandas")
+    both = lt.union(rt)  # null-fill is representable: int/bool are nullable now
 
     out_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
@@ -125,7 +211,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
             )
         )
         if l.empty or r.empty:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+            return _empty_typed_frame(out_cols, spec)
         if key in l.columns and l[key].dtype != r[key].dtype:
             r = r.astype({key: l[key].dtype})
         # unify timestamp resolutions (parquet us vs pandas s after unions)
@@ -135,7 +221,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
         out = pd.merge_asof(
             l, r, left_on=left_ts, right_on=right_ts, by=key, direction=direction
         )
-        return out.dropna(subset=[right_ts])[out_cols]
+        return out.dropna(subset=[right_ts]).reindex(columns=out_cols)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 

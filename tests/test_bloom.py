@@ -56,3 +56,15 @@ class TestSemiJoinBloom:
         keys = set(r["c_custkey"] for r in customers.take_all())
         fp = sum(1 for r in semi.take_all() if r["o_custkey"] not in keys)
         assert fp <= max(5, 0.03 * n_all)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReferentialOrphansRegimes:
+    def test_bloom_regime_matches_exact(self, sf_dir):
+        """Forcing the huge-key-side regime (Bloom prune + survivor probe)
+        must give the same orphan count as the exact broadcast regime."""
+        from schema_guru_ray.pipelines.queries import referential_orphans
+
+        exact = referential_orphans(sf_dir)
+        bloom = referential_orphans(sf_dir, exact_broadcast_limit=0)
+        assert int(exact["n_orphans"].iloc[0]) == int(bloom["n_orphans"].iloc[0])

@@ -201,3 +201,26 @@ class TestInferPipelines:
         a = infer_schema(ds, ctx, batch_size=64)["schema"]
         b = infer_schema(ds, ctx, batch_size=4096)["schema"]
         assert a == b
+
+    def test_fold_states_tree_bounded(self, sf_dir):
+        """Tree-merge level: with forced tiny batches (many per-batch
+        states) the driver folds only ≤ tree_fanin shard survivors, and the
+        result is identical for any fan-in (associative merge)."""
+        import ray.data as rd
+
+        from schema_guru_ray.pipelines.infer import fold_states
+        from schema_guru_ray.schema.finalize import merge_and_transform
+        from schema_guru_ray.stages.derive import StateBatcher
+
+        ctx = SchemaContext(enum_cardinality=8, quantity=1000)
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet")
+        states = ds.map_batches(
+            StateBatcher(ctx), batch_format="pyarrow", batch_size=32
+        )
+        assert states.count() > 8  # genuinely many partial states
+        small = fold_states(states, ctx, tree_fanin=4)
+        big = fold_states(states, ctx, tree_fanin=512)
+        assert merge_and_transform(small["state"], ctx) == merge_and_transform(
+            big["state"], ctx
+        )
+        assert small["n_rows"] == big["n_rows"] == ds.count()

@@ -72,6 +72,57 @@ class TestJoins:
         # ev c: none before 01-01 → dropped; ev d: none (<09) → dropped; ev e: no key
         assert dict(zip(out["ev"], out["val"])) == {"a": 100, "b": 200}
 
+    def test_asof_join_preserves_int_dtype(self, ray_session):
+        """Round-1 red oracle cell: the tagged union's null-fill degraded
+        int64 columns to float64 inside the buckets (77 → 77.0). The output
+        Arrow schema must carry the SOURCE integer types."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import asof_join
+
+        left = pd.DataFrame(
+            {
+                "key": np.array([1, 1, 2], dtype=np.int64),
+                "ts": pd.to_datetime(["2024-01-05", "2024-01-10", "2024-01-07"]),
+                "eid": np.array([11, 12, 13], dtype=np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "key": np.array([1, 2], dtype=np.int64),
+                "rts": pd.to_datetime(["2024-01-02", "2024-01-03"]),
+                "val": np.array([100, 300], dtype=np.int64),
+                "flag": np.array([True, False]),
+            }
+        )
+        out = asof_join(
+            rd.from_pandas(left).repartition(2), rd.from_pandas(right),
+            key="key", left_ts="ts", right_ts="rts", num_buckets=4,
+        )
+        sch = {n: t for n, t in zip(out.schema().names, out.schema().types)}
+        assert sch["eid"] == pa.int64()
+        assert sch["val"] == pa.int64()
+        assert sch["key"] == pa.int64()
+        assert sch["flag"] == pa.bool_()
+        got = out.to_pandas().sort_values("eid")
+        assert got["val"].tolist() == [100, 100, 300]
+
+    def test_bucketed_join_dtypes_match_native(self, sides):
+        """The fallback join must emit the same Arrow schema as the native
+        Dataset.join path (same latent null-fill bug, masked in round 1)."""
+        from schema_guru_ray.stages.joins import bucketed_hash_join, hash_join
+
+        lds, rds, left, right = sides
+        fall = bucketed_hash_join(lds, rds, on="k", num_buckets=4)
+        native = hash_join(lds, rds, on="k", num_partitions=4)
+        fs = {n: t for n, t in zip(fall.schema().names, fall.schema().types)}
+        ns = {n: t for n, t in zip(native.schema().names, native.schema().types)}
+        assert fs == ns
+        a = fall.to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        b = native.to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        assert a[["k", "x", "y"]].equals(b[["k", "x", "y"]])
+
     def test_tumbling_window(self, ray_session):
         import ray.data as rd
 

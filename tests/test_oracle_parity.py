@@ -57,6 +57,13 @@ class TestOracleParity:
         assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
         assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
         for c in a.columns:
+            # the driver hashes VALUES: an int column degraded to float
+            # ("77.0" vs "77") hash-mismatches even when numerically equal —
+            # mirror that by requiring the same numeric kind
+            if a[c].dtype.kind in "iuf" or b[c].dtype.kind in "iuf":
+                assert (a[c].dtype.kind in "iu") == (
+                    b[c].dtype.kind in "iu"
+                ), f"{name}.{c}: numeric kind {a[c].dtype} vs {b[c].dtype}"
             if a[c].dtype.kind == "f":
                 assert (
                     (a[c] - b[c]).abs().max() < 1e-9
