@@ -518,6 +518,96 @@ def minhash_dedup_documents(sf_dir: str):
     return minhash_candidate_pairs(ds, MinHashSigner(), min_est_jaccard=0.5)
 
 
+def near_dup_pairs_documents(sf_dir: str):
+    """End-to-end distributed near-dup detection with an EXACT answer:
+    MinHash+LSH candidate generation (21 bands × 3 rows — miss probability
+    at jaccard 0.8 is (1-0.8³)^21 ≈ 3e-7, i.e. recall-exhaustive for this
+    threshold) → distributed exact shingle-set verification
+    (verify_pairs_jaccard_distributed) → pairs with word-3-gram jaccard
+    >= 0.8. Output is pure integers (n_inter, n_union), so the DuckDB
+    brute-force oracle hash-matches exactly."""
+    from schema_guru_ray.stages.dedup import (
+        MinHashSigner,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_distributed,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    signer = MinHashSigner(num_perm=63, bands=21)
+    cands = minhash_candidate_pairs(ds, signer, min_est_jaccard=0.5)
+    out = verify_pairs_jaccard_distributed(cands, ds, threshold=0.8)
+    return out.select_columns(["id_a", "id_b", "n_inter", "n_union"])
+
+
+NEAR_DUP_PAIRS_DOCUMENTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tk) < 3 THEN [list_aggregate(tk, 'string_agg', ' ')]
+         ELSE list_transform(generate_series(1, len(tk)-2),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+    END)) AS s
+  FROM toks
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, ca.n + cb.n - n_inter AS n_union
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_inter * 5 >= (ca.n + cb.n - n_inter) * 4
+"""
+
+
+def dup_components_documents(sf_dir: str):
+    """Duplicate clusters: distributed min-label propagation
+    (connected_components_distributed) over the exact-verified near-dup
+    pairs. Oracle: recursive-CTE transitive closure in DuckDB — this is
+    the correctness check for the distributed components operator
+    itself."""
+    from schema_guru_ray.stages.dedup import (
+        MinHashSigner,
+        connected_components_distributed,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_distributed,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    signer = MinHashSigner(num_perm=63, bands=21)
+    cands = minhash_candidate_pairs(ds, signer, min_est_jaccard=0.5)
+    pairs = verify_pairs_jaccard_distributed(cands, ds, threshold=0.8)
+    labels = connected_components_distributed(pairs)
+    return labels.map_batches(
+        lambda b: b.assign(
+            node=b["node"].astype("int64"), label=b["label"].astype("int64")
+        ),
+        batch_format="pandas",
+    )
+
+
+DUP_COMPONENTS_DOCUMENTS_SQL = (
+    "WITH RECURSIVE pairs AS (" + NEAR_DUP_PAIRS_DOCUMENTS_SQL + r"""),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT DISTINCT a AS src, a AS reach FROM edges
+  UNION
+  SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.reach
+)
+SELECT src AS node, min(reach) AS label FROM walk GROUP BY src
+"""
+)
+
+
 def simhash_documents(sf_dir: str):
     from schema_guru_ray.stages.dedup import simhash_pairs
 
@@ -570,18 +660,59 @@ QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY list_cosine_similarit
 
 
 def ivf_topk_embeddings(sf_dir: str, k: int = 10):
-    """IVF approximate top-k (rows-only: approximate by design)."""
-    from schema_guru_ray.stages.similarity import ivf_topk
+    """IVF approximate top-k. Approximate by design (no SQL oracle), but
+    the result carries a MEASURED per-query recall against the exact
+    brute-force top-k computed in the same run — the rows-only record is
+    therefore a checked invariant, and pytest bounds it."""
+    from schema_guru_ray.stages.similarity import brute_force_topk, ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, _load_queries(sf_dir), k=k, n_cells=16, n_probe=4)
+    queries = _load_queries(sf_dir)
+    # random (cluster-free) embeddings are IVF's worst case — probe half
+    # the cells; real clustered corpora reach the same recall with fewer
+    approx = ivf_topk(ds, queries, k=k, n_cells=16, n_probe=8)
+    exact = brute_force_topk(ds, queries, k=k)
+    recall = {
+        int(q): len(
+            set(approx[approx["query_idx"] == q]["vec_id"])
+            & set(exact[exact["query_idx"] == q]["vec_id"])
+        )
+        / max(1, (exact["query_idx"] == q).sum())
+        for q in exact["query_idx"].unique()
+    }
+    approx = approx.copy()
+    approx["recall_vs_exact"] = approx["query_idx"].map(recall).astype("float64")
+    return approx
 
 
 def embedding_near_dup(sf_dir: str):
+    """Cosine near-dup pairs (multi-table hyperplane LSH, 16 tables × 6
+    bits → miss probability ≈ 6e-6 at cosine 0.95) + in-bucket exact
+    cosine. Integer basis points → hash-exact DuckDB brute-force oracle."""
     from schema_guru_ray.stages.dedup import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, dim=64, threshold=0.95, n_bits=8)
+    pairs = embedding_near_dup_pairs(
+        ds, dim=64, threshold=0.95, n_bits=6, n_tables=16
+    ).to_pandas()
+    if pairs.empty:  # empty aggregates drop their schema in to_pandas
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine_bp": pd.Series(dtype="int64"),
+            }
+        )
+    pairs["cosine_bp"] = np.floor(pairs["cosine"] * 10000 + 0.5).astype("int64")
+    return pairs[["id_a", "id_b", "cosine_bp"]]
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS cosine_bp
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
 
 
 # --- schema inference -------------------------------------------------------
@@ -943,6 +1074,8 @@ QUERIES = {
     "fingerprint_documents": fingerprint_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
+    "near_dup_pairs_documents": near_dup_pairs_documents,
+    "dup_components_documents": dup_components_documents,
     "simhash_documents": simhash_documents,
     "langid_documents": langid_documents,
     "ann_topk_embeddings": ann_topk_embeddings,
@@ -980,6 +1113,9 @@ ORACLES = {
     "quality_documents": QUALITY_DOCUMENTS_SQL,
     "fingerprint_documents": FINGERPRINT_DOCUMENTS_SQL,
     "dedup_exact_documents": DEDUP_EXACT_DOCUMENTS_SQL,
+    "near_dup_pairs_documents": NEAR_DUP_PAIRS_DOCUMENTS_SQL,
+    "dup_components_documents": DUP_COMPONENTS_DOCUMENTS_SQL,
+    "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "ann_topk_embeddings": ANN_TOPK_EMBEDDINGS_SQL,
     "join_orders_customers": JOIN_ORDERS_CUSTOMERS_SQL,
     "asof_latest_order_before_event": ASOF_LATEST_ORDER_SQL,

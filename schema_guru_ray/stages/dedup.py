@@ -382,6 +382,77 @@ def simhash_pairs(ds, max_hamming: int = 3, column: str = "text", id_column: str
 # --- n-gram Jaccard verification -------------------------------------------
 
 
+def verify_pairs_jaccard_distributed(
+    pairs_ds,
+    docs_ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    n_buckets: int = 256,
+):
+    """EXACT n-gram Jaccard verification of candidate pairs, end-to-end
+    distributed (the scale path promised by :func:`verify_pairs_jaccard`):
+
+    1. explode each candidate pair to two (doc_id, id_a, id_b) rows;
+    2. hash-join against the documents table — only documents that appear
+       in some candidate pair ship their text anywhere (a semi-join: at
+       100 TB this is the tiny LSH-confirmed subset, not the corpus);
+    3. group by a coarse pair-hash bucket; inside a bucket a pandas
+       groupby walks real pairs and computes exact integer
+       intersection/union of the shingle sets.
+
+    Returns rows (id_a, id_b, n_inter, n_union) for pairs with
+    jaccard >= threshold, decided by integer cross-multiplication
+    (``n_inter * q >= n_union * p`` for threshold p/q) — no float
+    comparisons, so the result hash-matches a SQL oracle exactly."""
+    from fractions import Fraction
+
+    from schema_guru_ray.stages.joins import hash_join
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    p_num, p_den = frac.numerator, frac.denominator
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_column: pd.concat([b["id_a"], b["id_b"]], ignore_index=True).astype("int64"),
+                "id_a": pd.concat([b["id_a"], b["id_a"]], ignore_index=True).astype("int64"),
+                "id_b": pd.concat([b["id_b"], b["id_b"]], ignore_index=True).astype("int64"),
+            }
+        )
+
+    sides = pairs_ds.map_batches(explode, batch_format="pandas")
+    joined = hash_join(sides, docs_ds.select_columns([id_column, column]),
+                       on=id_column, num_partitions=16)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["id_a"].astype(np.int64) * np.int64(1_000_003) + b["id_b"].astype(np.int64)
+        return b.assign(bucket=(stable_hash64(key) % np.uint64(n_buckets)).astype(np.int32))
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (ia, ib), grp in g.groupby(["id_a", "id_b"], sort=False):
+            texts = dict(zip(grp[id_column], grp[column]))
+            if len(texts) < 2:
+                continue  # one side's doc missing (shouldn't happen)
+            sa = set(word_shingles(texts[ia] or "", shingle_n))
+            sb = set(word_shingles(texts[ib] or "", shingle_n))
+            n_inter = len(sa & sb)
+            n_union = len(sa | sb)
+            if n_union and n_inter * p_den >= n_union * p_num:
+                rows.append((int(ia), int(ib), n_inter, n_union))
+        return pd.DataFrame(
+            rows, columns=["id_a", "id_b", "n_inter", "n_union"]
+        ).astype({"id_a": "int64", "id_b": "int64", "n_inter": "int64", "n_union": "int64"})
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
+
+
 def verify_pairs_jaccard(
     pairs_df: pd.DataFrame,
     texts_by_id: Dict[int, str],

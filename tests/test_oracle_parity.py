@@ -88,7 +88,10 @@ class TestOracleParity:
             "quality_documents",
             "fingerprint_documents",
             "dedup_exact_documents",
+            "near_dup_pairs_documents",
+            "dup_components_documents",
             "ann_topk_embeddings",
+            "embedding_near_dup",
             "join_orders_customers",
             "asof_latest_order_before_event",
             "windowed_events_daily",
@@ -105,7 +108,6 @@ class TestOracleParity:
             "simhash_documents",
             "langid_documents",
             "ivf_topk_embeddings",
-            "embedding_near_dup",
             "schema_infer_lineitem",
             "schema_infer_events_props",
             "schema_roundtrip_validate_events",

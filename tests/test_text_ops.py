@@ -84,3 +84,50 @@ class TestTextPipeline:
         out = ds.map_batches(TokenCounter(), batch_format="pandas").to_pandas()
         assert len(out) == ds.count()
         assert (out["n_tokens"] > 0).all()
+
+
+class TestLangIdRealText:
+    """Language ID validated on REAL multilingual text — UDHR Article 1
+    (public domain) per language. The synthetic documents table cannot test
+    this (identical word-salad across lang labels — round-1 verdict)."""
+
+    UDHR = {
+        "en": "All human beings are born free and equal in dignity and rights. "
+              "They are endowed with reason and conscience and should act "
+              "towards one another in a spirit of brotherhood.",
+        "fr": "Tous les êtres humains naissent libres et égaux en dignité et "
+              "en droits. Ils sont doués de raison et de conscience et doivent "
+              "agir les uns envers les autres dans un esprit de fraternité.",
+        "es": "Todos los seres humanos nacen libres e iguales en dignidad y "
+              "derechos y, dotados como están de razón y conciencia, deben "
+              "comportarse fraternalmente los unos con los otros.",
+        "de": "Alle Menschen sind frei und gleich an Würde und Rechten geboren. "
+              "Sie sind mit Vernunft und Gewissen begabt und sollen einander im "
+              "Geist der Brüderlichkeit begegnen.",
+        "it": "Tutti gli esseri umani nascono liberi ed eguali in dignità e "
+              "diritti. Essi sono dotati di ragione e di coscienza e devono "
+              "agire gli uni verso gli altri in spirito di fratellanza.",
+        "pt": "Todos os seres humanos nascem livres e iguais em dignidade e em "
+              "direitos. Dotados de razão e de consciência, devem agir uns "
+              "para com os outros em espírito de fraternidade.",
+    }
+
+    def test_udhr_article_1(self):
+        import pandas as pd
+
+        from schema_guru_ray.stages.text import LangId
+
+        batch = pd.DataFrame(
+            {"doc_id": list(range(len(self.UDHR))), "text": list(self.UDHR.values())}
+        )
+        out = LangId()(batch)
+        preds = dict(zip(self.UDHR.keys(), out["lang_pred"]))
+        assert preds == {k: k for k in self.UDHR}, preds
+
+    def test_non_language_is_und(self):
+        import pandas as pd
+
+        from schema_guru_ray.stages.text import LangId
+
+        out = LangId()(pd.DataFrame({"doc_id": [0, 1], "text": ["12345 9999 777", ""]}))
+        assert list(out["lang_pred"]) == ["und", "und"]
