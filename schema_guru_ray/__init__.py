@@ -18,6 +18,26 @@ No code is copied from the reference; semantics are re-implemented from its
 observable behavior and test suite (see SURVEY.md for file:line citations).
 """
 
+import logging as _logging
+
+
+class _SchemaHashNoiseFilter(_logging.Filter):
+    """Suppress Ray Data's per-block 'Failed to hash the schemas (for
+    deduplication): unhashable type: dict' warning. It fires for ANY Arrow
+    schema carrying key-value metadata (pyarrow Schema.metadata is a dict,
+    so hash() always raises) — including every parquet file written by
+    pandas — and is purely a missed dedup fast path, not a correctness
+    issue. Our own stages strip metadata where they produce blocks; this
+    filter covers blocks read straight from third-party parquet."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        return "Failed to hash the schemas (for deduplication)" not in record.getMessage()
+
+
+for _name in ("ray.data", "ray.data._internal.arrow_ops.transform_pyarrow"):
+    _logging.getLogger(_name).addFilter(_SchemaHashNoiseFilter())
+
+
 from schema_guru_ray.context import SchemaContext
 from schema_guru_ray.schema.states import (
     ArrayState,

@@ -175,6 +175,10 @@ def main(argv=None) -> int:
     pd_.add_argument("--varchar-size", type=int, default=4096)
     pd_.add_argument("--with-json-paths", action="store_true")
     pd_.add_argument("--raw-mode", action="store_true")
+    pd_.add_argument("--split-product", action="store_true",
+                     help="split product-typed properties into one column per type")
+    pd_.add_argument("--no-header", action="store_true",
+                     help="do not place header comments into output DDL")
     pd_.add_argument("--force", action="store_true")
     pd_.set_defaults(fn=cmd_ddl)
 

@@ -413,18 +413,23 @@ def verify_pairs_jaccard_distributed(
     frac = Fraction(threshold).limit_denominator(1000)
     p_num, p_den = frac.numerator, frac.denominator
 
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def explode(b: pd.DataFrame) -> pa.Table:
+        df = pd.DataFrame(
             {
                 id_column: pd.concat([b["id_a"], b["id_b"]], ignore_index=True).astype("int64"),
                 "id_a": pd.concat([b["id_a"], b["id_a"]], ignore_index=True).astype("int64"),
                 "id_b": pd.concat([b["id_b"], b["id_b"]], ignore_index=True).astype("int64"),
             }
         )
+        # metadata-free Arrow: the native join's shuffle aggregators hash
+        # block schemas, and schema metadata (a dict) always fails that hash
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     sides = pairs_ds.map_batches(explode, batch_format="pandas")
-    joined = hash_join(sides, docs_ds.select_columns([id_column, column]),
-                       on=id_column, num_partitions=16)
+    docs_clean = docs_ds.select_columns([id_column, column]).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    joined = hash_join(sides, docs_clean, on=id_column, num_partitions=16)
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         key = b["id_a"].astype(np.int64) * np.int64(1_000_003) + b["id_b"].astype(np.int64)
@@ -553,11 +558,11 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
         for _, grp in g.groupby(["table", "bucket"], sort=False):
             if len(grp) < 2:
                 continue
-            uniq = grp.drop_duplicates(id_column)
-            if len(uniq) < 2:
-                continue
-            ids = uniq[id_column].to_numpy()
-            vecs = np.stack([np.frombuffer(u, dtype=np.float32) for u in uniq["unit"]])
+            # NO id dedup here: two ROWS with the same id are a legitimate
+            # duplicate pair (e.g. audio content dedup keys vec_id off
+            # clip_id, and duplicated clip_ids are exactly the signal)
+            ids = grp[id_column].to_numpy()
+            vecs = np.stack([np.frombuffer(u, dtype=np.float32) for u in grp["unit"]])
             sims = vecs @ vecs.T
             ii, jj = np.triu_indices(len(ids), k=1)
             mask = sims[ii, jj] >= threshold

@@ -16,12 +16,15 @@
   watermark machinery: batch semantics over an ordered log).
 
 Dtype discipline: the bucketed paths union the two tagged sides, and a
-union null-fills each side's missing columns — which silently degrades
-numpy int64/bool columns to float64/object inside the buckets (the round-1
-asof oracle mismatch: ``77`` became ``77.0``). Both paths therefore cast
-int/bool columns to pandas *nullable* dtypes (Int64/boolean) at tag time,
-so the null-fill is representable and the output Arrow schema round-trips
-to the source types exactly.
+union null-fills each side's missing columns — which, through a pandas
+round-trip, silently degrades numpy int64/bool columns to float64/object
+inside the buckets (the round-1 asof oracle mismatch: ``77`` became
+``77.0``). Both paths therefore keep blocks ARROW across the tag → union →
+shuffle (zero-copy, null-fill representable, hashable schemas) and convert
+to pandas only inside the bucket via ``types_mapper=_nullable_types_mapper``
+(int/bool → pandas nullable dtypes); outputs convert back with an explicit
+Arrow schema so the source types round-trip exactly, even for empty
+buckets.
 """
 
 from __future__ import annotations
@@ -47,19 +50,76 @@ def derive_num_buckets(n_rows: int, rows_per_bucket: int = DEFAULT_ROWS_PER_BUCK
     return max(floor, math.ceil(n_rows / max(1, rows_per_bucket)))
 
 
-def _nullable_cast_map(names, types) -> Dict[str, str]:
-    """Columns whose numpy dtype cannot represent NULL → pandas nullable
-    dtype, so union null-fill does not degrade them."""
-    out: Dict[str, str] = {}
-    for name, t in zip(names, types):
-        if not isinstance(t, pa.DataType):
-            continue
-        if pa.types.is_integer(t):
-            prefix = "UInt" if pa.types.is_unsigned_integer(t) else "Int"
-            out[name] = f"{prefix}{t.bit_width}"
-        elif pa.types.is_boolean(t):
-            out[name] = "boolean"
-    return out
+def _to_arrow_clean(df: pd.DataFrame, schema: Optional[pa.Schema] = None) -> pa.Table:
+    """pandas → Arrow with the b'pandas' schema metadata stripped (nullable
+    extension dtypes make that metadata unhashable, which trips Ray's
+    schema-dedup hashing into a per-block warning) and an explicit target
+    schema so empty buckets don't emit null-typed columns."""
+    return pa.Table.from_pandas(
+        df, schema=schema, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def _as_arrow_type(t) -> Optional[pa.DataType]:
+    if isinstance(t, pa.DataType):
+        return t
+    if t is object:
+        # Ray surfaces pandas object columns as the literal `object` class;
+        # best effort string (parquet-backed data is always Arrow-typed)
+        return pa.string()
+    kind = getattr(t, "kind", None)  # numpy dtype (pandas-block datasets)
+    if kind == "O":
+        return pa.string()  # best effort; parquet-backed data is always Arrow
+    if kind == "M":
+        return pa.timestamp("us")
+    if kind is not None:
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return None
+    return None
+
+
+def _output_schema(out_cols, lschema, rschema) -> Optional[pa.Schema]:
+    """Expected joined-output Arrow schema: left side's type wins for
+    shared columns (both sides' key columns are identical by contract).
+    None when any column's type cannot be determined."""
+    types = {}
+    for sch in (rschema, lschema):  # left overrides right
+        for name, t in zip(sch.names, sch.types):
+            at = _as_arrow_type(t)
+            if at is not None:
+                types[name] = at
+    if any(c not in types for c in out_cols):
+        return None
+    return pa.schema([(c, types[c]) for c in out_cols])
+
+
+def _nullable_types_mapper(t: pa.DataType):
+    """``Table.to_pandas(types_mapper=...)`` hook: int/bool columns land in
+    pandas NULLABLE dtypes, so union null-fill (rows of the other side)
+    cannot degrade int64 → float64 / bool → object inside a bucket."""
+    if pa.types.is_integer(t):
+        prefix = "UInt" if pa.types.is_unsigned_integer(t) else "Int"
+        return getattr(pd, f"{prefix}{t.bit_width}Dtype")()
+    if pa.types.is_boolean(t):
+        return pd.BooleanDtype()
+    return None
+
+
+def _tag_fn(side: str, key: str, num_buckets: int):
+    """Arrow-native tag stage: append ``__bucket``/``__side`` without
+    touching (or copying) the data columns."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        bucket = (stable_hash64(t[key].to_pandas()) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        t = t.append_column("__bucket", pa.array(bucket, pa.int32()))
+        t = t.append_column("__side", pa.array([side] * len(t), pa.string()))
+        return t.replace_schema_metadata(None)
+
+    return fn
 
 
 def _empty_typed_frame(columns, schemas: Dict[str, str]) -> pd.DataFrame:
@@ -122,40 +182,33 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
     lschema, rschema = left.schema(), right.schema()
     left_cols = list(lschema.names)
     right_cols = list(rschema.names)
-    nullable = _nullable_cast_map(lschema.names, lschema.types)
-    nullable.update(_nullable_cast_map(rschema.names, rschema.types))
     spec = _dtype_spec(left)
     spec.update(_dtype_spec(right))
     if num_buckets is None:
         num_buckets = derive_num_buckets(left.count() + right.count())
 
-    def tag(side: str):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.astype({c: d for c, d in nullable.items() if c in b.columns})
-            b["__bucket"] = (stable_hash64(b[on]) % np.uint64(num_buckets)).astype(np.int32)
-            b["__side"] = side
-            return b
-
-        return fn
-
-    lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right.map_batches(tag("r"), batch_format="pandas")
-    both = lt.union(rt)  # null-fill is representable: int/bool are nullable now
+    lt = left.map_batches(_tag_fn("l", on, num_buckets), batch_format="pyarrow")
+    rt = right.map_batches(_tag_fn("r", on, num_buckets), batch_format="pyarrow")
+    both = lt.union(rt)  # arrow null-fill: missing columns stay typed
 
     out_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    out_schema = _output_schema(out_cols, lschema, rschema)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas(types_mapper=_nullable_types_mapper)
         l = g[g["__side"] == "l"].reindex(columns=left_cols)
         r = g[g["__side"] == "r"].reindex(columns=right_cols)
         if l.empty or r.empty:
             if join_type == "inner":
-                return _empty_typed_frame(out_cols, spec)
+                return _to_arrow_clean(_empty_typed_frame(out_cols, spec), out_schema)
             # outer flavors fall through to pandas' own semantics
         if len(l) and len(r) and r[on].dtype != l[on].dtype:
             r = r.astype({on: l[on].dtype})
-        return l.merge(r, on=on, how=join_type).reindex(columns=out_cols)
+        return _to_arrow_clean(
+            l.merge(r, on=on, how=join_type).reindex(columns=out_cols), out_schema
+        )
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
@@ -172,29 +225,20 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     ]
     right_sel = right.select_columns(right_cols)
     rschema = right_sel.schema()
-    nullable = _nullable_cast_map(lschema.names, lschema.types)
-    nullable.update(_nullable_cast_map(rschema.names, rschema.types))
     spec = _dtype_spec(left)
     spec.update(_dtype_spec(right_sel))
     if num_buckets is None:
         num_buckets = derive_num_buckets(left.count() + right.count())
 
-    def tag(side: str):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.astype({c: d for c, d in nullable.items() if c in b.columns})
-            b["__bucket"] = (stable_hash64(b[key]) % np.uint64(num_buckets)).astype(np.int32)
-            b["__side"] = side
-            return b
-
-        return fn
-
-    lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right_sel.map_batches(tag("r"), batch_format="pandas")
-    both = lt.union(rt)  # null-fill is representable: int/bool are nullable now
+    lt = left.map_batches(_tag_fn("l", key, num_buckets), batch_format="pyarrow")
+    rt = right_sel.map_batches(_tag_fn("r", key, num_buckets), batch_format="pyarrow")
+    both = lt.union(rt)  # arrow null-fill: missing columns stay typed
 
     out_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    out_schema = _output_schema(out_cols, lschema, rschema)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas(types_mapper=_nullable_types_mapper)
         # blocks that came wholly from one side may lack the other side's
         # columns entirely — reindex fills them before slicing
         l = (
@@ -211,7 +255,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
             )
         )
         if l.empty or r.empty:
-            return _empty_typed_frame(out_cols, spec)
+            return _to_arrow_clean(_empty_typed_frame(out_cols, spec), out_schema)
         if key in l.columns and l[key].dtype != r[key].dtype:
             r = r.astype({key: l[key].dtype})
         # unify timestamp resolutions (parquet us vs pandas s after unions)
@@ -221,9 +265,11 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
         out = pd.merge_asof(
             l, r, left_on=left_ts, right_on=right_ts, by=key, direction=direction
         )
-        return out.dropna(subset=[right_ts]).reindex(columns=out_cols)
+        return _to_arrow_clean(
+            out.dropna(subset=[right_ts]).reindex(columns=out_cols), out_schema
+        )
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def tumbling_window_agg(ds, ts_col: str, window_sec: int,

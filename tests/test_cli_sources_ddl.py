@@ -207,3 +207,127 @@ class TestDdl:
         sqls = os.listdir(out_dir / "sql")
         assert any(f.startswith("com_example_thing_1") for f in sqls)
         assert os.listdir(out_dir / "jsonpaths")
+
+
+class TestDdlRound2:
+    """Migration diff (added/modified/removed through intermediates,
+    Migrations.scala:101-146), insertion-ordered flatten (package.scala:70
+    ListMap), --split-product (README.md:266), --no-header."""
+
+    def test_flatten_preserves_insertion_order(self):
+        from schema_guru_ray.schema.ddl import flatten_schema
+
+        schema = {
+            "type": "object",
+            "properties": {
+                "zeta": {"type": "integer"},
+                "alpha": {"type": "string"},
+                "mid": {"type": "object",
+                        "properties": {"b": {"type": "integer"}, "a": {"type": "string"}}},
+            },
+        }
+        paths = [p for p, _ in flatten_schema(schema)]
+        assert paths == ["zeta", "alpha", "mid.b", "mid.a"]
+
+    def test_schema_diff_added_modified_removed(self):
+        from schema_guru_ray.schema.ddl import schema_diff
+
+        v100 = {"type": "object", "properties": {
+            "a": {"type": "integer", "minimum": 0, "maximum": 5},
+            "gone": {"type": "string", "maxLength": 3},
+        }}
+        v101 = {"type": "object", "properties": {
+            "a": {"type": "integer", "minimum": 0, "maximum": 5},
+            "b": {"type": "string", "maxLength": 4},
+        }}
+        v102 = {"type": "object", "properties": {
+            "a": {"type": "integer", "minimum": 0, "maximum": 99999},  # modified
+            "b": {"type": "string", "maxLength": 8},  # added in 1-0-1, modified later
+            "c": {"type": "boolean"},
+        }}
+        d = schema_diff(v100, [v101, v102])
+        # added: first-appearance order; attrs from the FINAL target; a
+        # property added then modified stays in added (Migrations.scala:47-49)
+        assert [p for p, _ in d["added"]] == ["b", "c"]
+        assert dict(d["added"])["b"]["maxLength"] == 8
+        assert [p for p, _ in d["modified"]] == ["a"]
+        assert d["removed"] == ["gone"]
+
+    def test_migration_warns_on_modified_and_removed(self):
+        from schema_guru_ray.schema.ddl import migration_ddl
+
+        old = {"type": "object", "properties": {
+            "a": {"type": "integer", "minimum": 0, "maximum": 5},
+            "gone": {"type": "string", "maxLength": 3}}}
+        new = {"type": "object", "properties": {
+            "a": {"type": "integer", "minimum": 0, "maximum": 99999}}}
+        sql = migration_ddl(old, new, "t_1", "1-0-0", "1-0-1")
+        # no added columns -> the reference's explicit placeholder, not an
+        # empty (silently wrong) transaction (RedshiftMigration.scala:92)
+        assert "NO ADDED COLUMNS CAN BE EXPRESSED IN SQL MIGRATION" in sql
+        assert "property 'a' changed its definition" in sql
+        assert "property 'gone' was removed" in sql
+
+    def test_migration_order_through_intermediates(self):
+        from schema_guru_ray.schema.ddl import build_migrations
+
+        v0 = {"type": "object", "properties": {"a": {"type": "integer"}}}
+        v1 = {"type": "object", "properties": {"a": {"type": "integer"},
+                                               "z_first": {"type": "integer"}}}
+        v2 = {"type": "object", "properties": {"a": {"type": "integer"},
+                                               "z_first": {"type": "integer"},
+                                               "b_second": {"type": "integer"}}}
+        migs = build_migrations({"1-0-0": v0, "1-0-1": v1, "1-0-2": v2}, "t_1")
+        sql = migs[("1-0-0", "1-0-2")]
+        # append order = first appearance (z_first before b_second), NOT
+        # alphabetical (Migrations.scala:191-198)
+        assert sql.index('"z_first"') < sql.index('"b_second"')
+
+    def test_split_product(self):
+        from schema_guru_ray.schema.ddl import flatten_schema, table_ddl
+
+        schema = {"type": "object", "properties": {
+            "v": {"type": ["integer", "string"], "maximum": 5, "minimum": 0,
+                  "maxLength": 12},
+        }}
+        cols = dict(flatten_schema(schema, split_product=True))
+        assert set(cols) == {"v.integer", "v.string"}
+        assert cols["v.integer"] == {"type": ["integer", "null"], "minimum": 0, "maximum": 5}
+        assert cols["v.string"] == {"type": ["string", "null"], "maxLength": 12}
+        ddl = table_ddl(schema, "t_1", split_product=True)
+        assert '"v_integer" SMALLINT' in ddl and '"v_string" VARCHAR(12)' in ddl
+        assert "NOT NULL" not in ddl  # split columns are nullable
+        lumped = table_ddl(schema, "t_1")
+        assert '"v" VARCHAR(4096)' in lumped
+
+    def test_cli_header_and_no_header(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        schema_file = tmp_path / "raw.json"
+        schema_file.write_text(json.dumps(
+            {"type": "object", "properties": {"a": {"type": "integer"}}}))
+        for flag, expect_header in (([], True), (["--no-header"], False)):
+            out_dir = tmp_path / ("out_h" if expect_header else "out_nh")
+            r = subprocess.run(
+                [_sys.executable, "-m", "schema_guru_ray.cli", "ddl",
+                 str(schema_file), "--output", str(out_dir), "--raw-mode", *flag],
+                capture_output=True, text=True, cwd="/root/repo",
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            text = (out_dir / "sql" / "raw.sql").read_text()
+            assert ("AUTO-GENERATED" in text) == expect_header
+
+    def test_cli_split_product_excludes_jsonpaths(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        schema_file = tmp_path / "raw.json"
+        schema_file.write_text(json.dumps({"type": "object", "properties": {}}))
+        r = subprocess.run(
+            [_sys.executable, "-m", "schema_guru_ray.cli", "ddl", str(schema_file),
+             "--output", str(tmp_path / "o"), "--split-product", "--with-json-paths"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 1
+        assert "cannot be used together" in r.stdout + r.stderr
