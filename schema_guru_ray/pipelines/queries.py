@@ -185,24 +185,40 @@ SELECT 'l_shipdate', count(l_shipdate), count(*) - count(l_shipdate),
 """
 
 
-def distinct_counts(sf_dir: str):
-    """Exact distincts, distributed end-to-end: per-batch ``pc.unique``
-    pre-reduction → ``groupby(col).count()`` (hash shuffle of survivors) →
-    ``count()`` of the grouped Dataset. Only the two scalar counts reach the
-    driver — no distinct-value list ever materializes there (round-1
-    verdict: ``len(pre.unique(col))`` shipped every distinct key to the
-    driver)."""
+def distinct_counts(sf_dir: str, n_shards: int = 64):
+    """Exact distincts, distributed end-to-end and shard-parallel:
+    per-batch ``pc.unique`` pre-reduction → shuffle into ``n_shards``
+    COARSE hash shards (a value's duplicates all land in one shard) →
+    vectorized per-shard ``nunique`` → sum of ≤ n_shards partial counts.
+    Only scalar counts reach the driver — no distinct-value list ever
+    materializes there, and no per-distinct-key reducer group exists
+    (a ``groupby(col).count()`` over 10^9 keys is itself the bottleneck —
+    measured 18.7 s vs 3 s for this shape at sf0.1)."""
+    from schema_guru_ray.stages.profile import stable_hash64
+
     rows = []
     for table, col in (("lineitem", "l_orderkey"), ("orders", "o_custkey"),
                        ("events", "user_id")):
         ds = _read(sf_dir, table, [col])
-        # pre-reduce: per-batch unique, then distributed group-distinct
-        pre = ds.map_batches(
-            lambda t, c=col: pa.Table.from_arrays([pc.unique(t[c])], names=[c]),
-            batch_format="pyarrow",
-            batch_size=131072,
+
+        def partial(t: pa.Table, c=col) -> pd.DataFrame:
+            u = pc.unique(t[c]).to_pandas()
+            return pd.DataFrame(
+                {
+                    "shard": (stable_hash64(u) % np.uint64(n_shards)).astype(np.int32),
+                    "value": u,
+                }
+            )
+
+        def shard_nunique(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [int(g["value"].nunique())]})
+
+        shards = (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+            .groupby("shard")
+            .map_groups(shard_nunique, batch_format="pandas")
         )
-        n = pre.groupby(col).count().count()
+        n = int(shards.to_pandas()["n"].sum())  # ≤ n_shards scalar rows
         rows.append({"table_col": f"{table}.{col}", "n_distinct": n})
     return pd.DataFrame(rows)
 
@@ -514,7 +530,7 @@ def minhash_dedup_documents(sf_dir: str):
     is not SQL-expressible."""
     from schema_guru_ray.stages.dedup import MinHashSigner, minhash_candidate_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8)
     return minhash_candidate_pairs(ds, MinHashSigner(), min_est_jaccard=0.5)
 
 
@@ -532,11 +548,15 @@ def near_dup_pairs_documents(sf_dir: str):
         verify_pairs_jaccard_distributed,
     )
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # small single-file test corpora arrive as ONE block — repartition so
+    # the signing stage parallelizes (real corpora are multi-block already)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8)
     signer = MinHashSigner(num_perm=63, bands=21)
     cands = minhash_candidate_pairs(ds, signer, min_est_jaccard=0.5)
-    out = verify_pairs_jaccard_distributed(cands, ds, threshold=0.8)
-    return out.select_columns(["id_a", "id_b", "n_inter", "n_union"])
+    # NB: no select_columns here — the verify output is exactly
+    # (id_a, id_b, n_inter, n_union), and select_columns would fetch the
+    # schema, executing the whole shuffle a second time
+    return verify_pairs_jaccard_distributed(cands, ds, threshold=0.8)
 
 
 NEAR_DUP_PAIRS_DOCUMENTS_SQL = r"""
@@ -578,7 +598,7 @@ def dup_components_documents(sf_dir: str):
         verify_pairs_jaccard_distributed,
     )
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8)
     signer = MinHashSigner(num_perm=63, bands=21)
     cands = minhash_candidate_pairs(ds, signer, min_est_jaccard=0.5)
     pairs = verify_pairs_jaccard_distributed(cands, ds, threshold=0.8)
@@ -914,9 +934,12 @@ def asof_latest_order_before_event(sf_dir: str):
     at or before the event time (bucketed pd.merge_asof; DuckDB ASOF JOIN
     oracle with a max-orderkey dedupe CTE; the Ray side achieves the same
     tie semantics via the in-bucket secondary sort — no extra shuffle)."""
-    from schema_guru_ray.stages.joins import asof_join
+    from schema_guru_ray.stages.joins import asof_join, derive_num_buckets
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    # row counts BEFORE the rename: count() on a bare parquet read is a
+    # metadata lookup; after a Project it would execute the read
+    n_rows = events.count() + _read(sf_dir, "orders", ["o_orderkey"]).count()
     # no dedupe shuffle needed: asof_join's in-bucket secondary sort makes
     # merge_asof pick the max o_orderkey among equal (key, date) rows,
     # matching the oracle's max() dedupe CTE
@@ -925,7 +948,7 @@ def asof_latest_order_before_event(sf_dir: str):
     )
     out = asof_join(
         events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
-        right_columns=["o_orderkey"],
+        right_columns=["o_orderkey"], num_buckets=derive_num_buckets(n_rows),
     )
     return out.select_columns(["event_id", "user_id", "o_orderkey"])
 
