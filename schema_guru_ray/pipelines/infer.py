@@ -29,7 +29,8 @@ from schema_guru_ray.schema.states import ZERO, State, merge
 from schema_guru_ray.stages.derive import StateBatcher
 
 
-def fold_states(states_ds, ctx: SchemaContext, tree_fanin: int = 32) -> Dict[str, Any]:
+def fold_states(states_ds, ctx: SchemaContext, tree_fanin: int = 32,
+                est_states: Optional[int] = None) -> Dict[str, Any]:
     """Merge the per-batch state rows into one global state.
 
     Topology: one distributed tree level — ``groupby(hash(state) % fanin)``
@@ -37,10 +38,31 @@ def fold_states(states_ds, ctx: SchemaContext, tree_fanin: int = 32) -> Dict[str
     the ≤ ``tree_fanin`` survivors. At 100 TB (~10^6 batches) the driver
     does 32 unpickle+merge calls instead of 10^6; the states merge
     associatively (hypothesis-tested), so the grouping is free to be
-    arbitrary. Returns {state, n_errors, n_rows}."""
+    arbitrary.
+
+    When ``est_states`` (caller's estimate of the per-batch state count)
+    says the input is small, the groupby's fixed shuffle cost exceeds its
+    benefit and the states stream straight to the driver instead — same
+    result either way (associativity), pure topology choice.
+    Returns {state, n_errors, n_rows}."""
     import numpy as np
 
     from schema_guru_ray.stages.profile import stable_hash64
+
+    if est_states is not None and est_states <= max(256, 4 * tree_fanin):
+        acc: State = ZERO
+        n_errors = 0
+        n_rows = 0
+        for batch in states_ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+            for st_bytes, ne, nr in zip(
+                batch["state"].to_pylist(),
+                batch["n_errors"].to_pylist(),
+                batch["n_rows"].to_pylist(),
+            ):
+                acc = merge(acc, pickle.loads(st_bytes), ctx)
+                n_errors += ne
+                n_rows += nr
+        return {"state": acc, "n_errors": n_errors, "n_rows": n_rows}
 
     def add_shard(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(
@@ -100,7 +122,9 @@ def infer_schema(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    folded = fold_states(states, ctx)
+    folded = fold_states(
+        states, ctx, est_states=-(-int(ctx.quantity or 0) // batch_size) or None
+    )
     state = folded["state"]
     schema = merge_and_transform(state, ctx)
     if vendor and name:
