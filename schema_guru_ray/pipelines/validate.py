@@ -43,7 +43,7 @@ class ValidationConfig:
     pass_psi: float = 0.25  # drift verdict threshold (industry convention)
     n_salts: int = 8
     hll_p: int = 12
-    kll_k: int = 200
+    kll_k: int = 800  # tail accuracy: q0.99 err 2% vs 12.5% at k=200, state ~15 KB
     validator_batch_size: int = 512
     # "tasks": warm-worker cached state (fast start; right when the decoder
     # state is cheap to build, as here). "actors": explicit actor pool —

@@ -128,6 +128,10 @@ def column_type(attrs: dict, varchar_size: int = 4096) -> str:
                 return "INT"
         return "BIGINT"
     if t == "number":
+        # "Number with multiplyOf 0.01 becomes DECIMAL" (README.md:267,
+        # via the schema-ddl backend): fixed-point money-style columns
+        if attrs.get("multipleOf") == 0.01:
+            return "DECIMAL(36,2)"
         return "DOUBLE PRECISION"
     if t == "boolean":
         return "BOOLEAN"

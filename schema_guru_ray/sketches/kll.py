@@ -23,7 +23,7 @@ import numpy as np
 class KLL:
     __slots__ = ("k", "levels", "n", "flips")
 
-    def __init__(self, k: int = 200):
+    def __init__(self, k: int = 800):
         self.k = k
         self.levels: List[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0

@@ -331,3 +331,10 @@ class TestDdlRound2:
         )
         assert r.returncode == 1
         assert "cannot be used together" in r.stdout + r.stderr
+
+    def test_multiple_of_decimal(self):
+        """Number with multipleOf 0.01 becomes DECIMAL (README.md:267)."""
+        from schema_guru_ray.schema.ddl import column_type
+
+        assert column_type({"type": "number", "multipleOf": 0.01}) == "DECIMAL(36,2)"
+        assert column_type({"type": "number"}) == "DOUBLE PRECISION"
