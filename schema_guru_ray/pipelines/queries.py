@@ -642,6 +642,51 @@ def langid_documents(sf_dir: str):
     return ds.map_batches(LangId(), batch_format="pandas")
 
 
+# --- deterministic sampling (training-data curation) ------------------------
+
+
+def sample_documents(sf_dir: str, rate: float = 0.2):
+    """Content-addressed 20% Bernoulli sample of documents — deterministic
+    (two runs, or Ray and DuckDB, select the SAME rows), no shuffle."""
+    from schema_guru_ray.stages.sample import deterministic_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return deterministic_sample(ds, "doc_id", rate)
+
+
+SAMPLE_DOCUMENTS_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '333333333333333'
+"""
+
+
+def stratified_cap_events(sf_dir: str, cap: int = 50):
+    """Per-event-type cap: keep at most 50 events per type, chosen by
+    ascending (md5(event_id), event_id) — the 'max N docs per domain'
+    curation rule, exactly SQL-replayable. Distributed per-group top-k:
+    per-batch local caps, then a stratum groupby over the survivors."""
+    from schema_guru_ray.stages.sample import stratified_cap
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    out = stratified_cap(ds, "event_type", "event_id", cap, rank_alias="rk")
+    return out.map_batches(
+        lambda b: b.astype({"event_id": "int64", "rk": "int64"}),
+        batch_format="pandas",
+    )
+
+
+STRATIFIED_CAP_EVENTS_SQL = """
+SELECT event_id, event_type,
+       CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+       ) AS BIGINT) AS rk
+FROM events
+QUALIFY rk <= 50
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -1096,6 +1141,8 @@ QUERIES = {
     "quality_documents": quality_documents,
     "fingerprint_documents": fingerprint_documents,
     "dedup_exact_documents": dedup_exact_documents,
+    "sample_documents": sample_documents,
+    "stratified_cap_events": stratified_cap_events,
     "minhash_dedup_documents": minhash_dedup_documents,
     "near_dup_pairs_documents": near_dup_pairs_documents,
     "dup_components_documents": dup_components_documents,
@@ -1139,6 +1186,8 @@ ORACLES = {
     "near_dup_pairs_documents": NEAR_DUP_PAIRS_DOCUMENTS_SQL,
     "dup_components_documents": DUP_COMPONENTS_DOCUMENTS_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
+    "sample_documents": SAMPLE_DOCUMENTS_SQL,
+    "stratified_cap_events": STRATIFIED_CAP_EVENTS_SQL,
     "ann_topk_embeddings": ANN_TOPK_EMBEDDINGS_SQL,
     "join_orders_customers": JOIN_ORDERS_CUSTOMERS_SQL,
     "asof_latest_order_before_event": ASOF_LATEST_ORDER_SQL,

@@ -88,6 +88,8 @@ class TestOracleParity:
             "quality_documents",
             "fingerprint_documents",
             "dedup_exact_documents",
+            "sample_documents",
+            "stratified_cap_events",
             "near_dup_pairs_documents",
             "dup_components_documents",
             "ann_topk_embeddings",
