@@ -93,6 +93,7 @@ def run_bench() -> dict:
         "dedup_exact_documents",
         "minhash_dedup_documents",
         "near_dup_pairs_documents",
+        "curate_documents",
         "ann_topk_embeddings",
         "schema_infer_lineitem",
         "schema_infer_events_props",

@@ -642,6 +642,62 @@ def langid_documents(sf_dir: str):
     return ds.map_batches(LangId(), batch_format="pandas")
 
 
+def curate_documents(sf_dir: str):
+    """FLAGSHIP COMPOSITION: the full curation chain — exact dedup →
+    verified near-dup removal → quality filter (n_words ∈ [30, 100k]) →
+    deterministic 50% sample — end-to-end distributed, with the DuckDB
+    oracle replaying the ENTIRE chain as one CTE. Every stage is
+    deterministic, so the final kept set hash-matches exactly."""
+    from schema_guru_ray.pipelines.curate import curate_documents as _curate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8)
+    return _curate(ds)
+
+
+CURATE_DOCUMENTS_SQL = r"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+),
+kept AS (SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM kept
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tk) < 3 THEN [list_aggregate(tk, 'string_agg', ' ')]
+         ELSE list_transform(generate_series(1, len(tk)-2),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+    END)) AS s
+  FROM toks
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+  WHERE n_inter * 5 >= (ca.n + cb.n - n_inter) * 4
+),
+survivors AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[\w'']+')) AS BIGINT) AS n_words
+  FROM kept
+  WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+)
+SELECT doc_id, n_words
+FROM survivors
+WHERE n_words BETWEEN 30 AND 100000
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '800000000000000'
+"""
+
+
 # --- deterministic sampling (training-data curation) ------------------------
 
 
@@ -1143,6 +1199,7 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "sample_documents": sample_documents,
     "stratified_cap_events": stratified_cap_events,
+    "curate_documents": curate_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
     "near_dup_pairs_documents": near_dup_pairs_documents,
     "dup_components_documents": dup_components_documents,
@@ -1188,6 +1245,7 @@ ORACLES = {
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "sample_documents": SAMPLE_DOCUMENTS_SQL,
     "stratified_cap_events": STRATIFIED_CAP_EVENTS_SQL,
+    "curate_documents": CURATE_DOCUMENTS_SQL,
     "ann_topk_embeddings": ANN_TOPK_EMBEDDINGS_SQL,
     "join_orders_customers": JOIN_ORDERS_CUSTOMERS_SQL,
     "asof_latest_order_before_event": ASOF_LATEST_ORDER_SQL,

@@ -90,6 +90,7 @@ class TestOracleParity:
             "dedup_exact_documents",
             "sample_documents",
             "stratified_cap_events",
+            "curate_documents",
             "near_dup_pairs_documents",
             "dup_components_documents",
             "ann_topk_embeddings",
