@@ -1084,6 +1084,69 @@ GROUP BY 1, 2
 """
 
 
+def hopping_events_daily_6h(sf_dir: str):
+    """Hopping windows: 1-day windows advancing every 6 h (each event in
+    exactly 4 windows) per event_type — count + integer-milli sum. The
+    expansion is a vectorized repeat; only per-(batch,key,window) partials
+    shuffle."""
+    from schema_guru_ray.stages.joins import hopping_window_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return hopping_window_agg(ds, "ts", 86400, 21600, ["event_type"], "value")
+
+
+HOPPING_EVENTS_DAILY_6H_SQL = """
+SELECT event_type,
+       to_timestamp(w)::TIMESTAMP AS window_start,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events,
+     unnest(generate_series(
+         CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) - 3 * 21600,
+         CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT),
+         21600)) AS t(w)
+GROUP BY 1, 2
+"""
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Per-group top-k without a global sort: each customer's 3 highest
+    orders by price (ties by orderkey). Distributed as per-batch local
+    top-k + a groupby merge over the tiny survivors."""
+    from schema_guru_ray.stages.joins import grouped_topk
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(
+        orders, "o_custkey", "o_totalprice", k,
+        descending=True, tie_col="o_orderkey", rank_alias="rk",
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "price_cents": _int_units(
+                    b["o_totalprice"].to_numpy(), 100
+                ).astype("int64").to_numpy(),
+                "rk": b["rk"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cents, batch_format="pandas")
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+       ) AS BIGINT) AS rk
+FROM orders
+QUALIFY rk <= 3
+"""
+
+
 def clips_schema_infer(sf_dir: str):
     """Schema inference over the clips table itself — exercises the binary
     and product(null) extension states (rows-only)."""
@@ -1214,6 +1277,8 @@ QUERIES = {
     "join_orders_customers": join_orders_customers,
     "asof_latest_order_before_event": asof_latest_order_before_event,
     "windowed_events_daily": windowed_events_daily,
+    "hopping_events_daily_6h": hopping_events_daily_6h,
+    "top_orders_per_customer": top_orders_per_customer,
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
@@ -1250,5 +1315,7 @@ ORACLES = {
     "join_orders_customers": JOIN_ORDERS_CUSTOMERS_SQL,
     "asof_latest_order_before_event": ASOF_LATEST_ORDER_SQL,
     "windowed_events_daily": WINDOWED_EVENTS_DAILY_SQL,
+    "hopping_events_daily_6h": HOPPING_EVENTS_DAILY_6H_SQL,
+    "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
 }

@@ -272,6 +272,89 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def grouped_topk(ds, group_col: str, order_col: str, k: int,
+                 descending: bool = True, tie_col: Optional[str] = None,
+                 rank_alias: Optional[str] = None):
+    """Top-k rows per group WITHOUT a global sort: each batch pre-reduces
+    to its local top-k per group (vectorized sort + groupby-head), then a
+    single ``groupby(group)`` merges the ≤ k×batches survivors. Shuffle
+    volume is O(#batches × #groups × k), never O(rows). ``tie_col``
+    (ascending) makes the result a total order — required for exact
+    parity with a SQL ``row_number() OVER (... ORDER BY v DESC, tie)``
+    oracle."""
+    sort_cols = [order_col] + ([tie_col] if tie_col else [])
+    ascending = [not descending] + ([True] if tie_col else [])
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(sort_cols, ascending=ascending, kind="stable")
+        return b.groupby(group_col, sort=False).head(k)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="stable").head(k)
+        if rank_alias:
+            g = g.assign(**{rank_alias: np.arange(1, len(g) + 1, dtype=np.int64)})
+        return g
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
+def hopping_window_agg(ds, ts_col: str, window_sec: int, hop_sec: int,
+                       keys: Sequence[str], value_col: str):
+    """Hopping (sliding) event-time windows: window length ``window_sec``,
+    advancing every ``hop_sec`` (must divide window_sec). Each row belongs
+    to exactly window/hop windows — the expansion is a vectorized
+    repeat/tile inside ``map_batches`` (no per-row loop), followed by the
+    same partial-agg + tiny groupby as the tumbling case. Shuffle volume:
+    one partial row per (batch × key × window), never the expanded rows."""
+    from ray.data.aggregate import Sum
+
+    if window_sec % hop_sec != 0:
+        raise ValueError("hop_sec must divide window_sec")
+    n_windows = window_sec // hop_sec
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = b[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+        base = (epoch // hop_sec) * hop_sec
+        with np.errstate(invalid="ignore"):
+            milli = pd.Series(
+                np.floor(b[value_col].to_numpy() * 1000 + 0.5)
+            ).astype("Int64")
+        # every row falls in exactly n_windows windows (hop | window)
+        starts = np.repeat(base, n_windows) - np.tile(
+            np.arange(n_windows, dtype=np.int64) * hop_sec, len(b)
+        )
+        expanded = pd.DataFrame(
+            {
+                **{
+                    kcol: np.repeat(b[kcol].to_numpy(), n_windows)
+                    for kcol in keys
+                },
+                "window_start": pd.to_datetime(starts, unit="s").astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+        # keep the nullable Int64 dtype through the expansion (NA-safe sum)
+        expanded["value_milli"] = milli.iloc[
+            np.repeat(np.arange(len(b)), n_windows)
+        ].reset_index(drop=True)
+        g = expanded.groupby([*keys, "window_start"], as_index=False).agg(
+            n=("value_milli", "size"), sum_value_milli=("value_milli", "sum")
+        )
+        g["sum_value_milli"] = g["sum_value_milli"].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby([*keys, "window_start"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value_milli", alias_name="sum_value_milli"),
+    )
+
+
 def tumbling_window_agg(ds, ts_col: str, window_sec: int,
                         keys: Sequence[str], value_col: str):
     """Tumbling event-time windows: per (keys..., window_start) count + sum

@@ -186,3 +186,60 @@ class TestDistributedComponents:
         got = dict(zip(dist["node"].astype(int), dist["label"].astype(int)))
         want = connected_components(pairs)
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedTopKAndHopping:
+    def test_grouped_topk_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import grouped_topk
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 10, 500),
+                "id": np.arange(500),
+                "v": rng.normal(size=500),
+            }
+        )
+        got = (
+            grouped_topk(rd.from_pandas(df).repartition(4), "g", "v", 3,
+                         tie_col="id", rank_alias="rk")
+            .to_pandas()
+            .sort_values(["g", "rk"])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values(["v", "id"], ascending=[False, True], kind="stable")
+            .groupby("g", sort=False)
+            .head(3)
+            .sort_values(["g", "v"], ascending=[True, False])
+            .reset_index(drop=True)
+        )
+        assert got[["g", "id"]].astype(int).values.tolist() == want[
+            ["g", "id"]
+        ].astype(int).values.tolist()
+        assert (got.groupby("g")["rk"].max() <= 3).all()
+
+    def test_hopping_each_row_in_window_over_hop_windows(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import hopping_window_agg
+
+        df = pd.DataFrame(
+            {
+                "g": ["x", "x"],
+                "ts": pd.to_datetime(["2024-01-01 02:30", "2024-01-01 02:45"]),
+                "v": [1.0, 2.0],
+            }
+        )
+        out = (
+            hopping_window_agg(rd.from_pandas(df), "ts", 3600, 900, ["g"], "v")
+            .to_pandas()
+            .sort_values("window_start")
+        )
+        # each row in exactly 4 windows; the 02:00 window holds both rows
+        assert out["n"].sum() == 8
+        full = out[out["n"] == 2]
+        assert len(full) >= 1 and full["sum_value_milli"].iloc[0] == 3000

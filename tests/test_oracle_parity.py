@@ -98,6 +98,8 @@ class TestOracleParity:
             "join_orders_customers",
             "asof_latest_order_before_event",
             "windowed_events_daily",
+            "hopping_events_daily_6h",
+            "top_orders_per_customer",
             "schema_segmented_events",
         ],
     )
