@@ -1051,7 +1051,12 @@ def asof_latest_order_before_event(sf_dir: str):
         events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
         right_columns=["o_orderkey"], num_buckets=derive_num_buckets(n_rows),
     )
-    return out.select_columns(["event_id", "user_id", "o_orderkey"])
+    # lazy projection — select_columns would fetch the schema and execute
+    # the whole bucketed shuffle an extra time
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
 
 
 ASOF_LATEST_ORDER_SQL = """
@@ -1062,6 +1067,42 @@ WITH orders_d AS (
 SELECT e.event_id, e.user_id, o.o_orderkey
 FROM events e ASOF JOIN orders_d o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def asof_orders_bounded(sf_dir: str):
+    """Bounded as-of (interval) join: the latest order of the same user no
+    more than 8,500 days before the event — merge_asof tolerance, the
+    range-join primitive. (The synthetic events sit ~8,200-9,800 days
+    after the TPC-H order dates, so this bound meaningfully splits the
+    matches.) Same bucketed topology as the unbounded as-of."""
+    from schema_guru_ray.stages.joins import asof_join, derive_num_buckets
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_rows = events.count() + _read(sf_dir, "orders", ["o_orderkey"]).count()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).rename_columns(
+        {"o_custkey": "user_id"}
+    )
+    out = asof_join(
+        events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_columns=["o_orderkey"], num_buckets=derive_num_buckets(n_rows),
+        tolerance_sec=8500 * 86400,
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+
+ASOF_ORDERS_BOUNDED_SQL = """
+WITH orders_d AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e ASOF JOIN orders_d o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+WHERE e.ts - o.o_orderdate <= INTERVAL 8500 DAY
 """
 
 
@@ -1276,6 +1317,7 @@ QUERIES = {
     "schema_segmented_events": schema_segmented_events,
     "join_orders_customers": join_orders_customers,
     "asof_latest_order_before_event": asof_latest_order_before_event,
+    "asof_orders_bounded": asof_orders_bounded,
     "windowed_events_daily": windowed_events_daily,
     "hopping_events_daily_6h": hopping_events_daily_6h,
     "top_orders_per_customer": top_orders_per_customer,
@@ -1314,6 +1356,7 @@ ORACLES = {
     "ann_topk_embeddings": ANN_TOPK_EMBEDDINGS_SQL,
     "join_orders_customers": JOIN_ORDERS_CUSTOMERS_SQL,
     "asof_latest_order_before_event": ASOF_LATEST_ORDER_SQL,
+    "asof_orders_bounded": ASOF_ORDERS_BOUNDED_SQL,
     "windowed_events_daily": WINDOWED_EVENTS_DAILY_SQL,
     "hopping_events_daily_6h": HOPPING_EVENTS_DAILY_6H_SQL,
     "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,

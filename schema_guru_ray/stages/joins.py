@@ -213,11 +213,14 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
 
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
               num_buckets: Optional[int] = None, direction: str = "backward",
-              right_columns: Optional[Sequence[str]] = None):
+              right_columns: Optional[Sequence[str]] = None,
+              tolerance_sec: Optional[int] = None):
     """As-of join: for each left row, the latest right row of the same key
     with right_ts <= left_ts (direction='backward'). Inner semantics (left
     rows without a match are dropped). ``num_buckets=None`` scales the
-    bucket count to the input row count."""
+    bucket count to the input row count. ``tolerance_sec`` bounds the
+    match window (interval-join semantics: right_ts within
+    [left_ts - tolerance, left_ts]); matches outside it are dropped."""
     lschema = left.schema()
     left_cols = list(lschema.names)
     right_cols = [key, right_ts] + [
@@ -263,7 +266,12 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
             if str(frame[col].dtype).startswith("datetime64"):
                 frame[col] = frame[col].astype("datetime64[us]")
         out = pd.merge_asof(
-            l, r, left_on=left_ts, right_on=right_ts, by=key, direction=direction
+            l, r, left_on=left_ts, right_on=right_ts, by=key, direction=direction,
+            tolerance=(
+                pd.Timedelta(seconds=tolerance_sec)
+                if tolerance_sec is not None
+                else None
+            ),
         )
         return _to_arrow_clean(
             out.dropna(subset=[right_ts]).reindex(columns=out_cols), out_schema

@@ -97,6 +97,7 @@ class TestOracleParity:
             "embedding_near_dup",
             "join_orders_customers",
             "asof_latest_order_before_event",
+            "asof_orders_bounded",
             "windowed_events_daily",
             "hopping_events_daily_6h",
             "top_orders_per_customer",
