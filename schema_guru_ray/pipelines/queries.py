@@ -885,6 +885,35 @@ SELECT event_type AS segment, count(*) AS n_rows FROM events GROUP BY event_type
 """
 
 
+def schema_evolution_events(sf_dir: str):
+    """Schema-evolution closed loop: infer v1 from a projected events table
+    and v2 from the full table, then run the migration diff
+    (schema/ddl.schema_diff — added/modified/removed, Migrations.scala
+    semantics). The added set must equal the projected-away columns, which
+    the oracle reads from information_schema."""
+    from schema_guru_ray.pipelines.infer import infer_schema
+    from schema_guru_ray.schema.ddl import schema_diff
+
+    v1_cols = ["event_id", "event_type", "ts"]
+    v1 = infer_schema(_read(sf_dir, "events", v1_cols), SchemaContext())["schema"]
+    v2 = infer_schema(_read(sf_dir, "events"), SchemaContext())["schema"]
+    d = schema_diff(v1, [v2])
+    rows = (
+        [("added", p) for p, _ in d["added"]]
+        + [("modified", p) for p, _ in d["modified"]]
+        + [("removed", p) for p in d["removed"]]
+    )
+    return pd.DataFrame(rows, columns=["change", "property"])
+
+
+SCHEMA_EVOLUTION_EVENTS_SQL = """
+SELECT 'added' AS change, column_name AS property
+FROM information_schema.columns
+WHERE table_name = 'events'
+  AND column_name NOT IN ('event_id', 'event_type', 'ts')
+"""
+
+
 # --- clips flagship (rows-only: engine-generated input) ---------------------
 
 
@@ -1315,6 +1344,7 @@ QUERIES = {
     "schema_infer_lineitem": schema_infer_lineitem,
     "schema_infer_events_props": schema_infer_events_props,
     "schema_segmented_events": schema_segmented_events,
+    "schema_evolution_events": schema_evolution_events,
     "join_orders_customers": join_orders_customers,
     "asof_latest_order_before_event": asof_latest_order_before_event,
     "asof_orders_bounded": asof_orders_bounded,
@@ -1361,4 +1391,5 @@ ORACLES = {
     "hopping_events_daily_6h": HOPPING_EVENTS_DAILY_6H_SQL,
     "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
+    "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
 }

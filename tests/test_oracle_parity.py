@@ -102,6 +102,7 @@ class TestOracleParity:
             "hopping_events_daily_6h",
             "top_orders_per_customer",
             "schema_segmented_events",
+            "schema_evolution_events",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
