@@ -193,8 +193,19 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # The host is a shared VM with bursty tenant load (observed loadavg
+    # spikes 4→17 mid-run, which once turned a ~1.0 efficiency into 0.38).
+    # Noise-robust protocol: interleave the legs N times and take the
+    # MINIMUM wall time per leg — min is the standard estimator for
+    # wall time under external contention (contention only ever ADDS time).
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run(lo))
+        hi_runs.append(run(hi))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -202,6 +213,8 @@ def run_scaling() -> dict:
         "n_clips": r_hi["n_clips"],
         "sec_8": t_lo,
         "sec_32": t_hi,
+        "sec_8_runs": [r["value"] for r in lo_runs],
+        "sec_32_runs": [r["value"] for r in hi_runs],
         "clips_per_sec_8": r_lo["clips_per_sec"],
         "clips_per_sec_32": r_hi["clips_per_sec"],
         "scaling_efficiency": round(eff, 3),
