@@ -282,31 +282,43 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
 
 def grouped_topk(ds, group_col: str, order_col: str, k: int,
                  descending: bool = True, tie_col: Optional[str] = None,
-                 rank_alias: Optional[str] = None):
+                 rank_alias: Optional[str] = None, n_buckets: int = 64):
     """Top-k rows per group WITHOUT a global sort: each batch pre-reduces
-    to its local top-k per group (vectorized sort + groupby-head), then a
-    single ``groupby(group)`` merges the ≤ k×batches survivors. Shuffle
-    volume is O(#batches × #groups × k), never O(rows). ``tie_col``
-    (ascending) makes the result a total order — required for exact
-    parity with a SQL ``row_number() OVER (... ORDER BY v DESC, tie)``
-    oracle."""
+    to its local top-k per group (vectorized sort + groupby-head), then the
+    survivors shuffle into COARSE hash buckets (a group's rows all land in
+    one bucket; one Ray dispatch per bucket, not per group key — a
+    per-custkey dispatch would be 10^5 Python calls) where one vectorized
+    sort + groupby-head finishes the job. Shuffle volume is
+    O(#batches × #groups × k), never O(rows). ``tie_col`` (ascending)
+    makes the result a total order — required for exact parity with a SQL
+    ``row_number() OVER (... ORDER BY v DESC, tie)`` oracle."""
+    from schema_guru_ray.stages.profile import stable_hash64
+
     sort_cols = [order_col] + ([tie_col] if tie_col else [])
     ascending = [not descending] + ([True] if tie_col else [])
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(sort_cols, ascending=ascending, kind="stable")
-        return b.groupby(group_col, sort=False).head(k)
+        b = b.groupby(group_col, sort=False).head(k)
+        return b.assign(
+            __cbucket=(stable_hash64(b[group_col]) % np.uint64(n_buckets)).astype(
+                np.int32
+            )
+        )
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, ascending=ascending, kind="stable").head(k)
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="stable")
+        g = g.groupby(group_col, sort=False).head(k)
         if rank_alias:
-            g = g.assign(**{rank_alias: np.arange(1, len(g) + 1, dtype=np.int64)})
-        return g
+            g = g.assign(
+                **{rank_alias: g.groupby(group_col, sort=False).cumcount() + 1}
+            )
+        return g.drop(columns="__cbucket")
 
     return (
         ds.map_batches(local_topk, batch_format="pandas")
-        .groupby(group_col)
-        .map_groups(merge_topk, batch_format="pandas")
+        .groupby("__cbucket")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
 
 

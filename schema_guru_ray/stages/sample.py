@@ -67,25 +67,38 @@ def deterministic_sample(ds, key_column: str, rate: float):
 
 
 def stratified_cap(ds, stratum_column: str, key_column: str, cap: int,
-                   rank_alias: Optional[str] = None):
+                   rank_alias: Optional[str] = None, n_buckets: int = 64):
     """Keep at most ``cap`` rows per stratum, selected by ascending
     (md5(key), key). When ``rank_alias`` is given, the per-stratum rank
-    (1-based) is emitted under that column name."""
+    (1-based) is emitted under that column name.
+
+    The merge shuffles the ≤cap×batches survivors into COARSE hash
+    buckets (one Ray dispatch per bucket, not per stratum — a per-domain
+    dispatch would be one Python call per domain at web scale) and
+    finishes with a single vectorized sort + groupby-head per bucket."""
+    from schema_guru_ray.stages.profile import stable_hash64
 
     def local_cap(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(__md5=md5_hex(b[key_column]))
         b = b.sort_values(["__md5", key_column], kind="stable")
-        return b.groupby(stratum_column, sort=False).head(cap)
+        b = b.groupby(stratum_column, sort=False).head(cap)
+        return b.assign(
+            __cbucket=(
+                stable_hash64(b[stratum_column]) % np.uint64(n_buckets)
+            ).astype(np.int32)
+        )
 
-    def merge_cap(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["__md5", key_column], kind="stable").head(cap)
-        out = g.drop(columns="__md5")
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__md5", key_column], kind="stable")
+        g = g.groupby(stratum_column, sort=False).head(cap)
         if rank_alias:
-            out[rank_alias] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
+            g = g.assign(
+                **{rank_alias: (g.groupby(stratum_column, sort=False).cumcount() + 1).astype(np.int64)}
+            )
+        return g.drop(columns=["__md5", "__cbucket"])
 
     return (
         ds.map_batches(local_cap, batch_format="pandas")
-        .groupby(stratum_column)
-        .map_groups(merge_cap, batch_format="pandas")
+        .groupby("__cbucket")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
