@@ -107,10 +107,26 @@ def cmd_schema(args) -> int:
         print(f"wrote {n} segment schemas to {target}", file=sys.stderr)
         return 0
 
-    res = infer_schema(
-        ds, ctx, json_column=json_column,
-        vendor=args.vendor, name=args.name, version=args.schemaver,
-    )
+    if getattr(args, "checkpoint_dir", None):
+        # resumable inference over parquet inputs (per-partition state
+        # checkpoints with lineage; reruns skip finished partitions)
+        import glob
+
+        from schema_guru_ray.pipelines.infer import infer_schema_checkpointed
+
+        if os.path.isdir(args.input):
+            files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        else:
+            files = [args.input]
+        res = infer_schema_checkpointed(
+            files, args.checkpoint_dir, ctx, json_column=json_column,
+            log=lambda m: print(m, file=sys.stderr),
+        )
+    else:
+        res = infer_schema(
+            ds, ctx, json_column=json_column,
+            vendor=args.vendor, name=args.name, version=args.schemaver,
+        )
     payload = json.dumps(res["schema"], indent=2, sort_keys=True)
     if args.output:
         with open(args.output, "w") as f:
@@ -159,6 +175,9 @@ def main(argv=None) -> int:
     ps.add_argument("--name")
     ps.add_argument("--schemaver", default="1-0-0")
     ps.add_argument("--errors-path")
+    ps.add_argument("--checkpoint-dir",
+                    help="resumable inference: per-partition state checkpoints "
+                         "(parquet inputs only)")
     ps.set_defaults(fn=cmd_schema)
 
     pv = sub.add_parser("validate", help="checkpointed clips validation run")

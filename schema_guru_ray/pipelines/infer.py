@@ -16,6 +16,7 @@ segmented) → merge:
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Any, Dict, Optional
 
@@ -134,6 +135,86 @@ def infer_schema(
         "warnings": sorted(duplicate_key_pairs(extract_keys(state))),
         "n_errors": folded["n_errors"],
         "n_rows": folded["n_rows"],
+    }
+
+
+def infer_schema_checkpointed(
+    input_files,
+    out_dir: str,
+    ctx: SchemaContext = SchemaContext(),
+    json_column: Optional[str] = None,
+    num_partitions: int = 8,
+    batch_size: int = 8192,
+    log=None,
+) -> Dict[str, Any]:
+    """Checkpointed/resumable global schema inference over a file list
+    (north rule: resumable from per-partition checkpoints with lineage +
+    metrics — the validate pipeline's layout, applied to INFER).
+
+    Each partition of input files derives and folds its own state and
+    commits ``state.pkl`` + ``_SUCCESS.json`` (input lineage + config
+    hash) atomically; a rerun skips finished partitions, a config change
+    invalidates them. The final schema merges the ≤ num_partitions
+    partition states — the merge is associative, so a resumed run yields
+    byte-identical output to a fresh one (tested).
+
+    Returns {schema, warnings, n_errors, n_rows, manifest}."""
+    import ray.data as rd
+
+    from schema_guru_ray.state.checkpoint import config_hash, run_partitioned
+
+    cfg_hash = config_hash(
+        {
+            "ctx": {k: str(v) for k, v in sorted(vars(ctx).items())},
+            "json_column": json_column,
+            "batch_size": batch_size,
+        }
+    )
+
+    def process(files, tmp_dir):
+        ds = rd.read_parquet(files)
+        if ctx.quantity is None:
+            from dataclasses import replace as _replace
+
+            part_ctx = _replace(ctx, quantity=ds.count())
+        else:
+            part_ctx = ctx
+        states = ds.map_batches(
+            StateBatcher(part_ctx, json_column=json_column),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        folded = fold_states(states, part_ctx)
+        with open(os.path.join(tmp_dir, "state.pkl"), "wb") as f:
+            pickle.dump(folded["state"], f)
+        return {"n_errors": folded["n_errors"], "n_rows": folded["n_rows"]}
+
+    manifest = run_partitioned(
+        input_files, out_dir, process, cfg_hash=cfg_hash,
+        num_partitions=num_partitions, log=log,
+    )
+
+    acc: State = ZERO
+    n_errors = 0
+    n_rows = 0
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("partition="):
+            continue
+        with open(os.path.join(out_dir, name, "state.pkl"), "rb") as f:
+            acc = merge(acc, pickle.load(f), ctx)
+        import json as _json
+
+        with open(os.path.join(out_dir, name, "_SUCCESS.json")) as f:
+            meta = _json.load(f)
+        n_errors += meta["metrics"]["n_errors"]
+        n_rows += meta["metrics"]["n_rows"]
+    schema = merge_and_transform(acc, ctx)
+    return {
+        "schema": schema,
+        "warnings": sorted(duplicate_key_pairs(extract_keys(acc))),
+        "n_errors": n_errors,
+        "n_rows": n_rows,
+        "manifest": manifest,
     }
 
 

@@ -224,3 +224,45 @@ class TestInferPipelines:
             big["state"], ctx
         )
         assert small["n_rows"] == big["n_rows"] == ds.count()
+
+    def test_checkpointed_infer_resumes(self, sf_dir, tmp_path):
+        """Checkpointed inference: fresh run == resumed run byte-for-byte;
+        resume skips every finished partition; a config change invalidates
+        the checkpoints."""
+        import glob
+        import json as _json
+
+        from schema_guru_ray.pipelines.infer import infer_schema_checkpointed
+
+        files = sorted(glob.glob(f"{sf_dir}/orders.parquet"))
+        ctx = SchemaContext(enum_cardinality=8, quantity=1500)
+        out = tmp_path / "ckpt"
+        r1 = infer_schema_checkpointed(files, str(out), ctx, num_partitions=3)
+        assert r1["manifest"]["ran"] >= 1 and r1["manifest"]["skipped"] == 0
+        r2 = infer_schema_checkpointed(files, str(out), ctx, num_partitions=3)
+        assert r2["manifest"]["ran"] == 0  # full checkpoint hit
+        assert r2["manifest"]["skipped"] == r1["manifest"]["ran"]
+        assert _json.dumps(r1["schema"], sort_keys=True) == _json.dumps(
+            r2["schema"], sort_keys=True
+        )
+        assert r1["n_rows"] == r2["n_rows"]
+        # config change → checkpoints invalid → everything reruns
+        r3 = infer_schema_checkpointed(
+            files, str(out), SchemaContext(enum_cardinality=2, quantity=1500),
+            num_partitions=3,
+        )
+        assert r3["manifest"]["ran"] == r1["manifest"]["ran"]
+
+    def test_checkpointed_matches_direct(self, sf_dir, tmp_path):
+        import glob
+        import json as _json
+
+        from schema_guru_ray.pipelines.infer import infer_schema, infer_schema_checkpointed
+
+        files = sorted(glob.glob(f"{sf_dir}/events.parquet"))
+        ctx = SchemaContext(enum_cardinality=8, quantity=1000)
+        import ray.data as rd
+
+        direct = infer_schema(rd.read_parquet(files), ctx)["schema"]
+        ck = infer_schema_checkpointed(files, str(tmp_path / "ck2"), ctx)["schema"]
+        assert _json.dumps(direct, sort_keys=True) == _json.dumps(ck, sort_keys=True)
