@@ -84,7 +84,11 @@ def cmd_schema(args) -> int:
         raw = read_ndjson(args.input) if args.ndjson else read_json_dir(args.input)
         if args.errors_path:
             error_rows(raw).write_parquet(args.errors_path)
-        ds = valid_docs(raw)
+        # materialize: infer_schema needs ds.count() for the quantity rules,
+        # and without this the whole parse pipeline would execute twice
+        # (count + derive). The reference's CLI holds the parsed corpus in
+        # memory too (SchemaCommand.scala:92-104).
+        ds = valid_docs(raw).materialize()
         json_column = "doc"
 
     if args.schema_by:
@@ -122,6 +126,13 @@ def cmd_schema(args) -> int:
             files, args.checkpoint_dir, ctx, json_column=json_column,
             log=lambda m: print(m, file=sys.stderr),
         )
+        if args.vendor and args.name:
+            # same self-describing wrapper as the non-checkpointed path
+            from schema_guru_ray.schema.finalize import describe
+
+            res["schema"] = describe(
+                res["schema"], args.vendor, args.name, args.schemaver
+            )
     else:
         res = infer_schema(
             ds, ctx, json_column=json_column,

@@ -75,10 +75,13 @@ def curate_documents(ds, *, jaccard_threshold: float = 0.8,
     )
 
     # --- stage 2: near-dup removal (drop id_b of each verified pair) -------
+    from schema_guru_ray.stages.joins import derive_num_buckets
+
     signer = MinHashSigner(num_perm=63, bands=21)
     cands = minhash_candidate_pairs(kept, signer, min_est_jaccard=0.5)
     pairs = verify_pairs_jaccard_distributed(
-        cands, kept, threshold=jaccard_threshold
+        cands, kept, threshold=jaccard_threshold,
+        num_partitions=derive_num_buckets(kept.count()),  # kept is materialized
     ).to_pandas()  # confirmed pairs are tiny relative to the corpus
     drop_ref = ray.put(frozenset(int(b) for b in pairs.get("id_b", [])))
 

@@ -159,9 +159,24 @@ def infer_schema_checkpointed(
     byte-identical output to a fresh one (tested).
 
     Returns {schema, warnings, n_errors, n_rows, manifest}."""
+    import json as _json
+
     import ray.data as rd
 
-    from schema_guru_ray.state.checkpoint import config_hash, run_partitioned
+    from schema_guru_ray.state.checkpoint import (
+        config_hash,
+        partition_inputs,
+        run_partitioned,
+    )
+
+    # corpus-size-dependent rules (base64 quantity gate) must see the
+    # TOTAL corpus size, not a per-partition count — otherwise the schema
+    # would depend on num_partitions and diverge from infer_schema
+    if ctx.quantity is None:
+        from dataclasses import replace as _replace
+
+        total = rd.read_parquet(list(input_files)).count()  # metadata-cheap
+        ctx = _replace(ctx, quantity=total)
 
     cfg_hash = config_hash(
         {
@@ -173,18 +188,12 @@ def infer_schema_checkpointed(
 
     def process(files, tmp_dir):
         ds = rd.read_parquet(files)
-        if ctx.quantity is None:
-            from dataclasses import replace as _replace
-
-            part_ctx = _replace(ctx, quantity=ds.count())
-        else:
-            part_ctx = ctx
         states = ds.map_batches(
-            StateBatcher(part_ctx, json_column=json_column),
+            StateBatcher(ctx, json_column=json_column),
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-        folded = fold_states(states, part_ctx)
+        folded = fold_states(states, ctx)
         with open(os.path.join(tmp_dir, "state.pkl"), "wb") as f:
             pickle.dump(folded["state"], f)
         return {"n_errors": folded["n_errors"], "n_rows": folded["n_rows"]}
@@ -194,18 +203,24 @@ def infer_schema_checkpointed(
         num_partitions=num_partitions, log=log,
     )
 
+    # merge EXACTLY this run's partition set — never whatever partition=*
+    # dirs happen to exist in out_dir (a previous run with different
+    # inputs/partitioning leaves stale dirs behind), and cross-check each
+    # _SUCCESS against the current config + lineage
+    parts = partition_inputs(input_files, num_partitions)
     acc: State = ZERO
     n_errors = 0
     n_rows = 0
-    for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("partition="):
-            continue
-        with open(os.path.join(out_dir, name, "state.pkl"), "rb") as f:
-            acc = merge(acc, pickle.load(f), ctx)
-        import json as _json
-
-        with open(os.path.join(out_dir, name, "_SUCCESS.json")) as f:
+    for idx, files in enumerate(parts):
+        pdir = os.path.join(out_dir, f"partition={idx:04d}")
+        with open(os.path.join(pdir, "_SUCCESS.json")) as f:
             meta = _json.load(f)
+        if meta.get("config_hash") != cfg_hash or meta.get("inputs") != sorted(files):
+            raise RuntimeError(
+                f"checkpoint {pdir} does not match this run's config/lineage"
+            )
+        with open(os.path.join(pdir, "state.pkl"), "rb") as f:
+            acc = merge(acc, pickle.load(f), ctx)
         n_errors += meta["metrics"]["n_errors"]
         n_rows += meta["metrics"]["n_rows"]
     schema = merge_and_transform(acc, ctx)

@@ -347,6 +347,10 @@ def process_ddl(args) -> int:
         write(os.path.join(sql_dir, f"{tname}.sql"),
               header + table_ddl(versions[latest], tname, varchar_size=args.varchar_size,
                                  split_product=split_product))
+        # migrations are always built over the UNSPLIT property list, even
+        # under --split-product — mirroring the reference, whose
+        # buildMigration hardcodes splitProduct = false
+        # (Migrations.scala:80-81)
         for (src, dst), sql in build_migrations(versions, tname,
                                                 varchar_size=args.varchar_size).items():
             write(os.path.join(sql_dir, f"{tname}_{src}_to_{dst}.sql"), sql)

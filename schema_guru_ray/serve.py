@@ -115,6 +115,10 @@ def handle_upload(content_type: str, body: bytes) -> Dict[str, object]:
     (SchemaGuruRoutes.scala:40-52)."""
     fields = parse_multipart(content_type, body)
     parse_errors, docs = get_jsons_from_multipart(fields)
+    # quantity = multipart FIELD count, not instance count — deliberately
+    # mirroring the reference bug-for-bug (SchemaGuruRoutes.scala:43 uses
+    # formData.fields.length, so an NDJSON part's many instances count as
+    # one for the base64 quantity rule there too)
     ctx = SchemaContext(
         enum_cardinality=get_cardinality(fields), quantity=len(fields)
     )

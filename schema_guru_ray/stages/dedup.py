@@ -212,12 +212,18 @@ def minhash_candidate_pairs(ds, signer: MinHashSigner, min_est_jaccard: float = 
     )
 
 
-def connected_components_distributed(pairs_ds, max_rounds: int = 20):
+def connected_components_distributed(pairs_ds, max_rounds: Optional[int] = None):
     """Scale-path connected components over a PAIRS Dataset: iterative
-    min-label propagation via groupby (ray guide: 'iterate a few rounds of
-    min-label propagation with groupby'). Each round: every node adopts the
-    minimum label in its neighborhood; converges in O(component diameter)
-    rounds. Returns a Dataset of (node, label) rows.
+    min-label propagation via groupby, ACCELERATED with pointer jumping —
+    each round every node adopts the minimum of (its label, its neighbors'
+    labels, its label's OWN label). The label-of-label shortcut halves the
+    remaining distance to the component minimum each round, so convergence
+    is O(log diameter) rounds, not O(diameter) (hash-to-min, cf. Rastogi
+    et al. 2013 "Finding Connected Components in Map-Reduce"). Labels only
+    ever decrease, so the sum-fixpoint test is a termination proof — the
+    loop runs TO CONVERGENCE by default. ``max_rounds`` is an explicit
+    safety bound; hitting it without convergence RAISES rather than
+    silently returning wrong labels (no silent caps).
 
     Use when the candidate-pair set itself is too big for the driver;
     :func:`connected_components` (union-find) is the small-case default."""
@@ -251,20 +257,51 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 20):
         )
 
     prev_sum = label_sum(labels)
-    for _ in range(max_rounds):
-        # propagate: node's label → its peers; keep the min seen
+    rounds = 0
+    converged = False
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+        # (a) propagate: node's label → its peers
         joined = bucketed_hash_join(edges, labels, on="node", num_buckets=8)
         prop = joined.map_batches(
             lambda b: pd.DataFrame({"node": b["peer"], "label": b["label"]}),
             batch_format="pandas",
         )
-        both = labels.union(prop)
-        labels = both.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        # (b) pointer jump: node's label → its label's label
+        as_mid = labels.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "mid": b["label"]}),
+            batch_format="pandas",
+        )
+        mid_labels = labels.map_batches(
+            lambda b: pd.DataFrame({"mid": b["node"], "jump": b["label"]}),
+            batch_format="pandas",
+        )
+        jumped = bucketed_hash_join(as_mid, mid_labels, on="mid", num_buckets=8)
+        jump = jumped.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "label": b["jump"]}),
+            batch_format="pandas",
+        )
+        both = labels.union(prop).union(jump)
+        # repartition: the union+groupby otherwise ~doubles the block count
+        # every round (3→9→21→45…), and scheduling overhead compounds
+        # geometrically — bound it to the edge partitioning
+        labels = (
+            both.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(max(8, edges.num_blocks()))
+            .materialize()
+        )
         # labels only ever decrease: unchanged sum ⇒ fixed point
         cur = label_sum(labels)
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_distributed did not converge within "
+            f"max_rounds={max_rounds}; raise the bound or leave it unbounded"
+        )
     return labels
 
 
@@ -390,6 +427,7 @@ def verify_pairs_jaccard_distributed(
     shingle_n: int = 3,
     threshold: float = 0.8,
     n_buckets: int = 256,
+    num_partitions: Optional[int] = None,
 ):
     """EXACT n-gram Jaccard verification of candidate pairs, end-to-end
     distributed (the scale path promised by :func:`verify_pairs_jaccard`):
@@ -429,7 +467,14 @@ def verify_pairs_jaccard_distributed(
     docs_clean = docs_ds.select_columns([id_column, column]).map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
-    joined = hash_join(sides, docs_clean, on=id_column, num_partitions=16)
+    if num_partitions is None:
+        # the docs side dominates the join; scale partitions to it
+        # (metadata-cheap for bare parquet reads; callers with expensive
+        # lineages pass an explicit count-derived value)
+        from schema_guru_ray.stages.joins import derive_num_buckets
+
+        num_partitions = derive_num_buckets(docs_ds.count())
+    joined = hash_join(sides, docs_clean, on=id_column, num_partitions=num_partitions)
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         key = b["id_a"].astype(np.int64) * np.int64(1_000_003) + b["id_b"].astype(np.int64)

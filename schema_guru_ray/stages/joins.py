@@ -80,16 +80,22 @@ def _as_arrow_type(t) -> Optional[pa.DataType]:
     return None
 
 
-def _output_schema(out_cols, lschema, rschema) -> Optional[pa.Schema]:
-    """Expected joined-output Arrow schema: left side's type wins for
-    shared columns (both sides' key columns are identical by contract).
+def _output_schema(out_cols, lschema, rschema,
+                   rename_right: Optional[Dict[str, str]] = None) -> Optional[pa.Schema]:
+    """Expected joined-output Arrow schema. ``rename_right`` maps right-side
+    column names to their output names (shared non-key columns are
+    suffixed); otherwise the left side's type wins for shared columns.
     None when any column's type cannot be determined."""
+    rename_right = rename_right or {}
     types = {}
-    for sch in (rschema, lschema):  # left overrides right
-        for name, t in zip(sch.names, sch.types):
-            at = _as_arrow_type(t)
-            if at is not None:
-                types[name] = at
+    for name, t in zip(rschema.names, rschema.types):
+        at = _as_arrow_type(t)
+        if at is not None:
+            types[rename_right.get(name, name)] = at
+    for name, t in zip(lschema.names, lschema.types):  # left overrides
+        at = _as_arrow_type(t)
+        if at is not None:
+            types[name] = at
     if any(c not in types for c in out_cols):
         return None
     return pa.schema([(c, types[c]) for c in out_cols])
@@ -182,8 +188,13 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
     lschema, rschema = left.schema(), right.schema()
     left_cols = list(lschema.names)
     right_cols = list(rschema.names)
+    # shared non-key columns are KEPT, suffixed on the right ("_r") — a
+    # plain reindex would silently drop pandas' _x/_y suffixed pair and
+    # emit an all-null column. NB: both sides' values of a shared column
+    # must unify to one Arrow type through the tagged union.
+    rmap = {c: f"{c}_r" for c in right_cols if c in left_cols and c != on}
     spec = _dtype_spec(left)
-    spec.update(_dtype_spec(right))
+    spec.update({rmap.get(k, k): v for k, v in _dtype_spec(right).items()})
     if num_buckets is None:
         num_buckets = derive_num_buckets(left.count() + right.count())
 
@@ -191,13 +202,14 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
     rt = right.map_batches(_tag_fn("r", on, num_buckets), batch_format="pyarrow")
     both = lt.union(rt)  # arrow null-fill: missing columns stay typed
 
-    out_cols = left_cols + [c for c in right_cols if c not in left_cols]
-    out_schema = _output_schema(out_cols, lschema, rschema)
+    out_cols = left_cols + [rmap.get(c, c) for c in right_cols
+                            if c != on and (c not in left_cols or c in rmap)]
+    out_schema = _output_schema(out_cols, lschema, rschema, rename_right=rmap)
 
     def join_bucket(t: pa.Table) -> pa.Table:
         g = t.to_pandas(types_mapper=_nullable_types_mapper)
         l = g[g["__side"] == "l"].reindex(columns=left_cols)
-        r = g[g["__side"] == "r"].reindex(columns=right_cols)
+        r = g[g["__side"] == "r"].reindex(columns=right_cols).rename(columns=rmap)
         if l.empty or r.empty:
             if join_type == "inner":
                 return _to_arrow_clean(_empty_typed_frame(out_cols, spec), out_schema)
@@ -228,8 +240,14 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     ]
     right_sel = right.select_columns(right_cols)
     rschema = right_sel.schema()
+    # shared non-key right columns (possibly incl. the right timestamp)
+    # are kept under an "_r" suffix instead of being dropped by the
+    # post-merge reindex
+    rmap = {c: f"{c}_r" for c in right_cols if c in left_cols and c != key}
+    r_out = [rmap.get(c, c) for c in right_cols]
+    right_ts_out = rmap.get(right_ts, right_ts)
     spec = _dtype_spec(left)
-    spec.update(_dtype_spec(right_sel))
+    spec.update({rmap.get(k, k): v for k, v in _dtype_spec(right_sel).items()})
     if num_buckets is None:
         num_buckets = derive_num_buckets(left.count() + right.count())
 
@@ -237,8 +255,8 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     rt = right_sel.map_batches(_tag_fn("r", key, num_buckets), batch_format="pyarrow")
     both = lt.union(rt)  # arrow null-fill: missing columns stay typed
 
-    out_cols = left_cols + [c for c in right_cols if c not in left_cols]
-    out_schema = _output_schema(out_cols, lschema, rschema)
+    out_cols = left_cols + [c for c in r_out if c not in left_cols]
+    out_schema = _output_schema(out_cols, lschema, rschema, rename_right=rmap)
 
     def join_bucket(t: pa.Table) -> pa.Table:
         g = t.to_pandas(types_mapper=_nullable_types_mapper)
@@ -252,9 +270,10 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
         # merge_asof(backward) picks the LAST row ≤ ts, i.e. the max of the
         # remaining columns — no separate dedupe shuffle needed upstream
         r = (
-            g[g["__side"] == "r"].reindex(columns=right_cols)
+            g[g["__side"] == "r"].reindex(columns=right_cols).rename(columns=rmap)
             .sort_values(
-                [right_ts, *[c for c in right_cols if c != right_ts]], kind="stable"
+                [right_ts_out, *[c for c in r_out if c != right_ts_out]],
+                kind="stable",
             )
         )
         if l.empty or r.empty:
@@ -262,11 +281,12 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
         if key in l.columns and l[key].dtype != r[key].dtype:
             r = r.astype({key: l[key].dtype})
         # unify timestamp resolutions (parquet us vs pandas s after unions)
-        for frame, col in ((l, left_ts), (r, right_ts)):
+        for frame, col in ((l, left_ts), (r, right_ts_out)):
             if str(frame[col].dtype).startswith("datetime64"):
                 frame[col] = frame[col].astype("datetime64[us]")
         out = pd.merge_asof(
-            l, r, left_on=left_ts, right_on=right_ts, by=key, direction=direction,
+            l, r, left_on=left_ts, right_on=right_ts_out, by=key,
+            direction=direction,
             tolerance=(
                 pd.Timedelta(seconds=tolerance_sec)
                 if tolerance_sec is not None
@@ -274,7 +294,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
             ),
         )
         return _to_arrow_clean(
-            out.dropna(subset=[right_ts]).reindex(columns=out_cols), out_schema
+            out.dropna(subset=[right_ts_out]).reindex(columns=out_cols), out_schema
         )
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -266,3 +266,49 @@ class TestInferPipelines:
         direct = infer_schema(rd.read_parquet(files), ctx)["schema"]
         ck = infer_schema_checkpointed(files, str(tmp_path / "ck2"), ctx)["schema"]
         assert _json.dumps(direct, sort_keys=True) == _json.dumps(ck, sort_keys=True)
+
+    def test_checkpointed_ignores_stale_partitions(self, sf_dir, tmp_path):
+        """Review finding: the final merge must fold EXACTLY this run's
+        partition set — stale partition dirs from a previous run with a
+        different input set must not leak into the result."""
+        import pyarrow.parquet as pq
+
+        from schema_guru_ray.pipelines.infer import infer_schema_checkpointed
+
+        tab = pq.read_table(f"{sf_dir}/orders.parquet")
+        f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+        pq.write_table(tab.slice(0, 400), f1)
+        pq.write_table(tab.slice(400, 400), f2)
+        out = tmp_path / "ck3"
+        ctx = SchemaContext(enum_cardinality=4)
+        both = infer_schema_checkpointed([f1, f2], str(out), ctx, num_partitions=2)
+        assert both["n_rows"] == 800
+        # rerun over HALF the inputs into the same dir: partition=0001 from
+        # the previous run is stale and must be ignored
+        one = infer_schema_checkpointed([f1], str(out), ctx, num_partitions=2)
+        assert one["n_rows"] == 400
+
+    def test_checkpointed_quantity_is_corpus_global(self, sf_dir, tmp_path):
+        """Corpus-size-dependent rules must see the TOTAL row count: the
+        checkpointed schema equals the direct one regardless of
+        num_partitions (per-partition quantity would diverge)."""
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        from schema_guru_ray.pipelines.infer import infer_schema, infer_schema_checkpointed
+
+        tab = pq.read_table(f"{sf_dir}/documents.parquet").select(["doc_id", "lang"])
+        files = []
+        for i in range(4):
+            f = str(tmp_path / f"part{i}.parquet")
+            pq.write_table(tab.slice(i * 100, 100), f)
+            files.append(f)
+        import ray.data as rd
+
+        ctx = SchemaContext(enum_cardinality=4)
+        direct = infer_schema(rd.read_parquet(files), ctx)["schema"]
+        ck = infer_schema_checkpointed(
+            files, str(tmp_path / "ck4"), ctx, num_partitions=4
+        )["schema"]
+        assert _json.dumps(direct, sort_keys=True) == _json.dumps(ck, sort_keys=True)

@@ -243,3 +243,87 @@ class TestGroupedTopKAndHopping:
         assert out["n"].sum() == 8
         full = out[out["n"] == 2]
         assert len(full) >= 1 and full["sum_value_milli"].iloc[0] == 3000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSharedColumnJoins:
+    """Round-2 review finding: shared non-key columns must be KEPT (right
+    side suffixed '_r'), not silently dropped to all-null by the
+    post-merge reindex."""
+
+    def test_bucketed_join_keeps_shared_column(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import bucketed_hash_join
+
+        left = pd.DataFrame({"k": [1, 2], "status": ["L1", "L2"], "x": [10, 20]})
+        right = pd.DataFrame({"k": [1, 2], "status": ["R1", "R2"]})
+        out = (
+            bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                               on="k", num_buckets=4)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(out.columns) == ["k", "status", "x", "status_r"]
+        assert out["status"].tolist() == ["L1", "L2"]
+        assert out["status_r"].tolist() == ["R1", "R2"]
+
+    def test_asof_join_keeps_shared_column_and_ts(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import asof_join
+
+        left = pd.DataFrame(
+            {
+                "key": [1, 1],
+                "ts": pd.to_datetime(["2024-01-05", "2024-01-09"]),
+                "note": ["lA", "lB"],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "key": [1, 1],
+                "ts": pd.to_datetime(["2024-01-02", "2024-01-08"]),  # same name!
+                "note": ["rA", "rB"],  # shared non-key column
+            }
+        )
+        out = (
+            asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                      key="key", left_ts="ts", right_ts="ts", num_buckets=2)
+            .to_pandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        assert "ts_r" in out.columns and "note_r" in out.columns
+        assert out["note"].tolist() == ["lA", "lB"]  # left values intact
+        assert out["note_r"].tolist() == ["rA", "rB"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestComponentsConvergence:
+    def test_long_chain_converges_by_default(self, ray_session):
+        """A chain longer than the old silent 20-round cap must still get
+        correct labels (the loop now runs to the sum fixpoint)."""
+        import ray.data as rd
+
+        from schema_guru_ray.stages.dedup import (
+            connected_components,
+            connected_components_distributed,
+        )
+
+        pairs = [(i, i + 1) for i in range(0, 30)]  # diameter 30 chain
+        ds = rd.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"])).repartition(3)
+        got = connected_components_distributed(ds).to_pandas()
+        want = connected_components(pairs)
+        assert dict(zip(got["node"].astype(int), got["label"].astype(int))) == want
+
+    def test_explicit_bound_raises_instead_of_lying(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.dedup import connected_components_distributed
+
+        pairs = [(i, i + 1) for i in range(0, 12)]
+        ds = rd.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components_distributed(ds, max_rounds=1)
