@@ -717,6 +717,25 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '333333333333333'
 """
 
 
+def mixture_documents(sf_dir: str):
+    """Corpus mixture weighting: keep 100% of lang='en' documents, 25% of
+    everything else — per-stratum deterministic Bernoulli rates (the
+    upsample/downsample primitive of pre-training data mixes). Pure
+    filter, no shuffle, exactly SQL-replayable."""
+    from schema_guru_ray.stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id", {"en": 1.0}, default_rate=0.25)
+
+
+MIXTURE_DOCUMENTS_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE lang = 'en'
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '400000000000000'
+"""
+
+
 def stratified_cap_events(sf_dir: str, cap: int = 50):
     """Per-event-type cap: keep at most 50 events per type, chosen by
     ascending (md5(event_id), event_id) — the 'max N docs per domain'
@@ -1331,6 +1350,7 @@ QUERIES = {
     "fingerprint_documents": fingerprint_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "sample_documents": sample_documents,
+    "mixture_documents": mixture_documents,
     "stratified_cap_events": stratified_cap_events,
     "curate_documents": curate_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
@@ -1381,6 +1401,7 @@ ORACLES = {
     "dup_components_documents": DUP_COMPONENTS_DOCUMENTS_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "sample_documents": SAMPLE_DOCUMENTS_SQL,
+    "mixture_documents": MIXTURE_DOCUMENTS_SQL,
     "stratified_cap_events": STRATIFIED_CAP_EVENTS_SQL,
     "curate_documents": CURATE_DOCUMENTS_SQL,
     "ann_topk_embeddings": ANN_TOPK_EMBEDDINGS_SQL,

@@ -66,6 +66,30 @@ def deterministic_sample(ds, key_column: str, rate: float):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def stratified_sample(ds, stratum_column: str, key_column: str,
+                      rates: dict, default_rate: float = 0.0):
+    """Mixture weighting: per-stratum deterministic Bernoulli keep-rates
+    (e.g. keep 100% of lang='en', 25% of the rest) — the corpus-mixture
+    primitive of training-data curation. Pure filter, no shuffle; the
+    same md5-threshold rule as :func:`deterministic_sample`, so a
+    stratum's kept set is NESTED across rate changes and exactly
+    SQL-replayable."""
+    def _th(r: float) -> str:
+        # rate >= 1 overflows to 16 hex chars, which sorts BELOW 15-char
+        # prefixes lexicographically ('1' < 'f') — use a keep-everything
+        # sentinel above the hex alphabet instead
+        return "g" if r >= 1.0 else rate_threshold_hex(r)
+
+    thresholds = {s: _th(r) for s, r in rates.items()}
+    default_hex = _th(default_rate)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        th = b[stratum_column].map(thresholds).fillna(default_hex)
+        return b[md5_hex(b[key_column]).str[:15] < th]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def stratified_cap(ds, stratum_column: str, key_column: str, cap: int,
                    rank_alias: Optional[str] = None, n_buckets: int = 64):
     """Keep at most ``cap`` rows per stratum, selected by ascending

@@ -89,6 +89,7 @@ class TestOracleParity:
             "fingerprint_documents",
             "dedup_exact_documents",
             "sample_documents",
+            "mixture_documents",
             "stratified_cap_events",
             "curate_documents",
             "near_dup_pairs_documents",

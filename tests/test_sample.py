@@ -91,3 +91,27 @@ class TestSampling:
         b = stratified_cap(ds.repartition(9), "event_type", "event_id", 5).to_pandas()
         key = lambda d: sorted(map(tuple, d[["event_type", "event_id"]].to_numpy()))
         assert key(a) == key(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStratifiedSample:
+    def test_mixture_rates(self, sf_dir):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.sample import stratified_sample
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        out = stratified_sample(ds, "lang", "doc_id", {"en": 1.0}, 0.25).to_pandas()
+        full = ds.to_pandas()
+        # rate-1.0 stratum keeps EVERYTHING (the 16-char-threshold edge)
+        assert (out["lang"] == "en").sum() == (full["lang"] == "en").sum()
+        others_full = (full["lang"] != "en").sum()
+        others_kept = (out["lang"] != "en").sum()
+        assert 0.1 * others_full < others_kept < 0.45 * others_full
+        # kept non-en set == the plain 25% sample of non-en (same rule)
+        from schema_guru_ray.stages.sample import deterministic_sample
+
+        plain = deterministic_sample(ds, "doc_id", 0.25).to_pandas()
+        assert set(out[out["lang"] != "en"]["doc_id"]) == set(
+            plain[plain["lang"] != "en"]["doc_id"]
+        )
