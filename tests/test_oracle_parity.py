@@ -113,6 +113,9 @@ class TestOracleParity:
         "name",
         [
             "minhash_dedup_documents",
+            "clips_codec_verdicts",
+            "clips_violations",
+            "clips_duplicate_ids",
             "simhash_documents",
             "langid_documents",
             "ivf_topk_embeddings",
@@ -132,6 +135,19 @@ class TestOracleParity:
 
         df = _to_pandas(e.queries()[name](sf_dir))
         assert df is not None
+
+    def test_every_query_is_covered(self):
+        """Every queries() entry must appear in exactly one of the two
+        parametrize lists above — a new query without a parity/rows-only
+        test is a coverage hole."""
+        import __ray_entry__ as e
+
+        sql_names = set(self.test_sql_parity.pytestmark[0].args[1])
+        rows_names = set(self.test_rows_only.pytestmark[0].args[1])
+        assert sql_names.isdisjoint(rows_names)
+        assert sql_names | rows_names == set(e.queries())
+        # and every oracle belongs to a query checked as SQL parity
+        assert set(e.oracle_sql()) == sql_names
 
     def test_entry_smoke(self):
         import __ray_entry__ as e
