@@ -259,3 +259,46 @@ class TestBruteForceParity:
         assert "recall_vs_exact" in out.columns
         assert out["recall_vs_exact"].min() >= 0.5
         assert out["recall_vs_exact"].mean() >= 0.7
+
+
+class TestJaccardProperties:
+    def test_integer_threshold_equals_float(self):
+        """The integer cross-multiplication used by the distributed verify
+        decides exactly like the float comparison for any threshold p/q."""
+        from fractions import Fraction
+
+        from hypothesis import given, strategies as st
+
+        @given(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=1, max_value=500),
+            st.sampled_from([0.5, 0.7, 0.8, 0.9]),
+        )
+        def check(n_inter, n_union, threshold):
+            if n_inter > n_union:
+                return
+            frac = Fraction(threshold).limit_denominator(1000)
+            int_decision = n_inter * frac.denominator >= n_union * frac.numerator
+            float_decision = (n_inter / n_union) >= threshold
+            assert int_decision == float_decision
+        check()
+
+    def test_shingles_match_sql_tokenization(self):
+        """word_shingles must agree with the oracle's regexp construction:
+        tokens = \\S+ runs of the lowered text, shingles = 3-grams (whole
+        string when fewer than 3 tokens)."""
+        import re
+
+        from hypothesis import given, strategies as st
+
+        from schema_guru_ray.stages.dedup import word_shingles
+
+        @given(st.text(alphabet=" \t\nabcXYZ0.'", max_size=60))
+        def check(text):
+            toks = re.findall(r"\S+", text.lower())
+            if len(toks) < 3:
+                want = [" ".join(toks)] if toks else []
+            else:
+                want = [" ".join(toks[i:i+3]) for i in range(len(toks) - 2)]
+            assert word_shingles(text) == want
+        check()

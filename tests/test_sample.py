@@ -115,3 +115,36 @@ class TestStratifiedSample:
         assert set(out[out["lang"] != "en"]["doc_id"]) == set(
             plain[plain["lang"] != "en"]["doc_id"]
         )
+
+
+class TestSamplingProperties:
+    """Hypothesis properties of the deterministic-sampling primitives."""
+
+    def test_threshold_monotone_and_exact(self):
+        from hypothesis import given, strategies as st
+
+        from schema_guru_ray.stages.sample import rate_threshold_hex
+
+        @given(st.floats(min_value=0.0, max_value=0.999999, allow_nan=False))
+        def check(rate):
+            th = rate_threshold_hex(rate)
+            assert len(th) == 15
+            # limit_denominator(1e9) approximation error ≤ ~1e-9
+            assert abs(int(th, 16) / 16 ** 15 - rate) < 1e-8
+        check()
+
+    def test_sample_rate_statistics(self):
+        """Over many keys, the kept fraction concentrates near the rate
+        (md5 uniformity), and lower rates are strict subsets."""
+        import pandas as pd
+
+        from schema_guru_ray.stages.sample import md5_hex, rate_threshold_hex
+
+        keys = pd.Series(range(20_000))
+        h = md5_hex(keys).str[:15]
+        for rate in (0.1, 0.5, 0.9):
+            kept = (h < rate_threshold_hex(rate)).mean()
+            assert abs(kept - rate) < 0.02
+        kept_10 = set(keys[h < rate_threshold_hex(0.1)])
+        kept_50 = set(keys[h < rate_threshold_hex(0.5)])
+        assert kept_10 < kept_50
