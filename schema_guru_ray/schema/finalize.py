@@ -289,7 +289,11 @@ def validate_instance(value, schema: Dict[str, Any], path: str = "$") -> List[st
             errs.append(f"{path}: {value} < minimum {schema['minimum']}")
         if "maximum" in schema and value > schema["maximum"]:
             errs.append(f"{path}: {value} > maximum {schema['maximum']}")
-    if "enum" in schema and vt not in ("object", "array"):
+    if "enum" in schema and vt not in ("object", "array", "null"):
+        # product-slot semantics: a null+X product renders X's enum at the
+        # top level, but the enum annotation belongs to the NON-null slot —
+        # a null value is validated by its own (annotation-free) slot, so
+        # the derived schema stays self-consistent on corpora with nulls
 
         def enum_match(v, e):
             # bool is an int subtype in Python but a distinct JSON type:

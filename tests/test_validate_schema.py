@@ -66,3 +66,25 @@ class TestValidateAgainstSchema:
         by = dict(zip(out["scenario"], out["n_violations"]))
         assert by["clean"] == 0
         assert by["perturbed"] > 0
+
+
+class TestNullEnumProduct:
+    def test_null_in_nullable_enum_schema_is_valid(self):
+        """Round-trip with enums + nulls: a corpus containing nulls must
+        validate against its own derived schema — the enum annotation
+        belongs to the string slot of the null+string product, not to the
+        null slot."""
+        from schema_guru_ray.context import SchemaContext
+        from schema_guru_ray.schema.finalize import merge_and_transform, validate_instance
+        from schema_guru_ray.schema.states import derive_with_errors
+
+        ctx = SchemaContext(enum_cardinality=4, quantity=3)
+        docs = [{"b": "x"}, {"b": "y"}, {"b": None}]
+        state, errs = derive_with_errors(docs, ctx)
+        assert errs == []
+        schema = merge_and_transform(state, ctx)
+        assert sorted(schema["properties"]["b"]["type"]) == ["null", "string"]
+        for d in docs:
+            assert validate_instance(d, schema) == [], d
+        # non-enum values still rejected
+        assert validate_instance({"b": "z"}, schema) != []
