@@ -289,11 +289,15 @@ def validate_instance(value, schema: Dict[str, Any], path: str = "$") -> List[st
             errs.append(f"{path}: {value} < minimum {schema['minimum']}")
         if "maximum" in schema and value > schema["maximum"]:
             errs.append(f"{path}: {value} > maximum {schema['maximum']}")
-    if "enum" in schema and vt not in ("object", "array", "null"):
-        # product-slot semantics: a null+X product renders X's enum at the
-        # top level, but the enum annotation belongs to the NON-null slot —
-        # a null value is validated by its own (annotation-free) slot, so
-        # the derived schema stays self-consistent on corpora with nulls
+    if "enum" in schema and vt not in ("object", "array", "null", "boolean"):
+        # PRODUCT-SLOT enum semantics. The rendered enum is the union of
+        # the product's surviving slot enums; null/boolean slots never
+        # carry enums (handled by the type guard above), and a slot whose
+        # enum hit the cardinality tombstone contributes nothing — so for
+        # a multi-type schema the enum only BINDS a value when it contains
+        # at least one value of that value's type family (otherwise that
+        # slot's enum was tombstoned/absent and the value is unrestricted,
+        # exactly as the typed state lattice validates it).
 
         def enum_match(v, e):
             # bool is an int subtype in Python but a distinct JSON type:
@@ -302,7 +306,17 @@ def validate_instance(value, schema: Dict[str, Any], path: str = "$") -> List[st
                 return isinstance(v, bool) and isinstance(e, bool) and v == e
             return v == e
 
-        if not any(enum_match(value, e) for e in schema["enum"]):
+        def family(t):
+            return "numeric" if t in ("integer", "number") else t
+
+        enum_vals = schema["enum"]
+        non_null = [t for t in types if t != "null"]
+        binds = len(non_null) <= 1 or any(
+            family(type_of(e)) == family(vt)
+            for e in enum_vals
+            if not isinstance(e, bool)
+        )
+        if binds and not any(enum_match(value, e) for e in enum_vals):
             errs.append(f"{path}: {value!r} not in enum")
     if vt == "object":
         props = schema.get("properties", {})

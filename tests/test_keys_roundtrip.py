@@ -102,3 +102,19 @@ def test_mismatched_type_fails():
     schema = merge_and_transform(derive_instance({"k": 1}, CTX), CTX)
     assert validate_instance({"k": "str"}, schema) != []
     assert validate_instance({"other": 1}, schema) != []
+
+
+ENUM_CTX = SchemaContext(enum_cardinality=4)
+
+
+@given(st.lists(instances, min_size=1, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_merged_schema_validates_all_instances_with_enums(values):
+    """Round-trip with ENUMS ENABLED — the regime where the null+product
+    enum hole hid (enum_cardinality=0 above never renders enums)."""
+    acc = ZERO
+    for v in values:
+        acc = merge(acc, derive_instance(v, ENUM_CTX), ENUM_CTX)
+    schema = merge_and_transform(acc, ENUM_CTX)
+    for v in values:
+        assert validate_instance(v, schema) == [], (v, schema)
