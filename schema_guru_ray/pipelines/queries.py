@@ -509,6 +509,71 @@ FROM documents
 """
 
 
+def clean_documents(sf_dir: str):
+    """Text normalization stage: NFC + control-strip + whitespace collapse,
+    emitting md5 + length of the cleaned text (normalization-stable dedup
+    keys). Pure map — no shuffle."""
+    from schema_guru_ray.stages.text import TextCleaner
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TextCleaner(), batch_format="pandas")
+    return out.map_batches(
+        lambda b: b[["doc_id", "clean_md5", "n_chars_clean"]],
+        batch_format="pandas",
+    )
+
+
+CLEAN_DOCUMENTS_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+           '[\x00-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g'))) AS clean_md5,
+       CAST(len(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+           '[\x00-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+FROM documents
+"""
+
+
+def bigram_frequencies_documents(sf_dir: str, min_count: int = 5):
+    """Global bigram frequency table (n-gram statistics beyond unigrams):
+    per-batch vectorized counts pre-aggregate, tiny groupby sum, frequency
+    floor to bound output size."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"[\w']+")
+        bigrams = toks.map(
+            lambda ws: [f"{a} {b_}" for a, b_ in zip(ws, ws[1:])]
+        ).explode().dropna()
+        counts = bigrams.value_counts()
+        return pd.DataFrame({"bigram": counts.index, "n": counts.to_numpy()})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+        batch_format="pyarrow",
+    )
+
+
+BIGRAM_FREQUENCIES_DOCUMENTS_SQL = r"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[\w'']+') AS tk FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram HAVING count(*) >= 5
+"""
+
+
 def dedup_exact_documents(sf_dir: str):
     from schema_guru_ray.stages.dedup import exact_dedup
 
@@ -1348,6 +1413,8 @@ QUERIES = {
     "token_frequencies_documents": token_frequencies_documents,
     "quality_documents": quality_documents,
     "fingerprint_documents": fingerprint_documents,
+    "clean_documents": clean_documents,
+    "bigram_frequencies_documents": bigram_frequencies_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "sample_documents": sample_documents,
     "mixture_documents": mixture_documents,
@@ -1396,6 +1463,8 @@ ORACLES = {
     "token_frequencies_documents": TOKEN_FREQUENCIES_DOCUMENTS_SQL,
     "quality_documents": QUALITY_DOCUMENTS_SQL,
     "fingerprint_documents": FINGERPRINT_DOCUMENTS_SQL,
+    "clean_documents": CLEAN_DOCUMENTS_SQL,
+    "bigram_frequencies_documents": BIGRAM_FREQUENCIES_DOCUMENTS_SQL,
     "dedup_exact_documents": DEDUP_EXACT_DOCUMENTS_SQL,
     "near_dup_pairs_documents": NEAR_DUP_PAIRS_DOCUMENTS_SQL,
     "dup_components_documents": DUP_COMPONENTS_DOCUMENTS_SQL,

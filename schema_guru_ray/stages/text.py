@@ -163,6 +163,43 @@ class Fingerprinter:
         )
 
 
+class TextCleaner:
+    """Canonical text normalization (the cleaning stage of a curation
+    pipeline): NFC unicode normalization → control-character strip →
+    whitespace collapse → trim. Emits the cleaned text plus its md5 and
+    length so downstream exact-dedup keys are normalization-stable.
+    Exactly SQL-replayable (DuckDB ``nfc_normalize`` + regexp_replace)."""
+
+    _CTRL = re.compile(r"[\x00-\x1f\x7f]")
+    _WS = re.compile(r"\s+")
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id"):
+        self.column = column
+        self.id_column = id_column
+
+    def clean_one(self, s: str) -> str:
+        import unicodedata
+
+        s = unicodedata.normalize("NFC", s)
+        s = self._CTRL.sub("", s)
+        return self._WS.sub(" ", s).strip()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        cleaned = batch[self.column].fillna("").map(self.clean_one)
+        return pd.DataFrame(
+            {
+                self.id_column: batch[self.id_column],
+                "clean_text": cleaned,
+                "clean_md5": cleaned.map(
+                    lambda s: hashlib.md5(s.encode()).hexdigest()
+                ),
+                "n_chars_clean": cleaned.str.len().astype("int64"),
+            }
+        )
+
+
 class LangId:
     """Language identification: stopword-hit scoring with a character
     trigram fallback — the classic lightweight n-gram heuristic (rows-only

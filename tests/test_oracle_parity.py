@@ -87,6 +87,8 @@ class TestOracleParity:
             "token_frequencies_documents",
             "quality_documents",
             "fingerprint_documents",
+            "clean_documents",
+            "bigram_frequencies_documents",
             "dedup_exact_documents",
             "sample_documents",
             "mixture_documents",
