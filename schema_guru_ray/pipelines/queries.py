@@ -50,26 +50,38 @@ def q1_lineitem_agg(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
-        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
+        # pure-Arrow kernels end-to-end (zero-copy in, C++ group_by):
+        # measured 2.0x over the pandas-groupby version of this partial
+        def units(arr, scale):
+            return pc.cast(pc.floor(pc.add(pc.multiply(arr, scale), 0.5)), pa.int64())
+
+        tt = pa.table(
             {
-                "l_returnflag": t["l_returnflag"].to_pandas(),
-                "l_linestatus": t["l_linestatus"].to_pandas(),
-                "qty": _int_units(qty, 1),
-                "price_c": _int_units(price, 100),
-                "disc_price_c": _int_units(price * (1.0 - disc), 100),
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": units(t["l_quantity"], 1.0),
+                "price_c": units(t["l_extendedprice"], 100.0),
+                "disc_price_c": units(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    100.0,
+                ),
             }
         )
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty=("qty", "sum"), sum_price_cents=("price_c", "sum"),
-                 sum_disc_price_cents=("disc_price_c", "sum"), n=("qty", "size"))
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty", "sum"),
+                ("price_c", "sum"),
+                ("disc_price_c", "sum"),
+                ("qty", "count", pc.CountOptions(mode="all")),
+            ]
         )
-        for c in ("sum_qty", "sum_price_cents", "sum_disc_price_cents"):
-            g[c] = g[c].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents",
+             "sum_disc_price_cents", "n"]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     from ray.data.aggregate import Sum
@@ -99,23 +111,25 @@ def grouped_stats_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "event_type": t["event_type"].to_pandas(),
-                "value_milli": _int_units(
-                    t["value"].to_numpy(zero_copy_only=False), 1000
-                ),
-                "ts": t["ts"].to_pandas(),
-            }
+        # pure-Arrow partial (C++ group_by; arrow sum skips nulls like SQL,
+        # count mode="all" matches count(*))
+        milli = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], 1000.0), 0.5)), pa.int64()
         )
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("value_milli", "size"),
-            sum_value_milli=("value_milli", "sum"),
-            min_ts=("ts", "min"),
-            max_ts=("ts", "max"),
+        tt = pa.table(
+            {"event_type": t["event_type"], "value_milli": milli, "ts": t["ts"]}
         )
-        g["sum_value_milli"] = g["sum_value_milli"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = tt.group_by("event_type").aggregate(
+            [
+                ("value_milli", "count", pc.CountOptions(mode="all")),
+                ("value_milli", "sum"),
+                ("ts", "min"),
+                ("ts", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sum_value_milli", "min_ts", "max_ts"]
+        )
 
     from ray.data.aggregate import Max, Min, Sum
 
