@@ -415,18 +415,14 @@ def top_customers_revenue(sf_dir: str, k: int = 10):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "o_custkey": t["o_custkey"].to_pandas(),
-                "cents": _int_units(
-                    t["o_totalprice"].to_numpy(zero_copy_only=False), 100
-                ),
-            }
+        # pure-Arrow: high-cardinality group key is C++ hash-agg's best case
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
         )
-        g = df.groupby("o_custkey", as_index=False)["cents"].sum()
-        g["cents"] = g["cents"].astype("int64")
-        return pa.Table.from_pandas(g.rename(columns={"cents": "revenue_cents"}),
-                                    preserve_index=False)
+        tt = pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+        g = tt.group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "revenue_cents"])
 
     from ray.data.aggregate import Sum
 
