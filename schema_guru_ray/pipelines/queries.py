@@ -256,10 +256,13 @@ def exact_quantiles_quantity(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
-        vc = pd.Series(t["l_quantity"].to_numpy(zero_copy_only=False)).value_counts()
-        return pa.Table.from_pandas(
-            pd.DataFrame({"value": vc.index.astype(float), "cnt": vc.to_numpy()}),
-            preserve_index=False,
+        # pure-Arrow histogram partial: C++ value_counts, zero-copy in
+        vc = pc.value_counts(t["l_quantity"])
+        return pa.table(
+            {
+                "value": pc.cast(vc.field("values"), pa.float64()),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
         )
 
     hist = (
