@@ -159,14 +159,15 @@ GROUP BY event_type
 def column_stats_lineitem(sf_dir: str):
     """Per-column profile rows (the reference's min/max/null derive as exact
     stats; SURVEY.md §2.5 A11) via mergeable ColumnProfile states."""
-    from schema_guru_ray.stages.profile import TableProfiler, merge_profile_rows
+    from schema_guru_ray.stages.profile import TableProfiler, fold_profiles
 
     cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
     ds = _read(sf_dir, "lineitem", cols)
     prof_ds = ds.map_batches(
         TableProfiler(cols, with_sketches=False), batch_format="pyarrow", batch_size=65536
     )
-    profs = merge_profile_rows([r["profile"] for r in prof_ds.take_all()])
+    # tree-fold: the driver merges ≤ fanin states no matter the batch count
+    profs = fold_profiles(prof_ds)[""]
     rows = []
     for c in cols:
         p = profs[c]

@@ -44,7 +44,11 @@ def test_merge_equals_whole(parts):
     assert merged.nulls == whole.nulls
     assert merged.minimum == whole.minimum
     assert merged.maximum == whole.maximum
-    assert merged.total == pytest.approx(whole.total, rel=1e-9, abs=1e-9)
+    # EXACT equality: total is carried as a Shewchuk expansion, so the
+    # correctly-rounded sum is identical under any merge grouping (the
+    # round-2 pinned counterexample [[-9007198717870080.0],
+    # [1.0, 9007199254740992.0]] exercises absorption at 2^53)
+    assert merged.total == whole.total
 
 
 @given(chunks)
@@ -59,6 +63,33 @@ def test_merge_commutative(parts):
         bwd = bwd.merge(p)
     assert fwd.non_null == bwd.non_null
     assert fwd.minimum == bwd.minimum and fwd.maximum == bwd.maximum
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fold_profiles_tree_level(sf_dir):
+    """Tiny batches force state rows >> driver_fold_limit so the
+    distributed shard level engages; the driver then folds ≤ fanin states
+    per group and the result is identical to the flat driver fold (the
+    exact-expansion total makes even the float sum grouping-free)."""
+    import ray.data as rd
+
+    from schema_guru_ray.stages.profile import TableProfiler, fold_profiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    prof_ds = ds.map_batches(
+        TableProfiler(["value"], with_sketches=False),
+        batch_format="pyarrow",
+        batch_size=16,
+    ).materialize()
+    n_states = prof_ds.count()
+    assert n_states > 8  # the shard level must actually engage below
+    folded = fold_profiles(prof_ds, fanin=4, driver_fold_limit=8)[""]["value"]
+    whole = merge_profile_rows([r["profile"] for r in prof_ds.take_all()])["value"]
+    assert folded.non_null == whole.non_null
+    assert folded.nulls == whole.nulls
+    assert folded.minimum == whole.minimum
+    assert folded.maximum == whole.maximum
+    assert folded.total == whole.total
 
 
 @pytest.mark.usefixtures("ray_session")
