@@ -34,9 +34,22 @@ import pandas as pd
 
 def curate_documents(ds, *, jaccard_threshold: float = 0.8,
                      min_words: int = 30, max_words: int = 100_000,
-                     sample_rate: float = 0.5, n_buckets: int = 64):
+                     sample_rate: float = 0.5, n_buckets: int = 64,
+                     drop_broadcast_limit: int = 1_000_000):
     """documents Dataset (doc_id, text) → curated Dataset of
-    (doc_id, n_words) surviving all four stages. Deterministic."""
+    (doc_id, n_words) surviving all four stages. Deterministic.
+
+    The near-dup DROP set switches regime on its size (round-2 verdict:
+    the unconditional ``to_pandas()`` + frozenset broadcast is O(corpus)
+    on duplicate-heavy crawls):
+
+    * ≤ ``drop_broadcast_limit`` ids → exact frozenset broadcast, fused
+      into the quality+sample pass (zero extra shuffles);
+    * bigger → a Bloom filter of the drop ids prunes the corpus (rows
+      probing ABSENT are definitely kept — no false negatives), and only
+      the maybe-dropped rows (true drops + ~fp_rate of the corpus) shuffle
+      through an exact :func:`stages.joins.bucketed_anti_join`. The drop
+      set is never collected to the driver."""
     import ray
 
     from schema_guru_ray.stages.dedup import (
@@ -82,16 +95,23 @@ def curate_documents(ds, *, jaccard_threshold: float = 0.8,
     pairs = verify_pairs_jaccard_distributed(
         cands, kept, threshold=jaccard_threshold,
         num_partitions=derive_num_buckets(kept.count()),  # kept is materialized
-    ).to_pandas()  # confirmed pairs are tiny relative to the corpus
-    drop_ref = ray.put(frozenset(int(b) for b in pairs.get("id_b", [])))
+    )
+    # distinct drop ids as a (tiny-state) materialized Dataset — never the
+    # driver; materializing lets count() choose the regime without
+    # re-running the verification pass
+    drops = pairs.map_batches(
+        lambda b: pd.DataFrame({"id_b": b["id_b"].astype("int64")}),
+        batch_format="pandas",
+    ).materialize()
+    n_drop = drops.count()
 
     # --- stages 3+4: quality filter + deterministic sample (one pass) ------
     threshold_hex = rate_threshold_hex(sample_rate)
     nhex = len(threshold_hex)
 
-    def filter_and_sample(b: pd.DataFrame) -> pd.DataFrame:
-        drop = ray.get(drop_ref)
-        b = b[~b["doc_id"].isin(drop)]
+    def filter_and_sample(b: pd.DataFrame, drop_ref=None) -> pd.DataFrame:
+        if drop_ref is not None:
+            b = b[~b["doc_id"].isin(ray.get(drop_ref))]
         n_words = (
             b["text"].fillna("").str.lower().str.findall(WORD_RE).map(len)
         ).astype("int64")
@@ -100,4 +120,37 @@ def curate_documents(ds, *, jaccard_threshold: float = 0.8,
         b = b[md5_hex(b["doc_id"]).str[:nhex] < threshold_hex]
         return b[["doc_id", "n_words"]].astype({"doc_id": "int64"})
 
-    return kept.map_batches(filter_and_sample, batch_format="pandas")
+    if n_drop <= drop_broadcast_limit:
+        drop_ref = (
+            ray.put(frozenset(int(b) for b in drops.to_pandas()["id_b"]))
+            if n_drop
+            else None
+        )
+        return kept.map_batches(
+            filter_and_sample, fn_kwargs={"drop_ref": drop_ref},
+            batch_format="pandas",
+        )
+
+    # scale regime: Bloom prune (definitely-kept rows never shuffle), exact
+    # bucketed anti-join only over the maybe-dropped remainder
+    from schema_guru_ray.sketches.bloom import build_bloom
+    from schema_guru_ray.stages.joins import bucketed_anti_join
+
+    bloom_ref = ray.put(build_bloom(drops, "id_b", fp_rate=0.001).to_bytes())
+
+    def bloom_split(b: pd.DataFrame, want_maybe: bool) -> pd.DataFrame:
+        from schema_guru_ray.sketches.bloom import BloomFilter
+
+        hit = BloomFilter.from_bytes(ray.get(bloom_ref)).contains_many(b["doc_id"])
+        return b[hit] if want_maybe else b[~hit]
+
+    definite_keep = kept.map_batches(
+        bloom_split, fn_kwargs={"want_maybe": False}, batch_format="pandas"
+    )
+    maybe = kept.map_batches(
+        bloom_split, fn_kwargs={"want_maybe": True}, batch_format="pandas"
+    )
+    fp_survivors = bucketed_anti_join(maybe, drops, on="doc_id", key_column="id_b")
+    return definite_keep.union(fp_survivors).map_batches(
+        filter_and_sample, batch_format="pandas"
+    )

@@ -299,10 +299,18 @@ def referential_orphans(sf_dir: str, exact_broadcast_limit: int = 50_000_000):
     * key side fits a broadcast → exact: ship the key array once via
       ``ray.put``, vectorized ``pc.is_in`` per batch (no shuffle, no
       per-row Python loop);
-    * key side too big → the repo's mergeable Bloom filter
-      (sketches/bloom.py) prunes ~99% of rows for pennies, then the exact
-      broadcast check runs only on the tiny survivor set. No-false-negative
-      property of the Bloom guarantees the same answer."""
+    * key side too big → EXACT and fully distributed: per-batch
+      ``value_counts`` pre-reduce orders rows to (key, cnt) partials; keys
+      the Bloom reports ABSENT from customer are DEFINITE orphans (the
+      filter has no false negatives: present keys always probe true), so
+      their row counts sum immediately; keys the Bloom reports present —
+      the only side a false positive can hide in — are resolved exactly by
+      a bucketed hash ANTI-join of the distinct maybe-keys against the
+      customer key column. Nothing is ever broadcast or collected whole:
+      the shuffle moves distinct keys, not rows. (Round-2 ADVICE: the old
+      branch inverted this — it treated the definitely-absent side as the
+      maybe side, so Bloom false-positive orphans were silently dropped
+      and the survivor probe was vacuous.)"""
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
@@ -310,37 +318,70 @@ def referential_orphans(sf_dir: str, exact_broadcast_limit: int = 50_000_000):
     n_keys = cust.count()
 
     if n_keys > exact_broadcast_limit:
-        # scale regime: Bloom-prune orders (no false negatives: every true
-        # orphan survives), then resolve the few survivors EXACTLY by
-        # probing the customer table with the tiny survivor key set —
-        # the full key side is never broadcast or collected.
         from schema_guru_ray.sketches.bloom import build_bloom
+        from schema_guru_ray.stages.joins import derive_num_buckets
+        from schema_guru_ray.stages.profile import stable_hash64
 
         bloom_ref = ray.put(build_bloom(cust, "c_custkey").to_bytes())
 
-        def bloom_prune(b: pd.DataFrame) -> pd.DataFrame:
+        def key_counts(t: pa.Table) -> pd.DataFrame:
             from schema_guru_ray.sketches.bloom import BloomFilter
 
+            vc = pc.value_counts(t["o_custkey"])
+            keys = vc.field("values").to_pandas()
+            cnts = vc.field("counts").to_numpy()
             bf = BloomFilter.from_bytes(ray.get(bloom_ref))
-            return b[~bf.contains_many(b["o_custkey"])]
+            maybe = bf.contains_many(keys)
+            return pd.DataFrame(
+                {"key": keys, "cnt": cnts.astype(np.int64), "maybe": maybe}
+            )
 
-        survivors = orders.map_batches(bloom_prune, batch_format="pandas")
-        surv = survivors.to_pandas()  # ~fp_rate × |orders| + true orphans
-        if len(surv) == 0:
-            return pd.DataFrame({"n_orphans": [0]})
-        cand = pa.array(pd.unique(surv["o_custkey"]))
-        cand_ref = ray.put(cand)
+        partials = orders.map_batches(
+            key_counts, batch_format="pyarrow", batch_size=131072
+        ).materialize()  # tiny: distinct keys per batch, reused twice below
 
-        def probe(t: pa.Table) -> pa.Table:
-            cs = ray.get(cand_ref)
-            return t.filter(pc.is_in(t["c_custkey"], value_set=cs))
-
-        present = set(
-            cust.map_batches(probe, batch_format="pyarrow")
-            .to_pandas()["c_custkey"]
+        # contains == False ⇒ definitely not a customer ⇒ orphan rows
+        n_definite = int(
+            partials.map_batches(
+                lambda b: pd.DataFrame({"s": [int(b.loc[~b["maybe"], "cnt"].sum())]}),
+                batch_format="pandas",
+            ).to_pandas()["s"].sum()
         )
-        n = int((~surv["o_custkey"].isin(present)).sum())
-        return pd.DataFrame({"n_orphans": [n]})
+
+        # contains == True side: exact distributed anti-join on distinct keys
+        maybe_keys = partials.map_batches(
+            lambda b: b.loc[b["maybe"], ["key", "cnt"]], batch_format="pandas"
+        )
+        nb = derive_num_buckets(orders.count() + n_keys)
+
+        def tag(side: str):
+            def fn(b: pd.DataFrame) -> pd.DataFrame:
+                b = b.assign(
+                    __side=side,
+                    __bucket=(stable_hash64(b["key"]) % np.uint64(nb)).astype(np.int32),
+                )
+                return b
+            return fn
+
+        m_tagged = maybe_keys.map_batches(tag("m"), batch_format="pandas")
+        c_tagged = cust.map_batches(
+            lambda b: pd.DataFrame({"key": b["c_custkey"], "cnt": np.int64(0)}),
+            batch_format="pandas",
+        ).map_batches(tag("c"), batch_format="pandas")
+
+        def anti_count(g: pd.DataFrame) -> pd.DataFrame:
+            m = g[g["__side"] == "m"]
+            present = g.loc[g["__side"] == "c", "key"]
+            n = int(m.loc[~m["key"].isin(present), "cnt"].sum())
+            return pd.DataFrame({"n": [n]})
+
+        fp_orphans = (
+            m_tagged.union(c_tagged)
+            .groupby("__bucket")
+            .map_groups(anti_count, batch_format="pandas")
+        )
+        n_fp = int(fp_orphans.to_pandas()["n"].sum())  # ≤ nb scalar rows
+        return pd.DataFrame({"n_orphans": [n_definite + n_fp]})
 
     keys_ref = ray.put(
         pa.Table.from_pandas(cust.to_pandas())["c_custkey"].combine_chunks()

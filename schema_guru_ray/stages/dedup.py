@@ -246,7 +246,12 @@ def connected_components_distributed(pairs_ds, max_rounds: Optional[int] = None)
         batch_format="pandas",
     ).materialize()
 
-    from schema_guru_ray.stages.joins import bucketed_hash_join
+    from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
+
+    # data-scaled bucket count for the in-loop joins (round-2 verdict: the
+    # fixed 8 here meant 1/8 of the edge set materialized per pandas group
+    # at ANY scale); edges is materialized, so count() is free
+    nb = derive_num_buckets(edges.count())
 
     def label_sum(lab) -> int:
         return int(
@@ -262,7 +267,7 @@ def connected_components_distributed(pairs_ds, max_rounds: Optional[int] = None)
     while max_rounds is None or rounds < max_rounds:
         rounds += 1
         # (a) propagate: node's label → its peers
-        joined = bucketed_hash_join(edges, labels, on="node", num_buckets=8)
+        joined = bucketed_hash_join(edges, labels, on="node", num_buckets=nb)
         prop = joined.map_batches(
             lambda b: pd.DataFrame({"node": b["peer"], "label": b["label"]}),
             batch_format="pandas",
@@ -276,7 +281,7 @@ def connected_components_distributed(pairs_ds, max_rounds: Optional[int] = None)
             lambda b: pd.DataFrame({"mid": b["node"], "jump": b["label"]}),
             batch_format="pandas",
         )
-        jumped = bucketed_hash_join(as_mid, mid_labels, on="mid", num_buckets=8)
+        jumped = bucketed_hash_join(as_mid, mid_labels, on="mid", num_buckets=nb)
         jump = jumped.map_batches(
             lambda b: pd.DataFrame({"node": b["node"], "label": b["jump"]}),
             batch_format="pandas",

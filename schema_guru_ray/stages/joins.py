@@ -223,6 +223,47 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def bucketed_anti_join(left, keys_ds, on: str, key_column: Optional[str] = None,
+                       num_buckets: Optional[int] = None):
+    """EXACT distributed anti join: left rows whose ``on`` value appears
+    nowhere in ``keys_ds[key_column]``. Both sides are tagged with
+    ``bucket = hash(key) % B`` and shuffled once — a key's left rows and
+    its (possibly duplicated) key rows meet in one bucket, where a
+    vectorized ``isin`` drops the matches. Unlike
+    :func:`sketches.bloom.semi_join_bloom(anti=True)` this never misses a
+    row (no false positives), at the cost of shuffling the left side;
+    pre-prune with the Bloom when the left side is much bigger than the
+    match set (the curate pipeline does exactly that)."""
+    key_column = key_column or on
+    lschema = left.schema()
+    left_cols = list(lschema.names)
+    spec = _dtype_spec(left)
+    if num_buckets is None:
+        num_buckets = derive_num_buckets(left.count() + keys_ds.count())
+
+    def key_only(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__akey": b[key_column]})
+
+    lt = left.map_batches(_tag_fn("l", on, num_buckets), batch_format="pyarrow")
+    kt = keys_ds.map_batches(key_only, batch_format="pandas").map_batches(
+        _tag_fn("r", "__akey", num_buckets), batch_format="pyarrow"
+    )
+    both = lt.union(kt)  # arrow null-fill: missing columns stay typed
+    out_schema = _output_schema(left_cols, lschema, lschema)
+
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas(types_mapper=_nullable_types_mapper)
+        l = g[g["__side"] == "l"].reindex(columns=left_cols)
+        if l.empty:
+            return _to_arrow_clean(_empty_typed_frame(left_cols, spec), out_schema)
+        if "__akey" not in g.columns:  # key side empty: nothing to drop
+            return _to_arrow_clean(l, out_schema)
+        drop_keys = g.loc[g["__side"] == "r", "__akey"]
+        return _to_arrow_clean(l[~l[on].isin(drop_keys)], out_schema)
+
+    return both.groupby("__bucket").map_groups(anti_bucket, batch_format="pyarrow")
+
+
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
               num_buckets: Optional[int] = None, direction: str = "backward",
               right_columns: Optional[Sequence[str]] = None,

@@ -12,7 +12,6 @@
 
 from __future__ import annotations
 
-import heapq
 from typing import Optional
 
 import numpy as np
@@ -21,6 +20,27 @@ import pandas as pd
 
 def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+
+
+def _merge_topk_partials(partials, k: int, id_column: str) -> pd.DataFrame:
+    """Driver-side merge of per-batch local top-k partials, VECTORIZED:
+    one stable sort over the O(#batches × n_queries × k) partial rows +
+    a groupby-head — no per-row Python loop (the round-2 heap merge was a
+    real loop at 10^4-query workloads). Tie-break matches the SQL oracle:
+    score DESC, then id ASC."""
+    frames = list(partials.iter_batches(batch_size=65536, batch_format="pandas"))
+    if not frames:
+        return pd.DataFrame({"query_idx": [], id_column: [], "score": []})
+    allp = pd.concat(frames, ignore_index=True)
+    allp = allp.sort_values(
+        ["query_idx", "score", id_column],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+    out = allp.groupby("query_idx", sort=False).head(k).reset_index(drop=True)
+    return out[["query_idx", id_column, "score"]].astype(
+        {"query_idx": "int64", id_column: "int64", "score": "float64"}
+    )
 
 
 _TOPK_CACHE: dict = {}
@@ -73,21 +93,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         fn_kwargs=dict(queries_ref=qref, k=k, column=column, id_column=id_column),
         batch_format="pandas",
     )
-    heaps: dict = {}
-    for b in partials.iter_batches(batch_size=8192, batch_format="pandas"):
-        for q, i, s in zip(b["query_idx"], b[id_column], b["score"]):
-            h = heaps.setdefault(int(q), [])
-            # (score, -id): on score ties the LARGER id is evicted first, so
-            # the kept set matches the oracle's ORDER BY score DESC, id ASC
-            if len(h) < k:
-                heapq.heappush(h, (float(s), -int(i)))
-            else:
-                heapq.heappushpop(h, (float(s), -int(i)))
-    rows = []
-    for q in sorted(heaps):
-        for s, ni in sorted(heaps[q], key=lambda t: (-t[0], -t[1])):
-            rows.append((q, -ni, s))
-    return pd.DataFrame(rows, columns=["query_idx", id_column, "score"])
+    return _merge_topk_partials(partials, k, id_column)
 
 
 def fit_centroids(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 3) -> np.ndarray:
@@ -154,8 +160,6 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
              column: str = "embedding", id_column: str = "vec_id") -> pd.DataFrame:
     """Approximate cosine top-k with an IVF coarse quantizer. Recall grows
     with ``n_probe`` (== n_cells → exact)."""
-    import heapq
-
     import ray
 
     sample = np.stack(
@@ -172,18 +176,4 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
         batch_format="pandas",
         concurrency=2,
     )
-    heaps: dict = {}
-    for b in partials.iter_batches(batch_size=8192, batch_format="pandas"):
-        for q, i, s in zip(b["query_idx"], b[id_column], b["score"]):
-            h = heaps.setdefault(int(q), [])
-            # (score, -id): on score ties the LARGER id is evicted first, so
-            # the kept set matches the oracle's ORDER BY score DESC, id ASC
-            if len(h) < k:
-                heapq.heappush(h, (float(s), -int(i)))
-            else:
-                heapq.heappushpop(h, (float(s), -int(i)))
-    rows = []
-    for q in sorted(heaps):
-        for s, ni in sorted(heaps[q], key=lambda t: (-t[0], -t[1])):
-            rows.append((q, -ni, s))
-    return pd.DataFrame(rows, columns=["query_idx", id_column, "score"])
+    return _merge_topk_partials(partials, k, id_column)

@@ -58,11 +58,61 @@ class TestSemiJoinBloom:
         assert fp <= max(5, 0.03 * n_all)
 
 
+@pytest.fixture(scope="module")
+def orphan_dir(tmp_path_factory):
+    """Synthetic customer/orders pair with a KNOWN orphan set — the sf
+    testdata fixture has zero true orphans, which made the old regime test
+    vacuous (round-2 ADVICE). 7 orphan rows over 3 orphan keys."""
+    d = tmp_path_factory.mktemp("orphans")
+    custkeys = np.arange(1, 101, dtype=np.int64)
+    pd.DataFrame({"c_custkey": custkeys}).to_parquet(d / "customer.parquet")
+    rng = np.random.default_rng(7)
+    good = rng.choice(custkeys, size=500)
+    orphans = np.array([1000, 1000, 1000, 1001, 1001, 2002, 2002], dtype=np.int64)
+    keys = np.concatenate([good, orphans])
+    pd.DataFrame(
+        {
+            "o_orderkey": np.arange(len(keys), dtype=np.int64),
+            "o_custkey": keys,
+        }
+    ).to_parquet(d / "orders.parquet")
+    return str(d), len(orphans)
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestReferentialOrphansRegimes:
-    def test_bloom_regime_matches_exact(self, sf_dir):
-        """Forcing the huge-key-side regime (Bloom prune + survivor probe)
-        must give the same orphan count as the exact broadcast regime."""
+    def test_bloom_regime_matches_exact(self, orphan_dir):
+        """Forcing the huge-key-side regime must give the same orphan count
+        as the exact broadcast regime — on a fixture that HAS orphans."""
+        from schema_guru_ray.pipelines.queries import referential_orphans
+
+        d, n_true = orphan_dir
+        exact = referential_orphans(d)
+        bloom = referential_orphans(d, exact_broadcast_limit=0)
+        assert int(exact["n_orphans"].iloc[0]) == n_true
+        assert int(bloom["n_orphans"].iloc[0]) == n_true
+
+    def test_bloom_false_positive_orphans_still_counted(self, orphan_dir, monkeypatch):
+        """Worst-case false positives, deterministically: a SATURATED Bloom
+        (every bit set) reports every key present, so every true orphan is
+        a false positive. The exact anti-join side of the scale regime must
+        recover all of them — the round-2 ADVICE bug silently dropped them
+        (a probabilistic regime test passes ~99% per orphan and can't catch
+        that)."""
+        from schema_guru_ray.pipelines.queries import referential_orphans
+        from schema_guru_ray.sketches import bloom as bloom_mod
+
+        def saturated(ds, column, n_items_hint=None, fp_rate=0.01):
+            f = bloom_mod.BloomFilter(n_bits=64, n_hashes=1)
+            f.bits[:] = 0xFF
+            return f
+
+        monkeypatch.setattr(bloom_mod, "build_bloom", saturated)
+        d, n_true = orphan_dir
+        forced = referential_orphans(d, exact_broadcast_limit=0)
+        assert int(forced["n_orphans"].iloc[0]) == n_true
+
+    def test_sf_fixture_regimes_agree(self, sf_dir):
         from schema_guru_ray.pipelines.queries import referential_orphans
 
         exact = referential_orphans(sf_dir)

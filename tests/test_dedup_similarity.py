@@ -177,6 +177,33 @@ class TestSimilaritySearch:
         assert cents.shape == (8, 16)
         assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
 
+    def test_many_queries_bounded(self, emb_ds, sf_dir):
+        """Query-set-scale workload (256 queries): the vectorized partial
+        merge must stay sub-linear-in-Python — the round-2 heap loop was
+        O(#partial rows) Python iterations — and every query must come
+        back with exactly k rows in oracle order (score DESC, id ASC)."""
+        import time
+
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        vecs = np.stack(tab["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        rng = np.random.default_rng(11)
+        queries = vecs[rng.choice(len(vecs), size=256, replace=False)]
+        t0 = time.time()
+        got = brute_force_topk(emb_ds, queries, k=5)
+        wall = time.time() - t0
+        assert wall < 60  # generous bound; the old loop is the regression
+        counts = got.groupby("query_idx").size()
+        assert len(counts) == 256 and (counts == 5).all()
+        # within each query: non-increasing scores, id ASC on ties
+        for q in (0, 100, 255):
+            sub = got[got["query_idx"] == q]
+            s = sub["score"].to_numpy()
+            assert (np.diff(s) <= 1e-12).all()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestBruteForceParity:

@@ -188,6 +188,65 @@ class TestDistributedComponents:
         assert got == want
 
 
+def test_derive_num_buckets_bounds_per_bucket_rows():
+    """Per-bucket rows stay ≤ DEFAULT_ROWS_PER_BUCKET at ANY input size —
+    the round-2 verdict's criterion for the components-loop joins (a fixed
+    8 meant 1/8 of the edge set per pandas group at any scale)."""
+    from schema_guru_ray.stages.joins import (
+        DEFAULT_ROWS_PER_BUCKET,
+        derive_num_buckets,
+    )
+
+    for n in (1, 10**6, 10**8, 10**10):
+        assert n / derive_num_buckets(n) <= DEFAULT_ROWS_PER_BUCKET
+    assert derive_num_buckets(10**8) > derive_num_buckets(10**6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBucketedAntiJoin:
+    def test_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import bucketed_anti_join
+
+        rng = np.random.default_rng(9)
+        left = pd.DataFrame(
+            {"k": rng.integers(0, 200, size=1000), "v": np.arange(1000)}
+        )
+        # duplicated keys on the key side must not duplicate output rows
+        keys = pd.DataFrame({"kk": np.repeat(rng.integers(0, 200, size=60), 2)})
+        got = (
+            bucketed_anti_join(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(keys).repartition(2),
+                on="k",
+                key_column="kk",
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        want = (
+            left[~left["k"].isin(keys["kk"])].sort_values("v").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"k": "int64", "v": "int64"}), want.astype("int64")
+        )
+
+    def test_empty_key_side(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import bucketed_anti_join
+
+        left = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+        keys = pd.DataFrame({"k": pd.Series([], dtype="int64")})
+        got = bucketed_anti_join(
+            rd.from_pandas(left), rd.from_pandas(keys), on="k", num_buckets=4
+        ).to_pandas()
+        assert sorted(got["v"]) == [1, 2]
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestGroupedTopKAndHopping:
     def test_grouped_topk_matches_pandas(self, ray_session):
