@@ -74,10 +74,23 @@ def cmd_schema(args) -> int:
 
     ctx = _build_context(args)
     json_column = None
-    if args.input.endswith(".parquet") or (
+    is_parquet = args.input.endswith(".parquet") or (
         os.path.isdir(args.input)
         and any(n.endswith(".parquet") for n in os.listdir(args.input))
-    ):
+    )
+    if getattr(args, "checkpoint_dir", None) and not is_parquet:
+        # reject up front: JSON/NDJSON corpora are not partition-addressable
+        # (the checkpoint ledger keys on parquet files). Without this guard
+        # the corpus would be fully parsed and materialized, then the
+        # parquet glob would come up empty / crash obscurely mid-run.
+        print(
+            "error: --checkpoint-dir requires parquet input; "
+            "convert the JSON/NDJSON corpus to parquet first "
+            "(resumable checkpoints are keyed on parquet partition files)",
+            file=sys.stderr,
+        )
+        return 2
+    if is_parquet:
         ds = rd.read_parquet(args.input)
         json_column = args.json_column
     else:

@@ -646,12 +646,35 @@ GROUP BY 1
 
 
 def minhash_dedup_documents(sf_dir: str):
-    """Near-dup candidate pairs (MinHash+LSH). Rows-only check: LSH output
-    is not SQL-expressible."""
-    from schema_guru_ray.stages.dedup import MinHashSigner, minhash_candidate_pairs
+    """Near-dup candidate pairs (MinHash+LSH, default 64-perm × 16-band
+    signer). LSH output is approximate by design (no SQL oracle), but the
+    result carries a MEASURED recall against the verified exact-jaccard
+    ≥ 0.8 pair set computed IN THE SAME RUN with the recall-exhaustive
+    21×3-band signer — the truth set near_dup_pairs_documents
+    oracle-checks — so the rows-only record is a checked invariant and
+    pytest bounds it (the ivf_topk_embeddings pattern)."""
+    from schema_guru_ray.stages.dedup import (
+        MinHashSigner,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_distributed,
+    )
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8)
-    return minhash_candidate_pairs(ds, MinHashSigner(), min_est_jaccard=0.5)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8).materialize()
+    cands = minhash_candidate_pairs(
+        ds, MinHashSigner(), min_est_jaccard=0.5
+    ).to_pandas()
+    truth_cands = minhash_candidate_pairs(
+        ds, MinHashSigner(num_perm=63, bands=21), min_est_jaccard=0.5
+    )
+    truth = verify_pairs_jaccard_distributed(truth_cands, ds, threshold=0.8).to_pandas()
+    truth_pairs = set(zip(truth["id_a"].astype(int), truth["id_b"].astype(int)))
+    cand_pairs = set(zip(cands["id_a"].astype(int), cands["id_b"].astype(int)))
+    recall = (
+        len(truth_pairs & cand_pairs) / len(truth_pairs) if truth_pairs else 1.0
+    )
+    out = cands.copy()
+    out["recall_vs_verified"] = float(recall)
+    return out
 
 
 def near_dup_pairs_documents(sf_dir: str):
@@ -749,10 +772,57 @@ SELECT src AS node, min(reach) AS label FROM walk GROUP BY src
 
 
 def simhash_documents(sf_dir: str):
+    """SimHash near-dup pairs with a FULL DuckDB oracle: the md5 token
+    hash lets SQL rebuild every 64-bit signature bit-for-bit, re-derive
+    the chunk candidates (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk is
+    equal) and check ``bit_count(xor(sig_a, sig_b))`` — this moved from
+    the no-oracle tail in round 3."""
     from schema_guru_ray.stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
+
+
+SIMHASH_DOCUMENTS_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(string_split(
+           trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')),
+           ' ')) AS tok
+  FROM documents
+),
+tokhash AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM tokens
+),
+bitsum AS (
+  SELECT doc_id, gs.b,
+         sum(CASE WHEN ((h >> gs.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM tokhash, generate_series(0, 63) AS gs(b)
+  GROUP BY doc_id, gs.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+              AS UBIGINT) AS sig
+  FROM bitsum GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, g2.c,
+         CAST((sig >> (16 * g2.c)) & 65535 AS INT) AS cv
+  FROM sig, generate_series(0, 3) AS g2(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sa, b.sig AS sb
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+"""
 
 
 def langid_documents(sf_dir: str):
@@ -1528,6 +1598,7 @@ ORACLES = {
     "mixture_documents": MIXTURE_DOCUMENTS_SQL,
     "stratified_cap_events": STRATIFIED_CAP_EVENTS_SQL,
     "curate_documents": CURATE_DOCUMENTS_SQL,
+    "simhash_documents": SIMHASH_DOCUMENTS_SQL,
     "ann_topk_embeddings": ANN_TOPK_EMBEDDINGS_SQL,
     "join_orders_customers": JOIN_ORDERS_CUSTOMERS_SQL,
     "asof_latest_order_before_event": ASOF_LATEST_ORDER_SQL,

@@ -14,6 +14,7 @@ upstream.
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import re
 from typing import Dict, Iterable, List, Optional, Set, Tuple
@@ -332,11 +333,29 @@ def connected_components(pairs: Iterable[Tuple[int, int]]) -> Dict[int, int]:
 # --- SimHash ----------------------------------------------------------------
 
 
+def _md5_token_hash64(tokens: pd.Series) -> np.ndarray:
+    """uint64 token hash = big-endian first 8 bytes of md5(utf-8 token) —
+    chosen over siphash so a SQL oracle can reproduce the signature
+    bit-for-bit (`CAST('0x' || substr(md5(tok),1,16) AS UBIGINT)` in
+    DuckDB). md5 runs once per UNIQUE token per batch."""
+    uniq = pd.unique(tokens)
+    table = {
+        t: np.uint64(int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16))
+        for t in uniq
+    }
+    return tokens.map(table).to_numpy(dtype=np.uint64)
+
+
 class SimHasher:
     """map_batches kernel → (id, simhash, chunk0..chunk3) rows.
     64-bit SimHash (Charikar 2002): sign of per-bit sums of token-hash ±1
-    contributions; candidates must share at least one 16-bit chunk
-    (pigeonhole for hamming distance <= 3)."""
+    contributions (bit b of the signature is set iff the sum of
+    ``(hash >> b) & 1 ? +1 : -1`` over all token occurrences is positive);
+    candidates must share at least one 16-bit chunk (pigeonhole for
+    hamming distance <= 3). The md5 token hash makes the whole signature
+    SQL-expressible — simhash_documents carries a full DuckDB oracle."""
+
+    _BITS = np.arange(64, dtype=np.uint64)
 
     def __init__(self, column: str = "text", id_column: str = "doc_id"):
         self.column = column
@@ -350,15 +369,17 @@ class SimHasher:
         n = len(token_lists)
         sims = np.zeros(n, dtype=np.uint64)
         if flat:
-            h = stable_hash64(pd.Series(flat))
-            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-            contrib = bits.astype(np.int32) * 2 - 1  # (n_tokens × 64) of ±1
+            h = _md5_token_hash64(pd.Series(flat))
+            bits = ((h[:, None] >> self._BITS[None, :]) & np.uint64(1)).astype(np.int32)
+            contrib = bits * 2 - 1  # (n_tokens × 64) of ±1
             offsets = np.concatenate([[0], np.cumsum(lengths)])
             for d in range(n):
                 if lengths[d]:
                     s = contrib[offsets[d] : offsets[d + 1]].sum(axis=0)
-                    packed = np.packbits((s > 0).astype(np.uint8), bitorder="little")
-                    sims[d] = packed.view(np.uint64)[0]
+                    # distinct bits per term: the sum IS the bitwise OR
+                    sims[d] = ((s > 0).astype(np.uint64) << self._BITS).sum(
+                        dtype=np.uint64
+                    )
         out = {self.id_column: batch[self.id_column], "simhash": sims}
         for c in range(4):
             out[f"chunk{c}"] = ((sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(

@@ -200,15 +200,109 @@ class TextCleaner:
         )
 
 
-class LangId:
-    """Language identification: stopword-hit scoring with a character
-    trigram fallback — the classic lightweight n-gram heuristic (rows-only
-    check: not SQL-expressible). Emits (id, lang_pred, lang_score)."""
+# Seed text per language for the character-trigram fallback profiles —
+# UDHR Article 1 (public domain) in each language. The stopword languages
+# get seeds too (so the fallback can still rank them on short or
+# stopword-free text); tr/nl/sw have NO stopword list and are reachable
+# only through the trigram path.
+_TRIGRAM_SEEDS: Dict[str, str] = {
+    "en": "All human beings are born free and equal in dignity and rights. "
+          "They are endowed with reason and conscience and should act "
+          "towards one another in a spirit of brotherhood.",
+    "de": "Alle Menschen sind frei und gleich an Würde und Rechten geboren. "
+          "Sie sind mit Vernunft und Gewissen begabt und sollen einander im "
+          "Geist der Brüderlichkeit begegnen.",
+    "fr": "Tous les êtres humains naissent libres et égaux en dignité et en "
+          "droits. Ils sont doués de raison et de conscience et doivent agir "
+          "les uns envers les autres dans un esprit de fraternité.",
+    "es": "Todos los seres humanos nacen libres e iguales en dignidad y "
+          "derechos y, dotados como están de razón y conciencia, deben "
+          "comportarse fraternalmente los unos con los otros.",
+    "it": "Tutti gli esseri umani nascono liberi ed eguali in dignità e "
+          "diritti. Essi sono dotati di ragione e di coscienza e devono "
+          "agire gli uni verso gli altri in spirito di fratellanza.",
+    "pt": "Todos os seres humanos nascem livres e iguais em dignidade e em "
+          "direitos. Dotados de razão e de consciência, devem agir uns para "
+          "com os outros em espírito de fraternidade.",
+    "tr": "Bütün insanlar hür, haysiyet ve haklar bakımından eşit doğarlar. "
+          "Akıl ve vicdana sahiptirler ve birbirlerine karşı kardeşlik "
+          "zihniyeti ile hareket etmelidirler.",
+    "nl": "Alle mensen worden vrij en gelijk in waardigheid en rechten "
+          "geboren. Zij zijn begiftigd met verstand en geweten, en behoren "
+          "zich jegens elkander in een geest van broederschap te gedragen.",
+    "sw": "Watu wote wamezaliwa huru, hadhi na haki zao ni sawa. Wote "
+          "wamejaliwa akili na dhamiri, hivyo yapasa watendeane kindugu.",
+}
 
-    def __init__(self, column: str = "text", id_column: str = "doc_id"):
+_LETTER_RE = re.compile(r"[^\W\d_]", re.UNICODE)
+
+
+def _trigram_ranks(text: str, top_n: int = 300) -> Dict[str, int]:
+    """Rank-ordered character trigram profile (Cavnar & Trenkle 1994,
+    'N-Gram-Based Text Categorization'): lowercase, collapse non-letters to
+    single spaces, count all 3-grams, keep the top_n by (count desc,
+    trigram asc) and map trigram → rank."""
+    s = " " + re.sub(r"[\W\d_]+", " ", (text or "").lower()).strip() + " "
+    counts: Dict[str, int] = {}
+    for i in range(len(s) - 2):
+        t = s[i:i + 3]
+        counts[t] = counts.get(t, 0) + 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    return {t: r for r, (t, _) in enumerate(ordered)}
+
+
+class LangId:
+    """Language identification, two tiers (rows-only check: not
+    SQL-expressible). Emits (id, lang_pred, lang_score).
+
+    1. stopword-hit scoring — vectorizable, high precision on languages
+       with an embedded stopword list;
+    2. character-trigram fallback (Cavnar-Trenkle out-of-place distance
+       against UDHR-seeded rank profiles) for text the stopword tier can't
+       place — including languages with NO stopword list (tr/nl/sw).
+       Profiles are built once per actor in ``__init__``.
+
+    Acceptance: the trigram tier accepts when the best similarity clears an
+    absolute floor AND beats the runner-up by a margin (random/non-language
+    text scores ~0 against every profile and short same-family snippets
+    lack the margin); otherwise a weak stopword hit is used, else "und".
+    Text with fewer than ``min_letters`` letters stays "und"."""
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id",
+                 min_letters: int = 20, stopword_accept: float = 0.15,
+                 tri_floor: float = 0.05, tri_margin: float = 1.3):
         self.column = column
         self.id_column = id_column
+        self.min_letters = min_letters
+        self.stopword_accept = stopword_accept
+        self.tri_floor = tri_floor
+        self.tri_margin = tri_margin
         self.profiles = {k: v for k, v in _STOPWORDS.items()}
+        self.tri_profiles = {
+            lang: _trigram_ranks(seed) for lang, seed in _TRIGRAM_SEEDS.items()
+        }
+
+    def _trigram_score(self, text: str):
+        letters = _LETTER_RE.findall(text)
+        if len(letters) < self.min_letters:
+            return "und", 0.0
+        doc = _trigram_ranks(text)
+        if not doc:
+            return "und", 0.0
+        sims = []
+        for lang, prof in self.tri_profiles.items():
+            max_oop = len(prof)  # out-of-place penalty for a missing trigram
+            dist = sum(
+                min(abs(r - prof[t]), max_oop) if t in prof else max_oop
+                for t, r in doc.items()
+            )
+            sims.append((1.0 - dist / (len(doc) * max_oop), lang))
+        sims.sort(reverse=True)
+        (best_sim, best_lang), (second_sim, _) = sims[0], sims[1]
+        ok = best_sim >= self.tri_floor and best_sim >= self.tri_margin * max(
+            second_sim, 1e-9
+        )
+        return (best_lang if ok else "und"), float(best_sim)
 
     def _score(self, text: str):
         words = WORD_RE.findall(text.lower())
@@ -220,7 +314,14 @@ class LangId:
             score = hits / len(words)
             if score > best:
                 best_lang, best = lang, score
-        return (best_lang if best > 0.02 else "und"), float(best)
+        if best >= self.stopword_accept:  # high-confidence stopword hit
+            return best_lang, float(best)
+        tri_lang, tri_sim = self._trigram_score(text)
+        if tri_lang != "und":
+            return tri_lang, tri_sim
+        if best > 0.02:  # weak stopword hit, trigram undecided
+            return best_lang, float(best)
+        return "und", float(max(best, tri_sim))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         scored = batch[self.column].fillna("").map(self._score)

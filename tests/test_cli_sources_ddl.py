@@ -72,6 +72,20 @@ class TestCli:
 
 
 class TestCliOptions:
+    def test_checkpoint_dir_rejects_json_input(self, json_dir, tmp_path):
+        """--checkpoint-dir is keyed on parquet partition files; combined
+        with a JSON dir (or --ndjson) it must fail FAST with a clear
+        message instead of parsing the whole corpus and then crashing on
+        an empty parquet glob (round-2 ADVICE)."""
+        r = subprocess.run(
+            [sys.executable, "-m", "schema_guru_ray.cli", "schema", json_dir,
+             "--checkpoint-dir", str(tmp_path / "ckpt")],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 2
+        assert "requires parquet input" in r.stderr
+        assert not (tmp_path / "ckpt").exists()
+
     def test_no_length_and_enum(self, json_dir, tmp_path):
         out = tmp_path / "schema.json"
         r = subprocess.run(

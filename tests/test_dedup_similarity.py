@@ -287,6 +287,16 @@ class TestBruteForceParity:
         assert out["recall_vs_exact"].min() >= 0.5
         assert out["recall_vs_exact"].mean() >= 0.7
 
+    def test_minhash_query_recall_bound(self, sf_dir, ray_session):
+        """The minhash_dedup_documents queries() entry must report measured
+        candidate recall vs the verified exact-jaccard truth set computed
+        in the same run — expected ≈ 1 - (1-0.8⁴)¹⁶ ≈ 0.9998 at j = 0.8."""
+        from schema_guru_ray.pipelines.queries import minhash_dedup_documents
+
+        out = minhash_dedup_documents(sf_dir)
+        assert "recall_vs_verified" in out.columns
+        assert (out["recall_vs_verified"] >= 0.95).all()
+
 
 class TestJaccardProperties:
     def test_integer_threshold_equals_float(self):
