@@ -111,6 +111,17 @@ def run_bench() -> dict:
             res.materialize()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # warm-repeat protocol (round-2 verdict): the first asof execution pays
+    # one-off costs (schema fetch, shuffle aggregator spin-up) that a
+    # long-lived deployment amortizes; report the warm number alongside.
+    t0 = time.perf_counter()
+    res = Q.QUERIES["asof_latest_order_before_event"](sf_dir)
+    if hasattr(res, "materialize"):
+        res.materialize()
+    timings["asof_latest_order_before_event_warm"] = round(
+        time.perf_counter() - t0, 3
+    )
+
     out = {
         "metric": "clips validation throughput + query suite wall time",
         "value": round(headline_sec, 3),

@@ -106,6 +106,7 @@ class TestOracleParity:
             "top_orders_per_customer",
             "schema_segmented_events",
             "schema_evolution_events",
+            "simhash_documents",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
@@ -118,7 +119,6 @@ class TestOracleParity:
             "clips_codec_verdicts",
             "clips_violations",
             "clips_duplicate_ids",
-            "simhash_documents",
             "langid_documents",
             "ivf_topk_embeddings",
             "schema_infer_lineitem",
