@@ -645,14 +645,16 @@ GROUP BY 1
 """
 
 
-def minhash_dedup_documents(sf_dir: str):
+def minhash_dedup_documents(sf_dir: str, measure_recall: bool = True):
     """Near-dup candidate pairs (MinHash+LSH, default 64-perm × 16-band
     signer). LSH output is approximate by design (no SQL oracle), but the
     result carries a MEASURED recall against the verified exact-jaccard
     ≥ 0.8 pair set computed IN THE SAME RUN with the recall-exhaustive
     21×3-band signer — the truth set near_dup_pairs_documents
     oracle-checks — so the rows-only record is a checked invariant and
-    pytest bounds it (the ivf_topk_embeddings pattern)."""
+    pytest bounds it (the ivf_topk_embeddings pattern).
+    ``measure_recall=False`` skips the truth-set harness (~3x the
+    operator's own work) — bench.py times the bare operator."""
     from schema_guru_ray.stages.dedup import (
         MinHashSigner,
         minhash_candidate_pairs,
@@ -663,6 +665,8 @@ def minhash_dedup_documents(sf_dir: str):
     cands = minhash_candidate_pairs(
         ds, MinHashSigner(), min_est_jaccard=0.5
     ).to_pandas()
+    if not measure_recall:
+        return cands
     truth_cands = minhash_candidate_pairs(
         ds, MinHashSigner(num_perm=63, bands=21), min_est_jaccard=0.5
     )
