@@ -16,6 +16,9 @@ module re-creates that surface without a serving framework:
 * :func:`handle_upload` — the full request → response pipeline
   (derive + merge + transform + duplicate-key warning), pure function of
   (content_type, body) so it is testable without sockets;
+* :func:`handle_get` — the static web-UI router (``/`` → index page,
+  ``/dist/*`` + ``/css/*`` assets, the reference's rootRoute static
+  entries, SchemaGuruRoutes.scala:63-75) as a pure function;
 * :func:`serve` — an optional stdlib ``http.server`` runner for real use.
 
 The derive/merge runs in-process (the webui does the same on a detached
@@ -26,6 +29,7 @@ path for large corpora is ``pipelines/infer.py``.
 from __future__ import annotations
 
 import json
+import os
 from email.message import Message
 from email.parser import BytesParser
 from typing import Dict, List, Optional, Tuple
@@ -149,12 +153,58 @@ def handle_upload(content_type: str, body: bytes) -> Dict[str, object]:
     }
 
 
+_WEB_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "web")
+
+#: GET route table mirroring the reference's rootRoute
+#: (SchemaGuruRoutes.scala:63-75): "/" -> web/index.html, "/dist/*" and
+#: "/css/*" -> static directories. Content types by extension; anything
+#: outside the table (or escaping the web root) is 404.
+_STATIC_TYPES = {
+    ".html": "text/html; charset=utf-8",
+    ".js": "application/javascript; charset=utf-8",
+    ".css": "text/css; charset=utf-8",
+    ".map": "application/json",
+}
+
+
+def handle_get(path: str) -> Tuple[int, str, bytes]:
+    """GET router as a pure function of the URL path →
+    (status, content_type, body). ``/`` serves the index page;
+    ``/dist/...`` and ``/css/...`` serve files under the packaged web
+    root (the reference's getFromResourceDirectory); every other path —
+    including any ``..`` traversal out of the web root — is 404."""
+    path = path.split("?", 1)[0]
+    if path in ("/", "/index.html"):
+        rel = "index.html"
+    elif path.startswith(("/dist/", "/css/")):
+        rel = path.lstrip("/")
+    else:
+        return 404, "text/plain; charset=utf-8", b"not found"
+    full = os.path.realpath(os.path.join(_WEB_ROOT, rel))
+    if not full.startswith(os.path.realpath(_WEB_ROOT) + os.sep):
+        return 404, "text/plain; charset=utf-8", b"not found"
+    ctype = _STATIC_TYPES.get(os.path.splitext(full)[1])
+    if ctype is None or not os.path.isfile(full):
+        return 404, "text/plain; charset=utf-8", b"not found"
+    with open(full, "rb") as fh:
+        return 200, ctype, fh.read()
+
+
 def serve(port: int = 8000):  # pragma: no cover - needs a socket
-    """Minimal stdlib HTTP server exposing POST /upload (for real use;
-    tests call handle_upload directly)."""
+    """Minimal stdlib HTTP server exposing POST /upload plus the static
+    web UI (for real use; tests call handle_upload / handle_get
+    directly)."""
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            status, ctype, body = handle_get(self.path)
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             if self.path != "/upload":
                 self.send_error(404)

@@ -86,3 +86,40 @@ class TestUpload:
 
         with pytest.raises(ValueError):
             handle_upload("application/json", b"{}")
+
+
+class TestStatic:
+    """Static web-UI routes (SchemaGuruRoutes.scala:63-75 rootRoute:
+    index ~ staticJs ~ staticCss ~ upload)."""
+
+    def test_index(self):
+        from schema_guru_ray.serve import handle_get
+
+        status, ctype, body = handle_get("/")
+        assert status == 200
+        assert ctype.startswith("text/html")
+        assert b"schema-guru" in body
+        # same page at /index.html
+        assert handle_get("/index.html")[:1] == (200,)
+
+    def test_dist_and_css(self):
+        from schema_guru_ray.serve import handle_get
+
+        status, ctype, body = handle_get("/dist/app.js")
+        assert status == 200 and ctype.startswith("application/javascript")
+        assert b"/upload" in body  # the page actually drives the S5 pipeline
+        status, ctype, _ = handle_get("/css/app.css")
+        assert status == 200 and ctype.startswith("text/css")
+
+    def test_unknown_paths_404(self):
+        from schema_guru_ray.serve import handle_get
+
+        for p in ("/nope", "/dist/missing.js", "/upload", "/web/index.html"):
+            assert handle_get(p)[0] == 404
+
+    def test_traversal_is_blocked(self):
+        from schema_guru_ray.serve import handle_get
+
+        assert handle_get("/dist/../../serve.py")[0] == 404
+        assert handle_get("/css/../index.html")[0] in (200, 404)  # stays in root
+        assert handle_get("/dist/../../../etc/passwd")[0] == 404
