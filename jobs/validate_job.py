@@ -34,7 +34,12 @@ def main(argv=None) -> int:
     p.add_argument("clips_path")
     p.add_argument("--out", required=True)
     p.add_argument("--partitions", type=int, default=64)
-    p.add_argument("--baseline", help="pickled baseline sketch store")
+    p.add_argument("--baseline",
+                   help="baseline sketch store (JSON from --write-baseline; "
+                        "legacy .pkl also accepted)")
+    p.add_argument("--write-baseline", metavar="PATH",
+                   help="after the run, build a baseline sketch store from "
+                        "this corpus and write it to PATH (JSON, atomic)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="standalone only; ignored under ray job submit")
     args = p.parse_args(argv)
@@ -60,15 +65,49 @@ def main(argv=None) -> int:
 
     from schema_guru_ray.pipelines.validate import ValidationConfig, run_validation_checkpointed
 
+    from schema_guru_ray.state.sketch_store import (
+        load_baseline,
+        save_baseline,
+        sketch_cfg_hash,
+    )
+
+    cfg = ValidationConfig()
     baseline = None
     if args.baseline:
-        with open(args.baseline, "rb") as f:
-            baseline = pickle.load(f)
+        if args.baseline.endswith(".pkl"):
+            with open(args.baseline, "rb") as f:
+                baseline = pickle.load(f)
+        else:
+            baseline, meta = load_baseline(
+                args.baseline, expect_cfg_hash=sketch_cfg_hash(cfg)
+            )
+            print(f"baseline: {meta['n_codecs']} codecs from "
+                  f"{meta['source'] or 'unknown source'}", file=sys.stderr)
 
     summary = run_validation_checkpointed(
-        args.clips_path, args.out, ValidationConfig(), baseline=baseline,
+        args.clips_path, args.out, cfg, baseline=baseline,
         num_partitions=args.partitions, log=lambda m: print(m, file=sys.stderr),
     )
+
+    if args.write_baseline:
+        import glob
+
+        import ray.data as rd
+
+        from schema_guru_ray.pipelines.validate import build_baseline
+
+        verdict_files = sorted(
+            glob.glob(os.path.join(args.out, "partition=*", "verdicts", "*.parquet"))
+        )
+        verdicts_ds = rd.read_parquet(verdict_files)
+        store = build_baseline(verdicts_ds, cfg)
+        save_baseline(
+            store, args.write_baseline, source=args.clips_path,
+            cfg_hash=sketch_cfg_hash(cfg),
+            meta={"n_clips": verdicts_ds.count()},
+        )
+        print(f"baseline written: {args.write_baseline}", file=sys.stderr)
+
     print(json.dumps(summary, default=str))
     ray.shutdown()
     return 0
