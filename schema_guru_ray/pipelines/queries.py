@@ -293,6 +293,59 @@ SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem
 """
 
 
+def approx_quantiles_extendedprice(sf_dir: str):
+    """KLL approximate quantiles over a HIGH-cardinality numeric column
+    (l_extendedprice) — the regime where ``exact_quantiles_quantity``'s
+    value-histogram would shuffle a histogram nearly as large as the
+    column itself, i.e. the 100-TB quantile path (north star: "KLL
+    quantile sketches for dur_ms/sr_hz"). Topology: per-batch KLL
+    partials (tiny states) → tree fold → driver reads three quantiles.
+
+    Rows-only BUT self-certifying (the minhash/ivf checked-invariant
+    pattern): each approximate value carries its MEASURED rank error —
+    one vectorized count-≤-v pass over the column computes the true rank
+    of the sketch's answer in the same run, so the result row states
+    exactly how wrong the sketch is, and pytest bounds it against the
+    KLL k=800 design error."""
+    from schema_guru_ray.stages.profile import TableProfiler, fold_profiles
+
+    col = "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", [col]).materialize()  # reused by both passes
+    prof_ds = ds.map_batches(
+        TableProfiler([col], kll_k=800), batch_format="pyarrow", batch_size=65536
+    )
+    kll = fold_profiles(prof_ds)[""][col].kll
+    qs = (0.25, 0.5, 0.75, 0.95)
+    vals = np.array([kll.quantile(q) for q in qs], dtype=np.float64)
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        le = np.array([(x <= v).sum() for v in vals], dtype=np.int64)
+        return pa.table(
+            {
+                "i": np.arange(len(vals), dtype=np.int64),
+                "le": le,
+                "n": np.full(len(vals), len(x), dtype=np.int64),
+            }
+        )
+
+    ranks = (
+        ds.map_batches(rank_partial, batch_format="pyarrow", batch_size=131072)
+        .to_pandas()
+        .groupby("i")
+        .sum()
+    )
+    total = int(ranks["n"].iloc[0])  # per-i sum of batch sizes = row count
+    return pd.DataFrame(
+        {
+            "q": list(qs),
+            "approx_value": vals,
+            "rank_error": (ranks["le"] / total - np.array(qs)).abs().to_numpy(),
+            "n": total,
+        }
+    )
+
+
 def referential_orphans(sf_dir: str, exact_broadcast_limit: int = 50_000_000):
     """Anti-join (SURVEY.md §2.4 J3 referential checks), two regimes:
 
@@ -1549,6 +1602,7 @@ QUERIES = {
     "mixture_documents": mixture_documents,
     "stratified_cap_events": stratified_cap_events,
     "curate_documents": curate_documents,
+    "approx_quantiles_extendedprice": approx_quantiles_extendedprice,
     "minhash_dedup_documents": minhash_dedup_documents,
     "near_dup_pairs_documents": near_dup_pairs_documents,
     "dup_components_documents": dup_components_documents,

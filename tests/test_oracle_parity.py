@@ -116,6 +116,7 @@ class TestOracleParity:
         "name",
         [
             "minhash_dedup_documents",
+            "approx_quantiles_extendedprice",
             "clips_codec_verdicts",
             "clips_violations",
             "clips_duplicate_ids",

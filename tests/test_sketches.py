@@ -88,3 +88,24 @@ class TestDrift:
         assert psi(base, same) < 0.05
         assert psi(base, shifted) > 0.25
         assert ks_statistic(base, shifted) > 0.15
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestApproxQuantilesQuery:
+    def test_measured_rank_error_within_design_bound(self, sf_dir):
+        """The distributed KLL quantile query certifies itself: its
+        reported rank error (true rank of the sketch answer vs requested
+        q, measured over the full column in-run) must sit inside the
+        k=800 design envelope with headroom."""
+        from schema_guru_ray.pipelines.queries import (
+            approx_quantiles_extendedprice,
+        )
+
+        out = approx_quantiles_extendedprice(sf_dir)
+        assert list(out["q"]) == [0.25, 0.5, 0.75, 0.95]
+        assert int(out["n"].iloc[0]) > 0
+        # k=800 single-level eps ~ O(1/k); allow generous slack for the
+        # deterministic-compaction variant + merge depth
+        assert (out["rank_error"] <= 0.02).all(), out.to_dict("records")
+        # the approximate values are real data values within column range
+        assert out["approx_value"].is_monotonic_increasing
