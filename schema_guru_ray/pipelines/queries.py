@@ -1401,6 +1401,61 @@ WHERE e.ts - o.o_orderdate <= INTERVAL 8500 DAY
 """
 
 
+def range_join_clicks_after_signup(sf_dir: str):
+    """General interval/range join (stages/joins.range_join): for every
+    signup event, the number of click events inside the hour that follows
+    it ([ts, ts + 1h], inclusive BETWEEN). Range-partitioned by the click
+    timestamp domain — each click lands in one bucket, each 1-hour signup
+    window replicates to the 1-2 buckets it overlaps — then a vectorized
+    searchsorted sweep per bucket. Signups with zero clicks are kept
+    (count 0): the per-signup counts aggregate distributed; the final
+    left-merge touches only result-sized tables."""
+    from schema_guru_ray.stages.joins import range_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def _only(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(
+                ["event_id", "ts"]
+            )
+
+        return fn
+
+    clicks = events.map_batches(_only("click"), batch_format="pyarrow")
+    signups = events.map_batches(_only("signup"), batch_format="pyarrow")
+
+    def to_interval(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.timestamp("us"))
+        hi = pc.add(ts, pa.scalar(3_600_000_000, pa.duration("us")))
+        return pa.table({"event_id": t["event_id"], "lo": ts, "hi": hi})
+
+    intervals = signups.map_batches(to_interval, batch_format="pyarrow")
+    pairs = range_join(
+        clicks, intervals, point_col="ts", lo_col="lo", hi_col="hi",
+        point_columns=["event_id", "ts"],
+        interval_columns=["event_id", "lo", "hi"],
+    )
+    counts = (
+        pairs.groupby("event_id").count().to_pandas()
+        .rename(columns={"count()": "n_clicks"})
+    )
+    ids = signups.select_columns(["event_id"]).to_pandas()
+    out = ids.merge(counts, on="event_id", how="left")
+    out["n_clicks"] = out["n_clicks"].fillna(0).astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+RANGE_JOIN_CLICKS_SQL = """
+SELECT s.event_id AS event_id, count(c.event_id) AS n_clicks
+FROM events s LEFT JOIN events c
+  ON c.event_type = 'click' AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id
+ORDER BY event_id
+"""
+
+
 def windowed_events_daily(sf_dir: str):
     """Tumbling 1-day event-time windows per event_type (count + integer
     milli sum) — batch semantics over the ordered log."""
@@ -1618,6 +1673,7 @@ QUERIES = {
     "join_orders_customers": join_orders_customers,
     "asof_latest_order_before_event": asof_latest_order_before_event,
     "asof_orders_bounded": asof_orders_bounded,
+    "range_join_clicks_after_signup": range_join_clicks_after_signup,
     "windowed_events_daily": windowed_events_daily,
     "hopping_events_daily_6h": hopping_events_daily_6h,
     "top_orders_per_customer": top_orders_per_customer,
@@ -1661,6 +1717,7 @@ ORACLES = {
     "join_orders_customers": JOIN_ORDERS_CUSTOMERS_SQL,
     "asof_latest_order_before_event": ASOF_LATEST_ORDER_SQL,
     "asof_orders_bounded": ASOF_ORDERS_BOUNDED_SQL,
+    "range_join_clicks_after_signup": RANGE_JOIN_CLICKS_SQL,
     "windowed_events_daily": WINDOWED_EVENTS_DAILY_SQL,
     "hopping_events_daily_6h": HOPPING_EVENTS_DAILY_6H_SQL,
     "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,

@@ -386,3 +386,97 @@ class TestComponentsConvergence:
         ds = rd.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components_distributed(ds, max_rounds=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoin:
+    """Interval/range join (stages/joins.range_join): brute-force parity,
+    multi-bucket interval replication, degenerate intervals, numeric and
+    timestamp domains, column-collision suffixing."""
+
+    def _brute(self, pts, ivs, point_col, lo, hi):
+        out = []
+        for _, ir in ivs.iterrows():
+            m = pts[(pts[point_col] >= ir[lo]) & (pts[point_col] <= ir[hi])]
+            for _, prow in m.iterrows():
+                out.append({**ir.to_dict(), **prow.to_dict()})
+        return out
+
+    def test_numeric_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import range_join
+
+        rng = np.random.default_rng(11)
+        pts = pd.DataFrame(
+            {"pid": np.arange(400), "x": rng.uniform(0, 1000, 400)}
+        )
+        ivs = pd.DataFrame({"iid": np.arange(60)})
+        ivs["lo"] = rng.uniform(0, 1000, 60)
+        # mix of narrow and wide intervals → spans 1..many buckets
+        ivs["hi"] = ivs["lo"] + rng.choice([0.5, 10.0, 400.0], 60)
+        got = (
+            range_join(
+                rd.from_pandas(pts).repartition(4),
+                rd.from_pandas(ivs).repartition(3),
+                point_col="x", lo_col="lo", hi_col="hi", num_buckets=16,
+            )
+            .to_pandas()
+            .sort_values(["iid", "pid"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            self._brute(pts, ivs, "x", "lo", "hi"),
+            columns=["iid", "lo", "hi", "pid", "x"],
+        ).sort_values(["iid", "pid"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        pd.testing.assert_frame_equal(
+            got[["iid", "pid"]].astype("int64"),
+            want[["iid", "pid"]].astype("int64"),
+        )
+
+    def test_degenerate_and_out_of_domain_intervals(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import range_join
+
+        pts = pd.DataFrame({"pid": [1, 2, 3], "x": [10.0, 20.0, 30.0]})
+        ivs = pd.DataFrame(
+            {
+                "iid": [1, 2, 3, 4],
+                "lo": [25.0, 50.0, -100.0, 19.0],
+                "hi": [15.0, 60.0, -90.0, 21.0],  # iid=1 inverted, 2/3 outside
+            }
+        )
+        got = range_join(
+            rd.from_pandas(pts), rd.from_pandas(ivs),
+            point_col="x", lo_col="lo", hi_col="hi", num_buckets=4,
+        ).to_pandas()
+        assert got["iid"].tolist() == [4] and got["pid"].tolist() == [2]
+
+    def test_timestamp_exact_and_collision_suffix(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import range_join
+
+        base = pd.Timestamp("2024-01-01")
+        pts = pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                "ts": [base + pd.Timedelta(seconds=s) for s in (0, 59, 60, 61)],
+            }
+        )
+        ivs = pd.DataFrame(
+            {
+                "id": [10],
+                "lo": [base],
+                "hi": [base + pd.Timedelta(seconds=60)],  # inclusive end
+            }
+        )
+        got = range_join(
+            rd.from_pandas(pts), rd.from_pandas(ivs),
+            point_col="ts", lo_col="lo", hi_col="hi", num_buckets=3,
+        ).to_pandas()
+        # shared "id" column: interval side keeps the name, point side _p
+        assert "id" in got.columns and "id_p" in got.columns
+        assert sorted(got["id_p"].astype(int)) == [1, 2, 3]  # 61s excluded, 60s kept
