@@ -682,6 +682,177 @@ FROM bg GROUP BY bigram HAVING count(*) >= 5
 """
 
 
+def heavy_hitters_tokens(sf_dir: str, k: int = 20, capacity: int = 8192):
+    """EXACT global top-k tokens without a full-vocabulary shuffle, via a
+    Misra-Gries sketch (sketches/heavy.py) + exact recount.
+
+    Pass 1: per-batch ``value_counts`` feeds a bounded MG sketch (one tiny
+    pickled state per batch), tree-folded to one global sketch — every
+    token with true count > n/(capacity+1) is provably among its keys.
+    Pass 2: the ≤``capacity`` surviving keys broadcast via ``ray.put`` and
+    are recounted EXACTLY with a filtered partial + tiny groupby (shuffle
+    volume: #batches × #candidates rows, never the vocabulary). The result
+    is the exact top-k whenever the k-th exact count clears the sketch's
+    measured decrement bound — asserted in-run, so a capacity too small
+    for the distribution fails loudly instead of silently approximating.
+    Contrast ``token_frequencies_documents``: that shuffles the WHOLE
+    vocabulary; this shuffles 8k candidate rows per batch regardless of
+    vocabulary size — the 100 TB shape for "top 1000 tokens of the crawl".
+    """
+    import pickle
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.sketches import MisraGries, fold_sketch_states
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"[\w']+").explode().dropna()
+        counts = toks.value_counts()
+        mg = MisraGries(capacity).add_counts(
+            zip(counts.index.to_list(), counts.to_numpy())
+        )
+        return pd.DataFrame({"state": [pickle.dumps(mg)]})
+
+    mg = fold_sketch_states(ds.map_batches(partial, batch_format="pandas"))
+    if mg is None:
+        return pd.DataFrame({"token": [], "n": [], "rk": []})
+    cand_ref = ray.put(frozenset(k_ for k_, _ in mg.candidates()))
+
+    def recount(b: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        toks = b["text"].fillna("").str.lower().str.findall(r"[\w']+").explode().dropna()
+        counts = toks[toks.isin(cand)].value_counts()
+        return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
+
+    exact = (
+        ds.map_batches(recount, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    topk = (
+        exact.sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    # exactness guard: all true top-k are among the candidates iff the k-th
+    # exact count exceeds the sketch's total decrement (max undercount)
+    if len(topk) == k and int(topk["n"].iloc[-1]) <= mg.error_bound():
+        raise AssertionError(
+            f"MG capacity {capacity} too small: k-th count {topk['n'].iloc[-1]}"
+            f" <= decrement bound {mg.error_bound()}; raise capacity"
+        )
+    return pd.DataFrame(
+        {
+            "token": topk["token"],
+            "n": topk["n"].astype("int64"),
+            "rk": np.arange(1, len(topk) + 1, dtype=np.int64),
+        }
+    )
+
+
+HEAVY_HITTERS_TOKENS_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[\\w'']+')) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rk
+FROM counts
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+def tfidf_top_terms_documents(sf_dir: str, k: int = 5):
+    """Per-document top-k terms by tf-idf (linear idf: score = tf/df —
+    monotone in tf·(N/df); a single IEEE division, so bit-exact against the
+    SQL oracle, unlike log-idf where libm rounding differs across engines).
+
+    Document frequencies: per-batch UNIQUE (doc, term) partials → tiny
+    ``groupby(term)`` sum (exact — a doc's row lives in exactly one batch).
+    The df table broadcasts once via ``ray.put`` (the guide's small-side
+    lookup pattern: vocabulary ≪ corpus; at open-web scale, cut the
+    broadcast with a min_df floor or switch to a term-keyed semi-join —
+    the rarest terms have df=1 and score tf/1, computable locally). Scoring
+    + per-doc top-k is then a pure ``map_batches``: docs never split across
+    batches, so NO shuffle touches the (doc, term, tf) triples."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(b: pd.DataFrame):
+        toks = b["text"].fillna("").str.lower().str.findall(r"[\w']+")
+        n = toks.str.len().to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(b["doc_id"].to_numpy(), n),
+                "term": np.concatenate([np.array(t, dtype=object) for t in toks])
+                if n.sum()
+                else np.array([], dtype=object),
+            }
+        )
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pairs(b).drop_duplicates()
+        counts = p["term"].value_counts()
+        return pd.DataFrame({"term": counts.index, "df": counts.to_numpy()})
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype("int64"))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        dfs = ray.get(df_ref)
+        p = pairs(b)
+        if p.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=b["doc_id"].dtype),
+                 "term": pd.Series([], dtype=object),
+                 "tf": pd.Series([], dtype="int64"),
+                 "df": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        tf = p.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        tf["df"] = tf["term"].map(dfs).astype("int64")
+        tf["score"] = tf["tf"].to_numpy().astype("float64") / tf["df"].to_numpy()
+        tf = tf.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="stable"
+        )
+        out = tf.groupby("doc_id", sort=False).head(k)
+        return out.assign(tf=out["tf"].astype("int64")).reset_index(drop=True)
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+TFIDF_TOP_TERMS_DOCUMENTS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\w'']+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+)
+SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score
+FROM tf JOIN df USING (term)
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 5
+"""
+
+
 def dedup_exact_documents(sf_dir: str):
     from schema_guru_ray.stages.dedup import exact_dedup
 
@@ -1538,6 +1709,57 @@ QUALIFY rk <= 3
 """
 
 
+def window_functions_orders(sf_dir: str):
+    """Analytic window functions over orders — running revenue, row number,
+    and days-since-previous-order per customer, ordered by
+    (o_orderdate, o_orderkey). One ``partitioned_window`` pass covers the
+    SQL ``SUM() OVER``, ``row_number()`` and ``lag()`` family: hash-bucket
+    by customer, one vectorized sort + groupby-transform per coarse bucket
+    (no global sort, no per-key dispatch). ``gap_days`` uses -1 for the
+    first order (instead of NULL) so the integer column stays non-nullable
+    end-to-end."""
+    from schema_guru_ray.stages.joins import partitioned_window
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def analytics(g: pd.DataFrame) -> pd.DataFrame:
+        # g arrives sorted by (o_custkey, o_orderdate, o_orderkey), stable
+        cents = _int_units(g["o_totalprice"].to_numpy(), 100).astype("int64")
+        grp_key = g["o_custkey"].to_numpy()
+        grp = pd.Series(cents.to_numpy(), index=g.index).groupby(grp_key, sort=False)
+        by_cust = g.groupby("o_custkey", sort=False)
+        prev_date = by_cust["o_orderdate"].shift(1)
+        gap = (g["o_orderdate"] - prev_date).dt.days
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].astype("int64"),
+                "o_orderkey": g["o_orderkey"].astype("int64"),
+                "run_cents": grp.cumsum().astype("int64"),
+                "rn": (by_cust.cumcount() + 1).astype("int64"),
+                "gap_days": gap.fillna(-1).astype("int64"),
+            }
+        )
+
+    return partitioned_window(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], analytics
+    )
+
+
+WINDOW_FUNCTIONS_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS run_cents,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(coalesce(
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate), -1
+       ) AS BIGINT) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def clips_schema_infer(sf_dir: str):
     """Schema inference over the clips table itself — exercises the binary
     and product(null) extension states (rows-only)."""
@@ -1677,6 +1899,9 @@ QUERIES = {
     "windowed_events_daily": windowed_events_daily,
     "hopping_events_daily_6h": hopping_events_daily_6h,
     "top_orders_per_customer": top_orders_per_customer,
+    "window_functions_orders": window_functions_orders,
+    "heavy_hitters_tokens": heavy_hitters_tokens,
+    "tfidf_top_terms_documents": tfidf_top_terms_documents,
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
@@ -1721,6 +1946,9 @@ ORACLES = {
     "windowed_events_daily": WINDOWED_EVENTS_DAILY_SQL,
     "hopping_events_daily_6h": HOPPING_EVENTS_DAILY_6H_SQL,
     "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
+    "window_functions_orders": WINDOW_FUNCTIONS_ORDERS_SQL,
+    "heavy_hitters_tokens": HEAVY_HITTERS_TOKENS_SQL,
+    "tfidf_top_terms_documents": TFIDF_TOP_TERMS_DOCUMENTS_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
     "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
 }

@@ -612,3 +612,47 @@ def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
         return _to_arrow_clean(out[out_cols], schema=out_schema)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def partitioned_window(ds, key: str, order_cols: Sequence[str], apply_fn,
+                       n_buckets: Optional[int] = None,
+                       n_rows: Optional[int] = None):
+    """Analytic (SQL ``OVER (PARTITION BY key ORDER BY ...)``) window
+    functions: running sums, row_number/rank, lag/lead, moving averages.
+
+    Ray Data has no window-function primitive, so this is the composition
+    the semantics allow: hash-bucket rows by the PARTITION key into coarse
+    data-scaled buckets (a key's rows all land in one bucket; one Ray
+    dispatch per bucket, not per key), stable-sort ``[key, *order_cols]``
+    inside the bucket, and run ``apply_fn`` — a VECTORIZED pandas transform
+    over the sorted bucket frame (cumsum / cumcount / shift per group) —
+    once per bucket. Shuffle volume is one pass over the input; no global
+    sort. Partitioning assumption (same contract as :func:`asof_join` /
+    sessionize): each key's rows fit a bucket worker; a single hot key
+    still lands in one bucket by construction — pre-aggregate or split the
+    frame definition if a key exceeds worker memory.
+
+    ``apply_fn(g: pd.DataFrame) -> pd.DataFrame`` receives the bucket
+    sorted by ``[key, *order_cols]`` (stable) and must emit the output
+    columns; use ``g.groupby(key, sort=False)`` transforms inside.
+    """
+    from schema_guru_ray.stages.profile import stable_hash64
+
+    if n_buckets is None:
+        n_buckets = derive_num_buckets(ds.count() if n_rows is None else n_rows)
+    sort_cols = [key, *order_cols]
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            __wbucket=(stable_hash64(b[key]) % np.uint64(n_buckets)).astype(np.int32)
+        )
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable").drop(columns="__wbucket")
+        return apply_fn(g)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__wbucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )

@@ -108,6 +108,9 @@ class TestOracleParity:
             "schema_segmented_events",
             "schema_evolution_events",
             "simhash_documents",
+            "window_functions_orders",
+            "heavy_hitters_tokens",
+            "tfidf_top_terms_documents",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):

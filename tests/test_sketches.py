@@ -109,3 +109,63 @@ class TestApproxQuantilesQuery:
         assert (out["rank_error"] <= 0.02).all(), out.to_dict("records")
         # the approximate values are real data values within column range
         assert out["approx_value"].is_monotonic_increasing
+
+
+class TestMisraGries:
+    def test_guarantee_superset_and_bounds(self):
+        """Every item with true count > n/(cap+1) survives, and estimates
+        undercount by at most error_bound() <= n/(cap+1)."""
+        from schema_guru_ray.sketches.heavy import MisraGries
+
+        rng = np.random.default_rng(7)
+        # zipf-ish stream over 2000 distinct keys, capacity 50
+        keys = rng.zipf(1.3, size=20000) % 2000
+        true = pd.Series(keys).value_counts()
+        mg = MisraGries(50)
+        for chunk in np.array_split(keys, 13):
+            counts = pd.Series(chunk).value_counts()
+            mg.add_counts(zip(counts.index.to_list(), counts.to_numpy()))
+        n = len(keys)
+        assert mg.n == n
+        assert mg.error_bound() <= n // 51
+        est = dict(mg.counters)
+        for k_, t in true.items():
+            if t > n // 51:
+                assert k_ in est, f"heavy key {k_} (count {t}) evicted"
+            if k_ in est:
+                assert est[k_] <= t
+                assert est[k_] >= t - mg.error_bound()
+
+    def test_merge_equals_single_stream(self):
+        """Merge of per-part sketches keeps the deterministic guarantee:
+        merged keys ⊇ heavy items, estimates within the summed bound."""
+        from schema_guru_ray.sketches.heavy import MisraGries
+
+        rng = np.random.default_rng(11)
+        keys = (rng.zipf(1.5, size=9000) % 500).tolist()
+        parts = [keys[i::4] for i in range(4)]
+        sketches = []
+        for p in parts:
+            counts = pd.Series(p).value_counts()
+            sketches.append(
+                MisraGries(40).add_counts(zip(counts.index.to_list(), counts.to_numpy()))
+            )
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged = merged.merge(s)
+        true = pd.Series(keys).value_counts()
+        n = len(keys)
+        assert merged.n == n
+        assert merged.error_bound() <= n // 41
+        for k_, t in true.items():
+            if t > merged.error_bound():
+                assert k_ in merged.counters
+            if k_ in merged.counters:
+                assert merged.counters[k_] <= t
+
+    def test_capacity_one_majority(self):
+        from schema_guru_ray.sketches.heavy import MisraGries
+
+        mg = MisraGries(1).add_counts([("a", 6), ("b", 2), ("c", 1)])
+        # majority element survives as the single counter
+        assert list(mg.counters) == ["a"]
