@@ -1849,6 +1849,75 @@ def clips_audio_features(sf_dir: str):
     return audio_features(read_clips(path))
 
 
+def clips_segments(sf_dir: str):
+    """Energy-based voice-activity segmentation per clip: (clip_id,
+    seg_idx, start_ms, end_ms, rms_db) rows from frame-RMS gating with
+    gap-bridging hysteresis (rows-only; boundary ground truth is
+    pytest-checked on synthesized tone/silence layouts)."""
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
+    from schema_guru_ray.stages.audio_transform import segment_clips
+
+    path = ensure_clips(sf_dir)
+    return segment_clips(read_clips(path))
+
+
+def clips_resample_stats(sf_dir: str):
+    """Resample + RMS-normalize every clip to 16 kHz / -20 dBFS, then
+    verify the transform's own invariants per codec over the TRANSFORMED
+    table (which keeps the clips-table shape): every output sr is 16 kHz,
+    duration drift vs the source metadata is < 2 ms, and achieved RMS is
+    within 3 dB of target for non-clipping clips. A per-batch decode
+    partial feeds a tiny codec groupby — bytes never shuffle (rows-only;
+    resampler/normalizer unit properties are pytest-checked)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from schema_guru_ray.audio.wav import decode_wav
+    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.stages.audio_transform import resample_clips
+
+    path = ensure_clips(sf_dir)
+    resampled = resample_clips(rd.read_parquet(path), sr_out=16000)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for codec, buf, sr_col, dur_col in zip(
+            t["codec"].to_pylist(), t["bytes"].to_pylist(),
+            t["sr_hz"].to_pylist(), t["dur_ms"].to_pylist(),
+        ):
+            try:
+                pcm, sr = decode_wav(buf)
+            except Exception:
+                rows.append((codec, 1, 0, 1, 0.0))
+                continue
+            x = pcm.astype(np.float64) / 32768.0
+            rms = float(np.sqrt(np.square(x).mean())) if len(x) else 0.0
+            rms_db = 20.0 * np.log10(max(rms, 1e-9))
+            dur_drift = abs(round(len(pcm) / sr * 1000.0) - dur_col)
+            rows.append((codec, 1, int(sr != 16000 or sr_col != 16000),
+                         dur_drift, abs(rms_db - (-20.0))))
+        df = pd.DataFrame(
+            rows, columns=["codec", "n", "bad_sr", "dur_drift_ms", "rms_err_db"]
+        )
+        return (
+            df.groupby("codec", as_index=False)
+            .agg(n=("n", "sum"), bad_sr=("bad_sr", "sum"),
+                 max_dur_drift_ms=("dur_drift_ms", "max"),
+                 max_rms_err_db=("rms_err_db", "max"))
+        )
+
+    return (
+        resampled.map_batches(partial, batch_format="pyarrow")
+        .groupby("codec")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("bad_sr", alias_name="bad_sr"),
+            Max("max_dur_drift_ms", alias_name="max_dur_drift_ms"),
+            Max("max_rms_err_db", alias_name="max_rms_err_db"),
+        )
+    )
+
+
 def clips_content_dedup(sf_dir: str):
     """Content-based audio near-dup pairs: same-signal clips found via
     feature-vector LSH regardless of clip_id (rows-only)."""
@@ -1902,6 +1971,8 @@ QUERIES = {
     "window_functions_orders": window_functions_orders,
     "heavy_hitters_tokens": heavy_hitters_tokens,
     "tfidf_top_terms_documents": tfidf_top_terms_documents,
+    "clips_segments": clips_segments,
+    "clips_resample_stats": clips_resample_stats,
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,

@@ -1,0 +1,220 @@
+"""Audio transform stages — energy-based segmentation (VAD) and
+resample / loudness-normalize. Pure-numpy DSP (public textbook methods:
+frame-RMS gating with hysteresis; linear-interpolation resampling), run as
+``map_batches`` actor-pool stages over the clips table
+(clip_id, bytes, sr_hz, dur_ms, codec, transcript).
+
+At 10^12-clip scale both stages are embarrassingly parallel (no shuffle):
+bytes stay inside the stage — the segmenter emits only (clip_id, seg_idx,
+start_ms, end_ms, rms_db) rows, and the resampler writes its output
+partitioned by input shard so a failed run skips finished partitions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from schema_guru_ray.audio.wav import WavDecodeError, decode_wav, encode_wav
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("seg_idx", pa.int32()),
+        ("start_ms", pa.int32()),
+        ("end_ms", pa.int32()),
+        ("rms_db", pa.float64()),
+    ]
+)
+
+
+def frame_rms_db(pcm: np.ndarray, sr: int, frame_ms: float = 20.0) -> np.ndarray:
+    """Per-frame RMS level in dBFS (0 dB = full-scale int16), vectorized:
+    pad to a frame multiple, reshape to (n_frames, frame), one mean per
+    row. Silence floors at -120 dB."""
+    frame = max(1, int(sr * frame_ms / 1000.0))
+    x = pcm.astype(np.float64) / 32768.0
+    n_frames = max(1, -(-len(x) // frame))
+    pad = n_frames * frame - len(x)
+    if pad:
+        x = np.concatenate([x, np.zeros(pad)])
+    power = np.square(x).reshape(n_frames, frame).mean(axis=1)
+    return 10.0 * np.log10(np.maximum(power, 1e-12))
+
+
+def energy_segments(
+    pcm: np.ndarray,
+    sr: int,
+    frame_ms: float = 20.0,
+    threshold_db: float = -40.0,
+    min_seg_ms: float = 100.0,
+    max_gap_ms: float = 150.0,
+) -> List[Tuple[int, int, float]]:
+    """Voiced segments [(start_ms, end_ms, seg_rms_db), ...]: frames above
+    ``threshold_db`` are voiced; gaps of unvoiced frames up to
+    ``max_gap_ms`` inside speech are bridged (hysteresis), segments
+    shorter than ``min_seg_ms`` are dropped. Run detection is a vectorized
+    ``diff`` over the gate — no per-frame Python loop."""
+    db = frame_rms_db(pcm, sr, frame_ms)
+    voiced = db > threshold_db
+    if not voiced.any():
+        return []
+    # run starts/ends via edge detection
+    edges = np.diff(voiced.astype(np.int8), prepend=0, append=0)
+    starts = np.flatnonzero(edges == 1)
+    ends = np.flatnonzero(edges == -1)  # exclusive
+    # bridge gaps <= max_gap frames
+    max_gap = max(0, int(round(max_gap_ms / frame_ms)))
+    merged: List[List[int]] = []
+    for s, e in zip(starts, ends):
+        if merged and s - merged[-1][1] <= max_gap:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    min_frames = max(1, int(round(min_seg_ms / frame_ms)))
+    out: List[Tuple[int, int, float]] = []
+    frame = max(1, int(sr * frame_ms / 1000.0))
+    n_samples = len(pcm)
+    for s, e in merged:
+        if e - s < min_frames:
+            continue
+        start_ms = int(round(s * frame * 1000.0 / sr))
+        end_ms = int(round(min(e * frame, n_samples) * 1000.0 / sr))
+        seg = pcm[s * frame : min(e * frame, n_samples)].astype(np.float64) / 32768.0
+        rms = 10.0 * np.log10(max(float(np.square(seg).mean()), 1e-12))
+        out.append((start_ms, end_ms, rms))
+    return out
+
+
+class EnergySegmenter:
+    """Actor-pool kernel: clips batch → segment rows (bytes dropped here;
+    only ~20 bytes/segment flow on). Undecodable clips emit no rows — they
+    are the validation stage's job, not the segmenter's."""
+
+    def __init__(self, frame_ms: float = 20.0, threshold_db: float = -40.0,
+                 min_seg_ms: float = 100.0, max_gap_ms: float = 150.0):
+        self.frame_ms = frame_ms
+        self.threshold_db = threshold_db
+        self.min_seg_ms = min_seg_ms
+        self.max_gap_ms = max_gap_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, seg_idx, starts, ends, dbs = [], [], [], [], []
+        for cid, buf in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
+            if buf is None:
+                continue
+            try:
+                pcm, sr = decode_wav(buf)
+            except (WavDecodeError, TypeError):
+                continue
+            for i, (s, e, db) in enumerate(
+                energy_segments(pcm, sr, self.frame_ms, self.threshold_db,
+                                self.min_seg_ms, self.max_gap_ms)
+            ):
+                ids.append(cid)
+                seg_idx.append(i)
+                starts.append(s)
+                ends.append(e)
+                dbs.append(db)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.string()),
+                pa.array(seg_idx, pa.int32()),
+                pa.array(starts, pa.int32()),
+                pa.array(ends, pa.int32()),
+                pa.array(dbs, pa.float64()),
+            ],
+            schema=SEGMENT_SCHEMA,
+        )
+
+
+def segment_clips(clips_ds, batch_size: int = 256, **kw):
+    """clips Dataset → (clip_id, seg_idx, start_ms, end_ms, rms_db)."""
+    return clips_ds.map_batches(
+        EnergySegmenter, fn_constructor_kwargs=kw, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=(1, 16), num_cpus=1,
+    )
+
+
+def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resample int16 → int16. Output length is
+    round(n * sr_out / sr_in) so duration is preserved to < 1 sample.
+    (Production path would be a polyphase windowed-sinc; linear keeps the
+    stage dependency-free and is exact for the synthesis tests.)"""
+    if sr_in == sr_out:
+        return pcm.copy()
+    n_out = int(round(len(pcm) * sr_out / sr_in))
+    if n_out <= 0 or len(pcm) == 0:
+        return np.zeros(0, dtype=np.int16)
+    t_out = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    y = np.interp(t_out, np.arange(len(pcm), dtype=np.float64),
+                  pcm.astype(np.float64))
+    return np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+
+
+def normalize_rms(pcm: np.ndarray, target_dbfs: float = -20.0) -> np.ndarray:
+    """Scale to the target RMS level (dBFS re full-scale int16), with peak
+    clamp at full scale. Silent input returns unchanged."""
+    x = pcm.astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.square(x).mean())) if len(x) else 0.0
+    if rms <= 1e-9:
+        return pcm.copy()
+    gain = (10.0 ** (target_dbfs / 20.0)) / rms
+    peak = float(np.abs(x).max())
+    if peak * gain > 1.0:  # never clip: cap gain at full-scale peak
+        gain = 1.0 / peak
+    return np.clip(np.rint(x * gain * 32768.0), -32768, 32767).astype(np.int16)
+
+
+class AudioResampler:
+    """Actor-pool kernel: re-encode every decodable clip at ``sr_out`` with
+    RMS loudness normalization; output keeps the input table's shape
+    (clip_id, bytes, sr_hz, dur_ms, codec, transcript) so the result IS a
+    clips table — validation and featurization run on it unchanged.
+    Undecodable clips pass through untouched (flagging them is the
+    validator's job)."""
+
+    def __init__(self, sr_out: int = 16000, target_dbfs: Optional[float] = -20.0):
+        self.sr_out = sr_out
+        self.target_dbfs = target_dbfs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["bytes"].to_pylist()
+        out_bytes, out_sr, out_dur = [], [], []
+        for buf, sr0, dur0 in zip(
+            bufs, batch["sr_hz"].to_pylist(), batch["dur_ms"].to_pylist()
+        ):
+            try:
+                pcm, sr = decode_wav(buf)
+            except (WavDecodeError, TypeError):
+                out_bytes.append(buf)
+                out_sr.append(sr0)
+                out_dur.append(dur0)
+                continue
+            y = resample_pcm(pcm, sr, self.sr_out)
+            if self.target_dbfs is not None:
+                y = normalize_rms(y, self.target_dbfs)
+            out_bytes.append(encode_wav(y, self.sr_out))
+            out_sr.append(self.sr_out)
+            out_dur.append(int(round(len(y) * 1000.0 / self.sr_out)))
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["sr_hz"] = pa.array(out_sr, pa.int32())
+        cols["dur_ms"] = pa.array(out_dur, pa.int32())
+        return pa.Table.from_arrays(list(cols.values()), names=list(cols.keys()))
+
+
+def resample_clips(clips_ds, sr_out: int = 16000,
+                   target_dbfs: Optional[float] = -20.0, batch_size: int = 128):
+    """clips Dataset → clips Dataset at a uniform sample rate + loudness.
+    Batch size is small because bytes stay in the batch (large-binary
+    guidance from the Ray Data guide)."""
+    return clips_ds.map_batches(
+        AudioResampler,
+        fn_constructor_kwargs={"sr_out": sr_out, "target_dbfs": target_dbfs},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 16), num_cpus=1,
+    )

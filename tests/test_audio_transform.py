@@ -1,0 +1,155 @@
+"""Energy segmentation (VAD) + resample/normalize: ground-truth boundary
+checks on synthesized tone/silence layouts, signal-preservation properties,
+and the Ray stage plumbing over a real clips table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from schema_guru_ray.audio.wav import decode_wav, encode_wav
+from schema_guru_ray.stages.audio_transform import (
+    energy_segments,
+    frame_rms_db,
+    normalize_rms,
+    resample_pcm,
+)
+
+SR = 16000
+
+
+def tone(dur_s, freq=440.0, amp=0.25, sr=SR):
+    t = np.arange(int(dur_s * sr)) / sr
+    return (amp * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+def silence(dur_s, sr=SR):
+    return np.zeros(int(dur_s * sr), dtype=np.int16)
+
+
+class TestEnergySegments:
+    def test_two_segments_known_boundaries(self):
+        pcm = np.concatenate(
+            [silence(0.25), tone(0.4), silence(0.3), tone(0.3), silence(0.2)]
+        )
+        segs = energy_segments(pcm, SR)
+        assert len(segs) == 2
+        (s0, e0, db0), (s1, e1, db1) = segs
+        # boundaries within ±1 frame (20 ms) + rounding
+        assert abs(s0 - 250) <= 25 and abs(e0 - 650) <= 25
+        assert abs(s1 - 950) <= 25 and abs(e1 - 1250) <= 25
+        # -0.25 amp sine: RMS = 0.25/sqrt(2) -> about -15 dBFS
+        for db in (db0, db1):
+            assert -17.0 < db < -13.0
+
+    def test_gap_bridging_hysteresis(self):
+        # 100 ms internal pause < max_gap 150 ms -> ONE segment
+        pcm = np.concatenate([tone(0.3), silence(0.10), tone(0.3)])
+        segs = energy_segments(pcm, SR)
+        assert len(segs) == 1
+        # 300 ms pause > max_gap -> two
+        pcm2 = np.concatenate([tone(0.3), silence(0.30), tone(0.3)])
+        assert len(energy_segments(pcm2, SR)) == 2
+
+    def test_min_segment_drop_and_silence(self):
+        blip = np.concatenate([silence(0.3), tone(0.05), silence(0.3)])
+        assert energy_segments(blip, SR) == []  # 50 ms < min_seg 100 ms
+        assert energy_segments(silence(1.0), SR) == []
+        assert energy_segments(np.zeros(0, dtype=np.int16), SR) == []
+
+    def test_frame_rms_db_levels(self):
+        db = frame_rms_db(tone(0.5, amp=0.5), SR)
+        # 0.5 amp sine -> RMS 0.3536 -> about -9 dBFS
+        assert np.all(np.abs(db[:-1] + 9.0) < 1.0)
+        assert frame_rms_db(silence(0.1), SR).max() <= -100.0
+
+
+class TestResampleNormalize:
+    def test_resample_preserves_duration_and_frequency(self):
+        pcm = tone(0.5, freq=440.0, sr=8000)
+        out = resample_pcm(pcm, 8000, 16000)
+        assert len(out) == 2 * len(pcm)
+        # frequency preserved: count sign changes about 2*f*dur
+        crossings = int(np.sum(np.abs(np.diff(np.signbit(out.astype(np.int32))))))
+        assert abs(crossings - 2 * 440 * 0.5) <= 10
+        # downsample round-trip keeps correlation with the original high
+        back = resample_pcm(out, 16000, 8000)
+        a = pcm.astype(np.float64)
+        b = back[: len(pcm)].astype(np.float64)
+        corr = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert corr > 0.999
+
+    def test_resample_identity_and_empty(self):
+        pcm = tone(0.1)
+        assert np.array_equal(resample_pcm(pcm, SR, SR), pcm)
+        assert len(resample_pcm(np.zeros(0, dtype=np.int16), 8000, 16000)) == 0
+
+    def test_normalize_hits_target(self):
+        quiet = tone(0.4, amp=0.05)
+        out = normalize_rms(quiet, -20.0)
+        x = out.astype(np.float64) / 32768.0
+        rms_db = 20 * np.log10(np.sqrt(np.square(x).mean()))
+        assert abs(rms_db + 20.0) < 0.5
+
+    def test_normalize_never_clips(self):
+        # crest-heavy signal: target would push the peak over full scale
+        spiky = (np.r_[np.zeros(4000), [0.9], np.zeros(4000)] * 32767).astype(np.int16)
+        out = normalize_rms(spiky, -3.0)
+        assert np.abs(out.astype(np.int32)).max() <= 32767
+        assert normalize_rms(silence(0.1), -20.0).sum() == 0  # silent unchanged
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStages:
+    def _clips_ds(self):
+        import ray.data as rd
+
+        rows = []
+        layouts = {
+            "a": [silence(0.2), tone(0.4), silence(0.2)],
+            "b": [tone(0.3), silence(0.3), tone(0.3)],
+            "c": [silence(0.8)],
+        }
+        for cid, parts in layouts.items():
+            pcm = np.concatenate(parts)
+            rows.append(
+                {
+                    "clip_id": cid,
+                    "bytes": encode_wav(pcm, SR),
+                    "sr_hz": SR,
+                    "dur_ms": int(round(len(pcm) / SR * 1000)),
+                    "codec": "pcm_s16le",
+                    "transcript": "t",
+                }
+            )
+        # one undecodable clip must be skipped, not crash
+        rows.append(
+            {"clip_id": "bad", "bytes": b"nope", "sr_hz": 8000, "dur_ms": 10,
+             "codec": "pcm_s16le", "transcript": None}
+        )
+        return rd.from_pandas(pd.DataFrame(rows))
+
+    def test_segment_clips_stage(self):
+        from schema_guru_ray.stages.audio_transform import segment_clips
+
+        out = segment_clips(self._clips_ds()).to_pandas()
+        by_clip = out.groupby("clip_id").size().to_dict()
+        assert by_clip == {"a": 1, "b": 2}  # c silent, bad undecodable
+        a = out[out["clip_id"] == "a"].iloc[0]
+        assert abs(a["start_ms"] - 200) <= 25 and abs(a["end_ms"] - 600) <= 25
+        assert list(out.columns) == [
+            "clip_id", "seg_idx", "start_ms", "end_ms", "rms_db"
+        ]
+
+    def test_resample_clips_stage_keeps_table_shape(self):
+        from schema_guru_ray.stages.audio_transform import resample_clips
+
+        out = resample_clips(self._clips_ds(), sr_out=8000).to_pandas()
+        assert len(out) == 4
+        ok = out[out["clip_id"] != "bad"]
+        assert (ok["sr_hz"] == 8000).all()
+        for _, r in ok.iterrows():
+            pcm, sr = decode_wav(r["bytes"])
+            assert sr == 8000
+            assert abs(round(len(pcm) / sr * 1000) - r["dur_ms"]) <= 1
+        bad = out[out["clip_id"] == "bad"].iloc[0]
+        assert bad["bytes"] == b"nope" and bad["sr_hz"] == 8000  # passthrough

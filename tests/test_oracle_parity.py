@@ -135,6 +135,8 @@ class TestOracleParity:
             "clips_drift",
             "clips_audio_features",
             "clips_content_dedup",
+            "clips_segments",
+            "clips_resample_stats",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
