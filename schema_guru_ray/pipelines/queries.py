@@ -106,6 +106,77 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def rollup_revenue_lineitem(sf_dir: str):
+    """Multi-level aggregate (SQL ``GROUP BY ROLLUP``): revenue and row
+    counts at (ship year, returnflag), (ship year), and grand-total
+    levels. ONE pass + ONE shuffle: the per-batch Arrow partial and the
+    groupby run only at the finest level; the coarser levels are derived
+    from the finest AGGREGATE (tens of rows — cube composition is
+    driver-cheap by construction, never a second scan). Rollup rows use
+    year = -1 / l_returnflag = 'ALL' sentinels so the integer/string
+    columns stay non-nullable."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        def units(arr, scale):
+            return pc.cast(pc.floor(pc.add(pc.multiply(arr, scale), 0.5)), pa.int64())
+
+        tt = pa.table(
+            {
+                "year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "l_returnflag": t["l_returnflag"],
+                "rev_c": units(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    100.0,
+                ),
+            }
+        )
+        g = tt.group_by(["year", "l_returnflag"]).aggregate(
+            [("rev_c", "sum"), ("rev_c", "count", pc.CountOptions(mode="all"))]
+        )
+        return g.rename_columns(["year", "l_returnflag", "rev_cents", "n"])
+
+    from ray.data.aggregate import Sum
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["year", "l_returnflag"])
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    by_year = (
+        fine.groupby("year", as_index=False)[["rev_cents", "n"]].sum()
+        .assign(l_returnflag="ALL")
+    )
+    total = pd.DataFrame(
+        {"year": [-1], "l_returnflag": ["ALL"],
+         "rev_cents": [fine["rev_cents"].sum()], "n": [fine["n"].sum()]}
+    )
+    out = pd.concat([fine, by_year, total], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "year": out["year"].astype("int64"),
+            "l_returnflag": out["l_returnflag"],
+            "rev_cents": out["rev_cents"].astype("int64"),
+            "n": out["n"].astype("int64"),
+        }
+    )
+
+
+ROLLUP_REVENUE_LINEITEM_SQL = """
+SELECT coalesce(CAST(year(l_shipdate) AS BIGINT), -1) AS year,
+       coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (year(l_shipdate), l_returnflag)
+"""
+
+
 def grouped_stats_events(sf_dir: str):
     """Grouped stats with the two-level pattern on a skewed-ish key."""
     ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
@@ -1973,6 +2044,7 @@ QUERIES = {
     "tfidf_top_terms_documents": tfidf_top_terms_documents,
     "clips_segments": clips_segments,
     "clips_resample_stats": clips_resample_stats,
+    "rollup_revenue_lineitem": rollup_revenue_lineitem,
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
@@ -2020,6 +2092,7 @@ ORACLES = {
     "window_functions_orders": WINDOW_FUNCTIONS_ORDERS_SQL,
     "heavy_hitters_tokens": HEAVY_HITTERS_TOKENS_SQL,
     "tfidf_top_terms_documents": TFIDF_TOP_TERMS_DOCUMENTS_SQL,
+    "rollup_revenue_lineitem": ROLLUP_REVENUE_LINEITEM_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
     "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
 }

@@ -111,6 +111,7 @@ class TestOracleParity:
             "window_functions_orders",
             "heavy_hitters_tokens",
             "tfidf_top_terms_documents",
+            "rollup_revenue_lineitem",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
