@@ -177,6 +177,213 @@ GROUP BY ROLLUP (year(l_shipdate), l_returnflag)
 """
 
 
+def value_drift_events(sf_dir: str):
+    """EXACT distribution-drift scores, oracle-checkable: split ``events``
+    at the midpoint of its time range (baseline = first half, current =
+    second half) and score how the ``value`` distribution shifted —
+    PSI over 10 equal-width bins spanning the BASELINE's [min, max]
+    (clamped, epsilon 1e-6) and a binned two-sample KS statistic over 256
+    bins. Companion to the sketch-based ``sketches/drift.py`` path the
+    clips pipeline uses (reference semantics: schema-guru derives
+    per-column range annotations, `SchemaGuru.scala:50-63`; drift scoring
+    is our 100-TB extension): this variant trades the mergeable-sketch
+    flexibility for bit-exact reproducibility, so DuckDB can replay it.
+
+    Scale shape: three pruned 2-column passes — (1) global ts min/max,
+    (2) baseline value min/max, (3) per-batch integer histograms — each
+    reducing through a partial aggregate; only O(bins) integer counts ever
+    reach the driver, and all float math happens on ≤266 bin counts with a
+    fixed operation order mirrored in the SQL (micro-unit rounding absorbs
+    the last-ulp summation noise).
+    """
+    from ray.data.aggregate import Sum
+
+    PSI_BINS, KS_BINS = 10, 256
+
+    def ts_range(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"lo": [pc.min(us).as_py()], "hi": [pc.max(us).as_py()]})
+
+    rng = _read(sf_dir, "events", ["ts"]).map_batches(
+        ts_range, batch_format="pyarrow"
+    ).to_pandas()  # two int64s per batch
+    lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
+    mid = lo + (hi - lo) // 2
+
+    def base_vrange(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        v = pc.filter(t["value"], pc.and_(pc.less(us, mid), pc.is_valid(t["value"])))
+        if len(v) == 0:
+            return pa.table({"vlo": pa.array([], pa.float64()),
+                             "vhi": pa.array([], pa.float64())})
+        return pa.table({"vlo": [pc.min(v).as_py()], "vhi": [pc.max(v).as_py()]})
+
+    vr = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        base_vrange, batch_format="pyarrow"
+    ).to_pandas()
+    vlo, vhi = float(vr["vlo"].min()), float(vr["vhi"].max())
+    span = vhi - vlo
+
+    def hist(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        us, v = us[ok], v[ok]
+        pop = (us >= mid).astype(np.int64)
+        kinds, pops, bins, ns = [], [], [], []
+        for nb, kind in ((PSI_BINS, "psi"), (KS_BINS, "ks")):
+            if span > 0:
+                # same op order as the SQL: (v - vlo) * nb, then / span
+                b = np.clip(np.floor((v - vlo) * float(nb) / span), 0, nb - 1)
+                b = b.astype(np.int64)
+            else:
+                b = np.zeros(len(v), dtype=np.int64)
+            for p in (0, 1):
+                cnt = np.bincount(b[pop == p], minlength=nb)
+                kinds.extend([kind] * nb)
+                pops.extend([p] * nb)
+                bins.extend(range(nb))
+                ns.extend(cnt.tolist())
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "pop": pa.array(pops, pa.int64()),
+                         "bin": pa.array(bins, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    counts = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(hist, batch_format="pyarrow", batch_size=65536)
+        .groupby(["kind", "pop", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= 2*(10+256) integer rows
+    )
+
+    def vec(kind: str, p: int, nb: int) -> np.ndarray:
+        sub = counts[(counts["kind"] == kind) & (counts["pop"] == p)]
+        out = np.zeros(nb, dtype=np.int64)
+        out[sub["bin"].to_numpy()] = sub["n"].to_numpy()
+        return out
+
+    cb10, cc10 = vec("psi", 0, PSI_BINS), vec("psi", 1, PSI_BINS)
+    n_base, n_cur = int(cb10.sum()), int(cc10.sum())
+    psi = 0.0
+    for i in range(PSI_BINS):  # fixed ascending order, 10 terms
+        p = max(float(cb10[i]) / n_base, 1e-6)
+        q = max(float(cc10[i]) / n_cur, 1e-6)
+        psi += (p - q) * float(np.log(p / q))
+    cb = np.cumsum(vec("ks", 0, KS_BINS))  # exact int cumsums
+    cc = np.cumsum(vec("ks", 1, KS_BINS))
+    ks = float(np.max(np.abs(cb.astype(np.float64) / n_base
+                             - cc.astype(np.float64) / n_cur)))
+    return pd.DataFrame({
+        "n_base": pd.Series([n_base], dtype="int64"),
+        "n_cur": pd.Series([n_cur], dtype="int64"),
+        "psi_micro": pd.Series([int(round(psi * 1e6))], dtype="int64"),
+        "ks_micro": pd.Series([int(round(ks * 1e6))], dtype="int64"),
+    })
+
+
+VALUE_DRIFT_EVENTS_SQL = """
+WITH tr AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+mid AS (SELECT lo + (hi - lo) // 2 AS m FROM tr),
+pts AS (
+  SELECT value, CASE WHEN epoch_us(ts) < (SELECT m FROM mid) THEN 0 ELSE 1 END AS pop
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+vr AS (SELECT min(value) AS vlo, max(value) AS vhi FROM pts WHERE pop = 0),
+tot AS (
+  SELECT sum(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS n_base,
+         sum(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM pts
+),
+b10 AS (
+  SELECT pop,
+         CAST(least(greatest(floor((value - vlo) * 10.0 / (vhi - vlo)), 0), 9) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM pts, vr GROUP BY 1, 2
+),
+g10 AS (
+  SELECT s.bin,
+         coalesce(b.n0, 0) AS nb, coalesce(b.n1, 0) AS nc
+  FROM (SELECT range AS bin FROM range(10)) s
+  LEFT JOIN (SELECT bin,
+                    sum(CASE WHEN pop = 0 THEN n ELSE 0 END) AS n0,
+                    sum(CASE WHEN pop = 1 THEN n ELSE 0 END) AS n1
+             FROM b10 GROUP BY bin) b USING (bin)
+),
+psi AS (
+  SELECT sum((p - q) * ln(p / q)) AS v FROM (
+    SELECT greatest(CAST(nb AS DOUBLE) / (SELECT n_base FROM tot), 1e-6) AS p,
+           greatest(CAST(nc AS DOUBLE) / (SELECT n_cur FROM tot), 1e-6) AS q
+    FROM g10)
+),
+b256 AS (
+  SELECT pop,
+         CAST(least(greatest(floor((value - vlo) * 256.0 / (vhi - vlo)), 0), 255) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM pts, vr GROUP BY 1, 2
+),
+g256 AS (
+  SELECT s.bin,
+         coalesce(b.n0, 0) AS nb, coalesce(b.n1, 0) AS nc
+  FROM (SELECT range AS bin FROM range(256)) s
+  LEFT JOIN (SELECT bin,
+                    sum(CASE WHEN pop = 0 THEN n ELSE 0 END) AS n0,
+                    sum(CASE WHEN pop = 1 THEN n ELSE 0 END) AS n1
+             FROM b256 GROUP BY bin) b USING (bin)
+),
+ks AS (
+  SELECT max(abs(CAST(cb AS DOUBLE) / (SELECT n_base FROM tot)
+               - CAST(cc AS DOUBLE) / (SELECT n_cur FROM tot))) AS v
+  FROM (SELECT sum(nb) OVER (ORDER BY bin) AS cb,
+               sum(nc) OVER (ORDER BY bin) AS cc
+        FROM g256)
+)
+SELECT CAST((SELECT n_base FROM tot) AS BIGINT) AS n_base,
+       CAST((SELECT n_cur FROM tot) AS BIGINT) AS n_cur,
+       CAST(round((SELECT v FROM psi) * 1e6) AS BIGINT) AS psi_micro,
+       CAST(round((SELECT v FROM ks) * 1e6) AS BIGINT) AS ks_micro
+"""
+
+
+def customers_without_orders(sf_dir: str):
+    """Left anti join under oracle: customers with NO high-value order
+    (o_totalprice > 450000, ~35% of customers in this corpus), counted per
+    market segment. Drives :func:`stages.joins.bucketed_anti_join` — one
+    hash-bucket shuffle of both sides, vectorized in-bucket ``isin`` —
+    with the key side pre-filtered AT THE READ (predicate pushed into the
+    batch filter so only qualifying o_custkeys enter the shuffle), then
+    the usual tiny groupby-count."""
+    from ray.data.aggregate import Sum
+    from schema_guru_ray.stages.joins import bucketed_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    inactive = bucketed_anti_join(cust, okeys, on="c_custkey", key_column="o_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("c_custkey", "count", pc.CountOptions(mode="all"))]
+        )
+        return g.rename_columns(["c_mktsegment", "n"])
+
+    return (
+        inactive.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment, count(*) AS n
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+GROUP BY c_mktsegment
+"""
+
+
 def grouped_stats_events(sf_dir: str):
     """Grouped stats with the two-level pattern on a skewed-ish key."""
     ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
@@ -2045,6 +2252,8 @@ QUERIES = {
     "clips_segments": clips_segments,
     "clips_resample_stats": clips_resample_stats,
     "rollup_revenue_lineitem": rollup_revenue_lineitem,
+    "value_drift_events": value_drift_events,
+    "customers_without_orders": customers_without_orders,
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
@@ -2093,6 +2302,8 @@ ORACLES = {
     "heavy_hitters_tokens": HEAVY_HITTERS_TOKENS_SQL,
     "tfidf_top_terms_documents": TFIDF_TOP_TERMS_DOCUMENTS_SQL,
     "rollup_revenue_lineitem": ROLLUP_REVENUE_LINEITEM_SQL,
+    "value_drift_events": VALUE_DRIFT_EVENTS_SQL,
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
     "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
 }

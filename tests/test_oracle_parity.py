@@ -112,6 +112,8 @@ class TestOracleParity:
             "heavy_hitters_tokens",
             "tfidf_top_terms_documents",
             "rollup_revenue_lineitem",
+            "value_drift_events",
+            "customers_without_orders",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
