@@ -169,3 +169,51 @@ class TestMisraGries:
         mg = MisraGries(1).add_counts([("a", 6), ("b", 2), ("c", 1)])
         # majority element survives as the single counter
         assert list(mg.counters) == ["a"]
+
+
+class TestDriftTracksExact:
+    """The sketch-based PSI/KS (what clips_drift runs at scale) must track
+    the EXACT statistics computed from the raw samples — the same
+    measured-error discipline the IVF recall check uses. The exact PSI
+    here replays sketches/drift.py's decile-bin construction with true
+    numpy quantiles; exact KS is the classic two-sample sup-distance."""
+
+    def _data(self):
+        rng = np.random.default_rng(7)
+        base = rng.normal(0.0, 1.0, 20000)
+        cur = rng.normal(0.3, 1.1, 20000)
+        return base, cur
+
+    @staticmethod
+    def _exact_psi(base, cur, n_bins=10, eps=1e-6):
+        edges = np.unique(np.quantile(base, np.linspace(0, 1, n_bins + 1)[1:-1]))
+        def props(x):
+            cdf = np.searchsorted(np.sort(x), edges, side="right") / x.size
+            return np.clip(np.diff(np.concatenate([[0.0], cdf, [1.0]])), eps, None)
+        p, q = props(base), props(cur)
+        p, q = p / p.sum(), q / q.sum()
+        return float(np.sum((p - q) * np.log(p / q)))
+
+    @staticmethod
+    def _exact_ks(base, cur):
+        xs = np.unique(np.concatenate([base, cur]))
+        fb = np.searchsorted(np.sort(base), xs, side="right") / base.size
+        fc = np.searchsorted(np.sort(cur), xs, side="right") / cur.size
+        return float(np.max(np.abs(fb - fc)))
+
+    def test_psi_within_sketch_error(self):
+        base, cur = self._data()
+        skb = KLL(200).add_many(base)
+        skc = KLL(200).add_many(cur)
+        exact = self._exact_psi(base, cur)
+        assert exact > 0.05  # the shift is real
+        assert abs(psi(skb, skc) - exact) < 0.25 * exact + 0.01
+
+    def test_ks_within_sketch_error(self):
+        base, cur = self._data()
+        skb = KLL(200).add_many(base)
+        skc = KLL(200).add_many(cur)
+        exact = self._exact_ks(base, cur)
+        assert exact > 0.05
+        # KLL(k=200) rank error ~1.7/k per side
+        assert abs(ks_statistic(skb, skc) - exact) < 0.03
