@@ -384,6 +384,88 @@ GROUP BY c_mktsegment
 """
 
 
+def approx_distinct_users_events(sf_dir: str):
+    """Per-group HLL distinct VERIFIED in-run against the exact distinct
+    computed in the same job (north-star: HLL sketches for clip_id
+    uniqueness; this is the oracle-checkable table twin). Output carries
+    the exact per-event-type user count plus ``hll_within_5pct`` — the SQL
+    oracle emits literal TRUE, so a hash match PROVES the measured HLL
+    error bound held, the same in-run-measurement discipline as the IVF
+    recall check.
+
+    Scale shape: the HLL side ships one p=12 sketch (4 KB) per
+    (batch × group) into a 5-group merge; the exact side is the
+    coarse-shard nunique pattern from :func:`distinct_counts` — a user's
+    duplicates co-locate in one shard, per-shard vectorized per-type
+    nunique, only scalar rows reach the driver."""
+    from schema_guru_ray.sketches.hll import HLL
+    from schema_guru_ray.stages.profile import stable_hash64
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    n_shards = 64
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (et, HLL(12).add_hashes(stable_hash64(g["user_id"])).to_bytes())
+            for et, g in df.groupby("event_type", sort=False)
+        ]
+        return pd.DataFrame({"event_type": [r[0] for r in rows],
+                             "sketch": [r[1] for r in rows]})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        h = HLL.from_bytes(g["sketch"].iloc[0])
+        for buf in g["sketch"].iloc[1:]:
+            h = h.merge(HLL.from_bytes(buf))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_hll": [float(h.estimate())]})
+
+    hll_df = (
+        ds.map_batches(sketch_partial, batch_format="pandas", batch_size=65536)
+        .groupby("event_type")
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()  # one row per event type
+    )
+
+    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates()
+        return pd.DataFrame({
+            "shard": (stable_hash64(u["user_id"]) % np.uint64(n_shards)).astype(np.int32),
+            "event_type": u["event_type"].to_numpy(),
+            "user_id": u["user_id"].to_numpy(),
+        })
+
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("event_type", sort=False)["user_id"].nunique()
+        return pd.DataFrame({"event_type": c.index, "n": c.to_numpy(dtype=np.int64)})
+
+    exact_df = (
+        ds.map_batches(exact_partial, batch_format="pandas", batch_size=131072)
+        .groupby("shard")
+        .map_groups(shard_counts, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+    )
+
+    out = exact_df.merge(hll_df, on="event_type")
+    within = (np.abs(out["n_hll"] - out["n_users"]) <= 0.05 * out["n_users"])
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n_users": out["n_users"].astype("int64"),
+        "hll_within_5pct": within.astype(bool),
+    })
+
+
+APPROX_DISTINCT_USERS_EVENTS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       true AS hll_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
 def grouped_stats_events(sf_dir: str):
     """Grouped stats with the two-level pattern on a skewed-ish key."""
     ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
@@ -2254,6 +2336,7 @@ QUERIES = {
     "rollup_revenue_lineitem": rollup_revenue_lineitem,
     "value_drift_events": value_drift_events,
     "customers_without_orders": customers_without_orders,
+    "approx_distinct_users_events": approx_distinct_users_events,
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
@@ -2304,6 +2387,7 @@ ORACLES = {
     "rollup_revenue_lineitem": ROLLUP_REVENUE_LINEITEM_SQL,
     "value_drift_events": VALUE_DRIFT_EVENTS_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "approx_distinct_users_events": APPROX_DISTINCT_USERS_EVENTS_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
     "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
 }

@@ -114,6 +114,7 @@ class TestOracleParity:
             "rollup_revenue_lineitem",
             "value_drift_events",
             "customers_without_orders",
+            "approx_distinct_users_events",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
