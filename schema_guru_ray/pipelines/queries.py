@@ -921,6 +921,96 @@ FROM documents
 """
 
 
+def pack_documents(sf_dir: str, seq_len: int = 512):
+    """Sequence packing (concat-and-chunk), the layout step of an LLM
+    training pipeline: documents are concatenated in doc_id order and cut
+    into fixed ``seq_len``-token training sequences; each document gets its
+    global token offset, its first sequence id, and how many sequences it
+    spans. The core primitive is a DISTRIBUTED ORDERED PREFIX-SUM:
+
+    1. per-doc token counts (vectorized TokenCounter, pruned read);
+    2. contiguous doc_id RANGE buckets (width data-scaled) → per-bucket
+       token totals via one tiny groupby;
+    3. driver computes the exclusive prefix over the ≤ #buckets totals and
+       broadcasts the offsets once (``ray.put``);
+    4. per-bucket ``map_groups``: sort by doc_id within the bucket, local
+       cumsum + bucket offset — global order = bucket order + local order,
+       so no global sort ever runs.
+
+    Only O(#buckets) scalars touch the driver; the wide data moves through
+    exactly one groupby shuffle. Oracle: the same arithmetic as one SQL
+    window ``sum() OVER (ORDER BY doc_id)``."""
+    import ray
+    from ray.data.aggregate import Sum
+    from schema_guru_ray.stages.text import TokenCounter
+    from schema_guru_ray.stages.joins import derive_num_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = ds.map_batches(TokenCounter(), batch_format="pandas").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+    max_id = int(counts.max("doc_id"))
+    nb = derive_num_buckets(max_id + 1)
+    width = (max_id // nb) + 1
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (df["doc_id"] // width).astype(np.int32)
+        return df
+
+    tagged = counts.map_batches(tag, batch_format="pandas")
+    totals = (
+        tagged.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="tok"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    cum = np.concatenate([[0], np.cumsum(totals["tok"].to_numpy(dtype=np.int64))[:-1]])
+    offsets_ref = ray.put(dict(zip(totals["bucket"].tolist(), cum.tolist())))
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offsets_ref)
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = offsets[int(g["bucket"].iloc[0])] + np.concatenate([[0], np.cumsum(n)[:-1]])
+        seq_first = start // seq_len
+        last = (start + np.maximum(n, 1) - 1) // seq_len
+        n_seqs = np.where(n > 0, last - seq_first + 1, 0)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "start_tok": start,
+            "seq_first": seq_first,
+            "n_seqs": n_seqs.astype(np.int64),
+        })
+
+    return (
+        tagged.groupby("bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
+        .select_columns(["doc_id", "n_tokens", "start_tok", "seq_first", "n_seqs"])
+    )
+
+
+PACK_DOCUMENTS_SQL = """
+WITH c AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM c
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 512 AS seq_first,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+       END AS BIGINT) AS n_seqs
+FROM p
+"""
+
+
 def token_frequencies_documents(sf_dir: str):
     """Global token frequency table (the vocabulary-count primitive of a
     training-data pipeline): per-batch vectorized counts pre-aggregate, then
@@ -2337,6 +2427,7 @@ QUERIES = {
     "value_drift_events": value_drift_events,
     "customers_without_orders": customers_without_orders,
     "approx_distinct_users_events": approx_distinct_users_events,
+    "pack_documents": pack_documents,
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
@@ -2388,6 +2479,7 @@ ORACLES = {
     "value_drift_events": VALUE_DRIFT_EVENTS_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "approx_distinct_users_events": APPROX_DISTINCT_USERS_EVENTS_SQL,
+    "pack_documents": PACK_DOCUMENTS_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
     "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
 }

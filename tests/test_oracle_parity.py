@@ -115,6 +115,7 @@ class TestOracleParity:
             "value_drift_events",
             "customers_without_orders",
             "approx_distinct_users_events",
+            "pack_documents",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
