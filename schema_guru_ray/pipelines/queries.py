@@ -466,6 +466,101 @@ GROUP BY event_type
 """
 
 
+def pivot_events_daily(sf_dir: str):
+    """Pivot (long → wide): daily event counts with one column per event
+    type. The category set is DISCOVERED from the data (a tiny distinct
+    pass over the pre-aggregated partials), so the operator generalizes
+    beyond a hard-coded column list; the count matrix itself moves as
+    per-batch (day × type) partial rows through one groupby shuffle, and
+    only the final O(days × types) aggregate is laid out wide."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()), DAY_US),
+            "event_type": t["event_type"],
+        })
+        g = tt.group_by(["day", "event_type"]).aggregate(
+            [("event_type", "count", pc.CountOptions(mode="all"))]
+        )
+        return g.rename_columns(["day", "event_type", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(days x types)
+    )
+    wide = agg.pivot_table(index="day", columns="event_type", values="n",
+                           fill_value=0, aggfunc="sum")
+    wide = wide[sorted(wide.columns)].astype("int64")
+    wide.columns = [f"n_{c}" for c in wide.columns]
+    return wide.reset_index().astype({"day": "int64"})
+
+
+PIVOT_EVENTS_DAILY_SQL = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY 1
+"""
+
+
+def melt_lineitem_measures(sf_dir: str):
+    """Unpivot (wide → long): lineitem's measure columns become
+    (l_orderkey, l_linenumber, measure, value_units) rows — quantity in
+    whole units, extendedprice in cents, discount in basis points, all
+    integers for hash-exact parity. Stateless vectorized map_batches,
+    ZERO shuffle: each batch emits its own melted rows and streams on."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    MEASURES = (("quantity", "l_quantity", 1.0),
+                ("extendedprice_cents", "l_extendedprice", 100.0),
+                ("discount_bp", "l_discount", 10000.0))
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for name, col, scale in MEASURES:
+            parts.append(pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "measure": pa.array([name] * t.num_rows, pa.string()),
+                "value_units": pc.cast(
+                    pc.floor(pc.add(pc.multiply(t[col], scale), 0.5)), pa.int64()
+                ),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", batch_size=65536)
+
+
+MELT_LINEITEM_MEASURES_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'quantity' AS measure,
+       CAST(round(l_quantity) AS BIGINT) AS value_units
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'extendedprice_cents' AS measure,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS value_units
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'discount_bp' AS measure,
+       CAST(round(l_discount * 10000) AS BIGINT) AS value_units
+FROM lineitem
+"""
+
+
 def grouped_stats_events(sf_dir: str):
     """Grouped stats with the two-level pattern on a skewed-ish key."""
     ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
@@ -2428,6 +2523,8 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "approx_distinct_users_events": approx_distinct_users_events,
     "pack_documents": pack_documents,
+    "pivot_events_daily": pivot_events_daily,
+    "melt_lineitem_measures": melt_lineitem_measures,
     "clips_codec_verdicts": clips_codec_verdicts,
     "clips_violations": clips_violations,
     "clips_duplicate_ids": clips_duplicate_ids,
@@ -2480,6 +2577,8 @@ ORACLES = {
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "approx_distinct_users_events": APPROX_DISTINCT_USERS_EVENTS_SQL,
     "pack_documents": PACK_DOCUMENTS_SQL,
+    "pivot_events_daily": PIVOT_EVENTS_DAILY_SQL,
+    "melt_lineitem_measures": MELT_LINEITEM_MEASURES_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
     "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
 }

@@ -116,6 +116,8 @@ class TestOracleParity:
             "customers_without_orders",
             "approx_distinct_users_events",
             "pack_documents",
+            "pivot_events_daily",
+            "melt_lineitem_measures",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
