@@ -2473,6 +2473,58 @@ def clips_content_dedup(sf_dir: str):
     return content_dedup_pairs(read_clips(path))
 
 
+def decontaminate_documents(sf_dir: str, n: int = 3):
+    """Benchmark n-gram decontamination: docs with ``doc_id % 97 == 0``
+    stand in for the benchmark suite; every other document is flagged with
+    its count of DISTINCT shared token n-grams. The benchmark gram set is
+    built once and broadcast (``ray.put``); the corpus pass is a pure
+    streaming map — no shuffle (stages/contamination.py). n=3 here because
+    the synthetic vocabulary is tiny; real deployments use 8–13."""
+    from schema_guru_ray.stages.contamination import (
+        build_benchmark_grams,
+        flag_contaminated,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod_split(t: pa.Table, keep_bench: bool) -> pa.Table:
+        mask = (t["doc_id"].to_numpy() % 97) == 0
+        return t.filter(pa.array(mask if keep_bench else ~mask))
+
+    bench = docs.map_batches(
+        _mod_split, fn_kwargs=dict(keep_bench=True), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        _mod_split, fn_kwargs=dict(keep_bench=False), batch_format="pyarrow"
+    )
+    grams = build_benchmark_grams(bench, n)
+    return flag_contaminated(corpus, grams, n)
+
+
+DECONTAMINATE_DOCUMENTS_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+    SELECT dg.doc_id, count(*) AS n_hits
+    FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0) dg
+    JOIN bench USING (g)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "grouped_stats_events": grouped_stats_events,
@@ -2535,6 +2587,7 @@ QUERIES = {
     "clips_drift": clips_drift,
     "clips_audio_features": clips_audio_features,
     "clips_content_dedup": clips_content_dedup,
+    "decontaminate_documents": decontaminate_documents,
 }
 
 ORACLES = {
@@ -2581,4 +2634,5 @@ ORACLES = {
     "melt_lineitem_measures": MELT_LINEITEM_MEASURES_SQL,
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
     "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
+    "decontaminate_documents": DECONTAMINATE_DOCUMENTS_SQL,
 }

@@ -118,6 +118,7 @@ class TestOracleParity:
             "pack_documents",
             "pivot_events_daily",
             "melt_lineitem_measures",
+            "decontaminate_documents",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):

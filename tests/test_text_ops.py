@@ -178,3 +178,49 @@ class TestLangIdTrigramFallback:
             )
         )
         assert list(out["lang_pred"]) == ["und"]
+
+
+class TestDecontamination:
+    """Benchmark n-gram decontamination ground truth: a corpus doc that
+    shares a 3-gram with the benchmark set is flagged; one that shares only
+    shorter overlaps is not; benchmark docs never appear in the output."""
+
+    def test_doc_grams(self):
+        from schema_guru_ray.stages.contamination import doc_grams
+
+        assert doc_grams("A b c d", 3) == {"a b c", "b c d"}
+        assert doc_grams("a b", 3) == set()
+
+    def test_flagging_ground_truth(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.contamination import (
+            build_benchmark_grams,
+            flag_contaminated,
+        )
+
+        bench = rd.from_pandas(
+            pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma delta"]})
+        )
+        corpus = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "x alpha beta gamma y",   # shares "alpha beta gamma"
+                        "alpha beta x gamma",     # only 2-gram overlap
+                        "Beta GAMMA delta",       # case-folded 3-gram hit
+                    ],
+                }
+            )
+        )
+        grams = build_benchmark_grams(bench, 3)
+        assert "alpha beta gamma" in grams and len(grams) == 2
+        out = (
+            flag_contaminated(corpus, grams, 3)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert list(out["contaminated"]) == [1, 0, 1]
+        assert list(out["n_hits"]) == [1, 0, 1]
