@@ -2473,6 +2473,49 @@ def clips_content_dedup(sf_dir: str):
     return content_dedup_pairs(read_clips(path))
 
 
+def repetition_documents(sf_dir: str):
+    """Per-document repetition concentration (Gopher-rule family): integer
+    counts of the most frequent token/bigram. Pure streaming map — no
+    shuffle, per-batch vectorized numpy unique (stages/text.py
+    RepetitionScorer)."""
+    from schema_guru_ray.stages.text import RepetitionScorer
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(RepetitionScorer(), batch_format="pandas")
+
+
+REPETITION_DOCUMENTS_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+),
+uc AS (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+),
+ustats AS (
+    SELECT doc_id, count(*) AS n_distinct, max(c) AS top_token_n
+    FROM uc GROUP BY 1
+),
+bc AS (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ) GROUP BY 1, 2
+),
+bstats AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ustats.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(ustats.top_token_n, 0) AS BIGINT) AS top_token_n,
+       CAST(coalesce(bstats.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM toks
+LEFT JOIN ustats USING (doc_id)
+LEFT JOIN bstats USING (doc_id)
+"""
+
+
 def decontaminate_documents(sf_dir: str, n: int = 3):
     """Benchmark n-gram decontamination: docs with ``doc_id % 97 == 0``
     stand in for the benchmark suite; every other document is flagged with
@@ -2588,6 +2631,7 @@ QUERIES = {
     "clips_audio_features": clips_audio_features,
     "clips_content_dedup": clips_content_dedup,
     "decontaminate_documents": decontaminate_documents,
+    "repetition_documents": repetition_documents,
 }
 
 ORACLES = {
@@ -2635,4 +2679,5 @@ ORACLES = {
     "schema_segmented_events": SCHEMA_SEGMENTED_EVENTS_SQL,
     "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
     "decontaminate_documents": DECONTAMINATE_DOCUMENTS_SQL,
+    "repetition_documents": REPETITION_DOCUMENTS_SQL,
 }

@@ -95,6 +95,52 @@ class QualityScorer:
         )
 
 
+class RepetitionScorer:
+    """Gopher-style repetition signals: how concentrated a document is on
+    its most frequent token / bigram. Pre-training quality filters drop
+    documents whose top n-gram covers too large a fraction (e.g. top-2-gram
+    > 20% in the Gopher rules); emitting raw integer counts keeps the
+    output hash-exact against the SQL oracle and leaves the ratio/threshold
+    choice to the filter stage.
+
+    Output per document: ``n_tokens``, ``n_distinct``, ``top_token_n``
+    (occurrences of the most frequent token), ``top_bigram_n``. Tokens are
+    lowercased ``\\S+`` runs — identical to the oracle's
+    ``regexp_extract_all(lower(text), '\\S+')``."""
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id"):
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[self.column].fillna("").str.lower().str.findall(TOKEN_RE)
+        n_tokens, n_distinct, top_tok, top_big = [], [], [], []
+        for ws in toks:
+            n_tokens.append(len(ws))
+            if ws:
+                _, counts = np.unique(ws, return_counts=True)
+                n_distinct.append(len(counts))
+                top_tok.append(int(counts.max()))
+            else:
+                n_distinct.append(0)
+                top_tok.append(0)
+            if len(ws) >= 2:
+                bgs = [a + " " + b for a, b in zip(ws, ws[1:])]
+                _, bcounts = np.unique(bgs, return_counts=True)
+                top_big.append(int(bcounts.max()))
+            else:
+                top_big.append(0)
+        return pd.DataFrame(
+            {
+                self.id_column: batch[self.id_column].astype("int64"),
+                "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                "n_distinct": pd.Series(n_distinct, dtype="int64"),
+                "top_token_n": pd.Series(top_tok, dtype="int64"),
+                "top_bigram_n": pd.Series(top_big, dtype="int64"),
+            }
+        )
+
+
 class Fingerprinter:
     """Document fingerprints.
 

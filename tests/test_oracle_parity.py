@@ -119,6 +119,7 @@ class TestOracleParity:
             "pivot_events_daily",
             "melt_lineitem_measures",
             "decontaminate_documents",
+            "repetition_documents",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):

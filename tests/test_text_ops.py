@@ -224,3 +224,18 @@ class TestDecontamination:
         )
         assert list(out["contaminated"]) == [1, 0, 1]
         assert list(out["n_hits"]) == [1, 0, 1]
+
+
+class TestRepetitionScorer:
+    def test_ground_truth(self):
+        from schema_guru_ray.stages.text import RepetitionScorer
+
+        out = RepetitionScorer()(
+            df(["a a a b", "x y", "", "Go go GO stop go stop"])
+        ).set_index("doc_id")
+        assert list(out["n_tokens"]) == [4, 2, 0, 6]
+        assert list(out["n_distinct"]) == [2, 2, 0, 2]
+        assert list(out["top_token_n"]) == [3, 1, 0, 4]
+        # bigrams of doc 0: "a a","a a","a b" → top 2; doc 3 lowercased:
+        # "go go","go go","go stop","stop go","go stop" → top 2
+        assert list(out["top_bigram_n"]) == [2, 1, 0, 2]
