@@ -2516,6 +2516,89 @@ LEFT JOIN bstats USING (doc_id)
 """
 
 
+def scrub_pii_documents(sf_dir: str):
+    """PII redaction over the documents table. The synthetic corpus carries
+    no PII, so the query first APPENDS deterministic doc_id-keyed PII
+    (email / dotted-quad / long number, each present for a different
+    doc_id residue class) — replayed identically by the SQL oracle — then
+    runs the real vectorized scrub stage (stages/text.py PiiScrubber).
+    Output is redaction counts + an md5 of the scrubbed text so the oracle
+    checks the rewritten bytes, not just the counts."""
+    import hashlib
+
+    from schema_guru_ray.stages.text import PiiScrubber
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64")
+        sid = ids.astype(str)
+        email = (" u" + sid + "@mail.example").where(ids % 3 > 0, "")
+        ip = (" from 10." + (ids % 200).astype(str) + ".0."
+              + (ids % 250).astype(str)).where(ids % 2 == 0, "")
+        num = (" ref " + (10000000 + ids).astype(str)).where(ids % 5 > 0, "")
+        return pd.DataFrame(
+            {"doc_id": ids, "text": b["text"].fillna("") + email + ip + num}
+        )
+
+    scrubbed = docs.map_batches(augment, batch_format="pandas").map_batches(
+        PiiScrubber(), batch_format="pandas"
+    )
+
+    def digest(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_emails": b["n_emails"],
+                "n_ips": b["n_ips"],
+                "n_nums": b["n_nums"],
+                "scrubbed_md5": [
+                    hashlib.md5(s.encode()).hexdigest() for s in b["scrubbed"]
+                ],
+            }
+        )
+
+    return scrubbed.map_batches(digest, batch_format="pandas")
+
+
+SCRUB_PII_DOCUMENTS_SQL = """
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 > 0
+                   THEN ' u' || doc_id || '@mail.example' ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 > 0
+                   THEN ' ref ' || (10000000 + doc_id) ELSE '' END AS t
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id, t,
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                          '[EMAIL]', 'g') AS r1
+    FROM aug
+),
+s2 AS (
+    SELECT doc_id, t, r1,
+           regexp_replace(r1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                          '[IP]', 'g') AS r2
+    FROM s1
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(
+           r1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+           AS n_ips,
+       CAST(len(regexp_extract_all(r2, '\\d{7,}')) AS BIGINT) AS n_nums,
+       md5(regexp_replace(r2, '\\d{7,}', '[NUM]', 'g')) AS scrubbed_md5
+FROM s2
+"""
+
+
 def decontaminate_documents(sf_dir: str, n: int = 3):
     """Benchmark n-gram decontamination: docs with ``doc_id % 97 == 0``
     stand in for the benchmark suite; every other document is flagged with
@@ -2632,6 +2715,7 @@ QUERIES = {
     "clips_content_dedup": clips_content_dedup,
     "decontaminate_documents": decontaminate_documents,
     "repetition_documents": repetition_documents,
+    "scrub_pii_documents": scrub_pii_documents,
 }
 
 ORACLES = {
@@ -2680,4 +2764,5 @@ ORACLES = {
     "schema_evolution_events": SCHEMA_EVOLUTION_EVENTS_SQL,
     "decontaminate_documents": DECONTAMINATE_DOCUMENTS_SQL,
     "repetition_documents": REPETITION_DOCUMENTS_SQL,
+    "scrub_pii_documents": SCRUB_PII_DOCUMENTS_SQL,
 }

@@ -141,6 +141,43 @@ class RepetitionScorer:
         )
 
 
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+IPV4_RE = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+LONGNUM_RE = re.compile(r"\d{7,}")
+
+
+class PiiScrubber:
+    """PII redaction: emails → ``[EMAIL]``, dotted quads → ``[IP]``, 7+ digit
+    runs → ``[NUM]``, applied in that order (an email's digits must not be
+    half-eaten by the number rule). Vectorized pandas ``str.replace`` /
+    ``str.count`` over compiled regexes; pure streaming map, no shuffle.
+    The patterns are deliberately RE2-compatible (no backrefs/lookaround)
+    so the DuckDB oracle replays them verbatim with ``regexp_replace(...,
+    'g')``."""
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id"):
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.column].fillna("")
+        n_emails = text.str.count(EMAIL_RE).astype("int64")
+        r1 = text.str.replace(EMAIL_RE, "[EMAIL]", regex=True)
+        n_ips = r1.str.count(IPV4_RE).astype("int64")
+        r2 = r1.str.replace(IPV4_RE, "[IP]", regex=True)
+        n_nums = r2.str.count(LONGNUM_RE).astype("int64")
+        r3 = r2.str.replace(LONGNUM_RE, "[NUM]", regex=True)
+        return pd.DataFrame(
+            {
+                self.id_column: batch[self.id_column].astype("int64"),
+                "n_emails": n_emails,
+                "n_ips": n_ips,
+                "n_nums": n_nums,
+                "scrubbed": r3,
+            }
+        )
+
+
 class Fingerprinter:
     """Document fingerprints.
 

@@ -120,6 +120,7 @@ class TestOracleParity:
             "melt_lineitem_measures",
             "decontaminate_documents",
             "repetition_documents",
+            "scrub_pii_documents",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):

@@ -239,3 +239,24 @@ class TestRepetitionScorer:
         # bigrams of doc 0: "a a","a a","a b" → top 2; doc 3 lowercased:
         # "go go","go go","go stop","stop go","go stop" → top 2
         assert list(out["top_bigram_n"]) == [2, 1, 0, 2]
+
+
+class TestPiiScrubber:
+    def test_redaction_order_and_counts(self):
+        from schema_guru_ray.stages.text import PiiScrubber
+
+        out = PiiScrubber()(
+            df(
+                [
+                    "mail a.b+c@ex-1.org then 10.0.0.1 and 12345678 end",
+                    "no pii here",
+                    "two 1.2.3.4 5.6.7.8 quads",
+                    "digits inside email x9999999y@host.io stay emailed",
+                ]
+            )
+        ).set_index("doc_id")
+        assert list(out["n_emails"]) == [1, 0, 0, 1]
+        assert list(out["n_ips"]) == [1, 0, 2, 0]
+        assert list(out["n_nums"]) == [1, 0, 0, 0]
+        assert out.loc[0, "scrubbed"] == "mail [EMAIL] then [IP] and [NUM] end"
+        assert out.loc[3, "scrubbed"] == "digits inside email [EMAIL] stay emailed"
