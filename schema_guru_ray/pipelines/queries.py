@@ -2516,6 +2516,57 @@ LEFT JOIN bstats USING (doc_id)
 """
 
 
+def cluster_assign_embeddings(sf_dir: str, k: int = 8):
+    """Nearest-centroid assignment with integer-milli quantized dot
+    products (stages/cluster.py): centroids are the embeddings of the 8
+    smallest vec_ids; every product/sum is int64-exact so the argmax (and
+    its tie-break to the lowest centroid id) is bit-deterministic and the
+    DuckDB ``list_dot_product`` oracle replays it exactly. Centroid matrix
+    broadcast once; corpus pass is shuffle-free."""
+    from schema_guru_ray.stages.cluster import assign_to_centroids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed = emb.sort("vec_id").limit(k).take_all()
+    cids = np.array([r["vec_id"] for r in seed], dtype=np.int64)
+    cvecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed])
+    return assign_to_centroids(emb, cids, cvecs)
+
+
+CLUSTER_ASSIGN_EMBEDDINGS_SQL = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS e
+    FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, e AS ce FROM q ORDER BY vec_id LIMIT 8),
+sims AS (
+    SELECT q.vec_id, cents.cid,
+           CAST(list_dot_product(q.e, cents.ce) AS BIGINT) AS dp
+    FROM q, cents
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dp AS dot_milli2
+FROM (
+    SELECT vec_id, cid, dp,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM sims
+)
+WHERE rn = 1
+"""
+
+
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (rows-only:
+    iterative float algorithm, not SQL-expressible) — per-cluster sizes
+    after 5 rounds from the deterministic lowest-id init. pytest checks
+    inertia monotonicity and exact agreement with a driver-side numpy
+    reference on separated blobs."""
+    from schema_guru_ray.stages.cluster import kmeans_summary
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_summary(emb, k=8, iters=5)
+
+
 def scrub_pii_documents(sf_dir: str):
     """PII redaction over the documents table. The synthetic corpus carries
     no PII, so the query first APPENDS deterministic doc_id-keyed PII
@@ -2716,6 +2767,8 @@ QUERIES = {
     "decontaminate_documents": decontaminate_documents,
     "repetition_documents": repetition_documents,
     "scrub_pii_documents": scrub_pii_documents,
+    "cluster_assign_embeddings": cluster_assign_embeddings,
+    "kmeans_embeddings": kmeans_embeddings,
 }
 
 ORACLES = {
@@ -2765,4 +2818,5 @@ ORACLES = {
     "decontaminate_documents": DECONTAMINATE_DOCUMENTS_SQL,
     "repetition_documents": REPETITION_DOCUMENTS_SQL,
     "scrub_pii_documents": SCRUB_PII_DOCUMENTS_SQL,
+    "cluster_assign_embeddings": CLUSTER_ASSIGN_EMBEDDINGS_SQL,
 }

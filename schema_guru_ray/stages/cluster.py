@@ -1,0 +1,174 @@
+"""Distributed clustering over an embedding column (``list<float>``).
+
+Two operators:
+
+* :func:`assign_to_centroids` — one-shot nearest-centroid assignment with
+  INTEGER-quantized dot products (embeddings → milli-units via
+  ``floor(x*1000+0.5)``), so argmax ties and float summation order cannot
+  flip an assignment: every product and sum is exact in int64/double, and
+  the DuckDB oracle (``list_dot_product`` over the same quantization)
+  replays it bit-for-bit. Centroid matrix broadcast once via ``ray.put``.
+* :func:`kmeans` — real distributed Lloyd iterations: per-batch partial
+  (cluster, count, vector-sum, SSE) rows → a tiny ``groupby.map_groups``
+  merge (k × #batches small rows shuffle, never the vectors) → driver
+  recomputes the k × d centroid matrix and re-broadcasts. The corpus
+  streams every iteration; nothing but partial-sum rows and the centroid
+  matrix ever leaves the workers.
+
+At 10^12 rows the per-iteration exchange is O(#batches × k) rows of d
+floats — independent of row count — and the driver state is k × d.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+
+_CENT_CACHE: dict = {}
+
+
+def _fetch(ref):
+    import ray
+
+    key = getattr(ref, "hex", lambda: id(ref))()
+    val = _CENT_CACHE.get(key)
+    if val is None:
+        val = ray.get(ref)
+        _CENT_CACHE[key] = val
+    return val
+
+
+def quantize_milli(x: np.ndarray) -> np.ndarray:
+    """Half-up integer milli-units — matches SQL ``floor(x*1000+0.5)``
+    exactly (NOT numpy's banker's rounding)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64)
+
+
+def _assign_batch(batch: pd.DataFrame, *, cents_ref, column: str,
+                  id_column: str) -> pd.DataFrame:
+    cent_ids, cents_q = _fetch(cents_ref)
+    X = quantize_milli(np.stack(batch[column].to_numpy()))
+    dots = X @ cents_q.T  # int64-exact
+    best = np.argmax(dots, axis=1)  # first max == lowest centroid id
+    return pd.DataFrame(
+        {
+            id_column: batch[id_column].astype("int64"),
+            "cluster_id": cent_ids[best].astype("int64"),
+            "dot_milli2": dots[np.arange(len(best)), best].astype("int64"),
+        }
+    )
+
+
+def assign_to_centroids(ds, centroid_ids: np.ndarray, centroids: np.ndarray,
+                        column: str = "embedding", id_column: str = "vec_id"):
+    """Assign every vector to the centroid with the highest integer-milli
+    dot product (ties → lowest centroid id, via argmax-first over
+    id-sorted centroids). Returns (id, cluster_id, dot_milli2) rows."""
+    import ray
+
+    order = np.argsort(centroid_ids)
+    ref = ray.put((np.asarray(centroid_ids)[order],
+                   quantize_milli(np.stack(centroids)[order])))
+    return ds.map_batches(
+        _assign_batch,
+        fn_kwargs=dict(cents_ref=ref, column=column, id_column=id_column),
+        batch_format="pandas",
+    )
+
+
+def _partials_batch(batch: pd.DataFrame, *, cents_ref, column: str) -> pd.DataFrame:
+    C = _fetch(cents_ref)
+    X = np.stack(batch[column].to_numpy()).astype(np.float64)
+    d2 = (
+        (X * X).sum(axis=1, keepdims=True)
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    assign = np.argmin(d2, axis=1)
+    sse = d2[np.arange(len(assign)), assign]
+    rows = []
+    for c in np.unique(assign):
+        m = assign == c
+        rows.append(
+            {
+                "cluster": int(c),
+                "n": int(m.sum()),
+                "vec_sum": X[m].sum(axis=0).tolist(),
+                "sse": float(sse[m].sum()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _merge_cluster(g: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "cluster": [int(g["cluster"].iloc[0])],
+            "n": [int(g["n"].sum())],
+            "vec_sum": [np.stack(g["vec_sum"].to_numpy()).sum(axis=0).tolist()],
+            "sse": [float(g["sse"].sum())],
+        }
+    )
+
+
+def kmeans(ds, k: int = 8, iters: int = 5, column: str = "embedding",
+           id_column: str = "vec_id") -> Tuple[np.ndarray, List[float]]:
+    """Distributed Lloyd k-means (squared-Euclidean). Deterministic init:
+    the vectors of the ``k`` smallest ids. Returns the final k × d centroid
+    matrix and the per-iteration inertia history (SSE against the
+    iteration's INPUT centroids — non-increasing by Lloyd's argument up to
+    float noise). Empty clusters keep their previous centroid."""
+    import ray
+
+    seed_rows = ds.sort(id_column).limit(k).take_all()
+    C = np.stack([np.asarray(r[column], dtype=np.float64) for r in seed_rows])
+    history: List[float] = []
+    for _ in range(iters):
+        ref = ray.put(C)
+        partials = ds.map_batches(
+            _partials_batch,
+            fn_kwargs=dict(cents_ref=ref, column=column),
+            batch_format="pandas",
+        )
+        merged = (
+            partials.groupby("cluster")
+            .map_groups(_merge_cluster, batch_format="pandas")
+            .take_all()
+        )
+        history.append(float(sum(r["sse"] for r in merged)))
+        newC = C.copy()
+        for r in merged:
+            if r["n"] > 0:
+                newC[r["cluster"]] = np.asarray(r["vec_sum"]) / r["n"]
+        C = newC
+    return C, history
+
+
+def kmeans_summary(ds, k: int = 8, iters: int = 5, column: str = "embedding",
+                   id_column: str = "vec_id") -> pd.DataFrame:
+    """Cluster-size summary after ``iters`` Lloyd rounds: one row per
+    cluster with its member count, plus the final inertia (micro-units,
+    integer) repeated per row for a stable scalar surface."""
+    import ray
+
+    C, history = kmeans(ds, k=k, iters=iters, column=column, id_column=id_column)
+    ref = ray.put(C)
+    partials = ds.map_batches(
+        _partials_batch, fn_kwargs=dict(cents_ref=ref, column=column),
+        batch_format="pandas",
+    )
+    sizes = (
+        partials.groupby("cluster")
+        .map_groups(_merge_cluster, batch_format="pandas")
+        .take_all()
+    )
+    df = pd.DataFrame(
+        {
+            "cluster": [r["cluster"] for r in sizes],
+            "n": [r["n"] for r in sizes],
+        }
+    ).sort_values("cluster").reset_index(drop=True)
+    df["final_inertia_micro"] = np.int64(np.floor(sum(r["sse"] for r in sizes) * 1e6 + 0.5))
+    return df.astype({"cluster": "int64", "n": "int64"})

@@ -121,6 +121,7 @@ class TestOracleParity:
             "decontaminate_documents",
             "repetition_documents",
             "scrub_pii_documents",
+            "cluster_assign_embeddings",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
@@ -147,6 +148,7 @@ class TestOracleParity:
             "clips_content_dedup",
             "clips_segments",
             "clips_resample_stats",
+            "kmeans_embeddings",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
