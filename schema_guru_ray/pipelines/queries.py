@@ -2516,6 +2516,57 @@ LEFT JOIN bstats USING (doc_id)
 """
 
 
+def users_active_both_halves(sf_dir: str):
+    """Set intersection as a distributed flag-aggregate: users with events
+    in BOTH halves of the corpus time range. One tiny Min/Max pass fixes
+    the integer-microsecond midpoint, then a per-batch pre-aggregate emits
+    ≤2 bool flags per (batch, user) and a groupby Max merges them — the
+    shuffle moves flag rows, never events, and no distinct-list ever
+    forms. Oracle: SQL INTERSECT over the same integer midpoint."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    agg = ds.aggregate(Min("ts"), Max("ts"))
+    mn = pd.Timestamp(agg["min(ts)"]).value // 1000
+    mx = pd.Timestamp(agg["max(ts)"]).value // 1000
+    mid = (mn + mx) // 2
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(),
+                "f": (us < mid).astype("int64"),
+                "s": (us >= mid).astype("int64"),
+            }
+        )
+        return df.groupby("user_id", as_index=False).agg(
+            f=("f", "max"), s=("s", "max")
+        )
+
+    both = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("f", alias_name="f"), Max("s", alias_name="s"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["f"], 1), pc.equal(t["s"], 1))
+        return pa.table({"user_id": t.filter(keep)["user_id"]})
+
+    return both.map_batches(final, batch_format="pyarrow")
+
+
+USERS_ACTIVE_BOTH_HALVES_SQL = """
+WITH bounds AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+)
+SELECT user_id FROM events, bounds WHERE epoch_us(ts) < mid
+INTERSECT
+SELECT user_id FROM events, bounds WHERE epoch_us(ts) >= mid
+"""
+
+
 def cluster_assign_embeddings(sf_dir: str, k: int = 8):
     """Nearest-centroid assignment with integer-milli quantized dot
     products (stages/cluster.py): centroids are the embeddings of the 8
@@ -2769,6 +2820,7 @@ QUERIES = {
     "scrub_pii_documents": scrub_pii_documents,
     "cluster_assign_embeddings": cluster_assign_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
+    "users_active_both_halves": users_active_both_halves,
 }
 
 ORACLES = {
@@ -2819,4 +2871,5 @@ ORACLES = {
     "repetition_documents": REPETITION_DOCUMENTS_SQL,
     "scrub_pii_documents": SCRUB_PII_DOCUMENTS_SQL,
     "cluster_assign_embeddings": CLUSTER_ASSIGN_EMBEDDINGS_SQL,
+    "users_active_both_halves": USERS_ACTIVE_BOTH_HALVES_SQL,
 }

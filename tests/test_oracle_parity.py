@@ -122,6 +122,7 @@ class TestOracleParity:
             "repetition_documents",
             "scrub_pii_documents",
             "cluster_assign_embeddings",
+            "users_active_both_halves",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
