@@ -2463,6 +2463,53 @@ def clips_resample_stats(sf_dir: str):
     )
 
 
+def clips_integrity(sf_dir: str):
+    """Per-codec audio integrity report: clipping / silence / DC-offset /
+    peak-level signals (stages/audio_features.py integrity_signals),
+    integer-scaled per clip and merged with a partial-agg groupby (one row
+    per batch × codec shuffles; bytes dropped in the decode stage).
+    Rows-only: clips are engine-generated; ground truth in
+    tests/test_audio_features.py."""
+    from ray.data.aggregate import Max, Sum
+
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
+    from schema_guru_ray.stages.audio_features import audio_integrity
+
+    path = ensure_clips(sf_dir)
+    sig = audio_integrity(read_clips(path))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            n=1,
+            n_undecodable=(~b["decodable"]).astype("int64"),
+            n_clipped=(b["clip_ppm"] > 0).astype("int64"),
+            abs_dc_milli=b["dc_milli"].abs(),
+        )
+        return b.groupby("codec", as_index=False).agg(
+            n=("n", "sum"),
+            n_undecodable=("n_undecodable", "sum"),
+            n_clipped=("n_clipped", "sum"),
+            max_clip_ppm=("clip_ppm", "max"),
+            max_silence_ppm=("silence_ppm", "max"),
+            max_abs_dc_milli=("abs_dc_milli", "max"),
+            max_peak_dbfs_centi=("peak_dbfs_centi", "max"),
+        )
+
+    return (
+        sig.map_batches(partial, batch_format="pandas")
+        .groupby("codec")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_undecodable", alias_name="n_undecodable"),
+            Sum("n_clipped", alias_name="n_clipped"),
+            Max("max_clip_ppm", alias_name="max_clip_ppm"),
+            Max("max_silence_ppm", alias_name="max_silence_ppm"),
+            Max("max_abs_dc_milli", alias_name="max_abs_dc_milli"),
+            Max("max_peak_dbfs_centi", alias_name="max_peak_dbfs_centi"),
+        )
+    )
+
+
 def clips_content_dedup(sf_dir: str):
     """Content-based audio near-dup pairs: same-signal clips found via
     feature-vector LSH regardless of clip_id (rows-only)."""
@@ -2821,6 +2868,7 @@ QUERIES = {
     "cluster_assign_embeddings": cluster_assign_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "users_active_both_halves": users_active_both_halves,
+    "clips_integrity": clips_integrity,
 }
 
 ORACLES = {

@@ -52,10 +52,10 @@ def _mel_filterbank(n_fft: int, sr: int, n_mels: int = N_MELS) -> np.ndarray:
     return fb
 
 
-def clip_features(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
+def _log_energies(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
                   hop_ms: float = 10.0) -> np.ndarray:
-    """(2*N_MELS,) float32 feature vector: mean+std of log filterbank
-    energies over time."""
+    """(n_frames, N_MELS) log filterbank energies — the shared front end
+    for pooled features and MFCCs."""
     x = pcm.astype(np.float64) / 32768.0
     frame = max(16, int(sr * frame_ms / 1000.0))
     hop = max(8, int(sr * hop_ms / 1000.0))
@@ -68,9 +68,37 @@ def clip_features(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
     fb = _mel_filterbank(frame, sr)
     # floor well above the synthetic noise floor so near-silent bands
     # saturate instead of amplifying noise in log space
-    energies = np.log(spec @ fb.T + 1e-3)
+    return np.log(spec @ fb.T + 1e-3)
+
+
+def clip_features(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
+                  hop_ms: float = 10.0) -> np.ndarray:
+    """(2*N_MELS,) float32 feature vector: mean+std of log filterbank
+    energies over time."""
+    energies = _log_energies(pcm, sr, frame_ms, hop_ms)
     feat = np.concatenate([energies.mean(axis=0), energies.std(axis=0)])
     return feat.astype(np.float32)
+
+
+N_MFCC = 13
+
+
+def _dct_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the standard MFCC cepstral transform)."""
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    M = np.cos(np.pi * k * (2 * n + 1) / (2.0 * n_in)) * np.sqrt(2.0 / n_in)
+    M[0] /= np.sqrt(2.0)
+    return M
+
+
+def clip_mfcc(pcm: np.ndarray, sr: int, n_mfcc: int = N_MFCC,
+              frame_ms: float = 25.0, hop_ms: float = 10.0) -> np.ndarray:
+    """(2*n_mfcc,) float32 MFCC vector: DCT-II over log filterbank
+    energies, mean+std pooled over time."""
+    energies = _log_energies(pcm, sr, frame_ms, hop_ms)
+    cep = energies @ _dct_matrix(n_mfcc, energies.shape[1]).T
+    return np.concatenate([cep.mean(axis=0), cep.std(axis=0)]).astype(np.float32)
 
 
 class AudioFeaturizer:
@@ -138,4 +166,77 @@ def content_dedup_pairs(clips_ds, threshold: float = 0.999, n_bits: int = 10):
     feats = feats.map_batches(with_num_id, batch_format="pandas")
     return embedding_near_dup_pairs(
         feats, dim=FEATURE_DIM, threshold=threshold, n_bits=n_bits
+    )
+
+
+SILENCE_RMS = 1e-3  # normalized full-scale RMS below which a frame is silent
+
+
+def integrity_signals(pcm: np.ndarray, sr: int,
+                      frame_ms: float = 10.0) -> dict:
+    """Per-clip audio integrity signals, all integer-scaled (ppm / milli /
+    centi-dB) so downstream aggregation is order-independent:
+
+    * ``clip_ppm`` — fraction of samples at the int16 rails (±32767,
+      -32768): analog clipping / hard limiting indicator;
+    * ``silence_ppm`` — fraction of non-overlapping ``frame_ms`` frames
+      whose RMS is below :data:`SILENCE_RMS`;
+    * ``dc_milli`` — DC offset in milli-full-scale (bad decoder tell);
+    * ``peak_dbfs_centi`` — peak level in centi-dBFS, floored at -96 dB.
+    """
+    n = int(pcm.size)
+    if n == 0:
+        return dict(n_samples=0, clip_ppm=0, silence_ppm=1000000,
+                    dc_milli=0, peak_dbfs_centi=-9600)
+    clipped = int(np.count_nonzero((pcm >= 32767) | (pcm <= -32767)))
+    x = pcm.astype(np.float64) / 32768.0
+    frame = max(1, int(sr * frame_ms / 1000.0))
+    n_frames = max(1, n // frame)
+    trimmed = x[: n_frames * frame].reshape(n_frames, frame)
+    rms = np.sqrt((trimmed * trimmed).mean(axis=1))
+    silent = int(np.count_nonzero(rms < SILENCE_RMS))
+    peak = float(np.abs(x).max())
+    peak_db = 20.0 * np.log10(max(peak, 10 ** (-96 / 20)))
+
+    def ppm(num, den):
+        return int(np.floor(num / den * 1e6 + 0.5))
+
+    return dict(
+        n_samples=n,
+        clip_ppm=ppm(clipped, n),
+        silence_ppm=ppm(silent, n_frames),
+        dc_milli=int(np.floor(x.mean() * 1000 + 0.5)),
+        peak_dbfs_centi=int(np.floor(peak_db * 100 + 0.5)),
+    )
+
+
+class AudioIntegrity:
+    """map_batches kernel: clips batch → per-clip integrity-signal rows
+    (bytes dropped in-stage; undecodable clips emit ``decodable=False``
+    with zeroed signals to preserve 1:1 lineage)."""
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids = batch["clip_id"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        rows = []
+        for buf in batch["bytes"].to_pylist():
+            try:
+                pcm, sr = decode_wav(buf)
+                sig = integrity_signals(pcm, sr)
+                sig["decodable"] = True
+            except (WavDecodeError, TypeError):
+                sig = dict(n_samples=0, clip_ppm=0, silence_ppm=0,
+                           dc_milli=0, peak_dbfs_centi=-9600, decodable=False)
+            rows.append(sig)
+        out = pd.DataFrame(rows)
+        out.insert(0, "clip_id", ids)
+        out.insert(1, "codec", codecs)
+        return out
+
+
+def audio_integrity(clips_ds, batch_size: int = 256):
+    """clips Dataset → integrity-signal Dataset (streaming, no shuffle)."""
+    return clips_ds.map_batches(
+        AudioIntegrity, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 16), num_cpus=1,
     )

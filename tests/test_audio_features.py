@@ -82,3 +82,62 @@ class TestContentDedup:
             hashes[int(b)] for b in pairs["id_b"]
         }
         assert dup_ids <= found_ids
+
+
+class TestIntegritySignals:
+    def test_clipping_and_silence_ground_truth(self):
+        from schema_guru_ray.stages.audio_features import integrity_signals
+
+        sr = 16000  # 10 ms frame = 160 samples
+        # 10 frames: 4 silent, 6 loud; 100 of 1600 samples at the rails
+        loud = np.full(6 * 160, 20000, dtype=np.int16)
+        loud[:100] = 32767
+        pcm = np.concatenate([np.zeros(4 * 160, dtype=np.int16), loud])
+        sig = integrity_signals(pcm, sr)
+        assert sig["n_samples"] == 1600
+        assert sig["clip_ppm"] == 62500       # 100/1600
+        assert sig["silence_ppm"] == 400000   # 4/10 frames
+        assert sig["peak_dbfs_centi"] == 0    # rails == 0 dBFS (floor half-up)
+
+    def test_dc_offset_and_empty(self):
+        from schema_guru_ray.stages.audio_features import integrity_signals
+
+        pcm = np.full(1600, 3277, dtype=np.int16)  # ~0.1 full scale DC
+        sig = integrity_signals(pcm, 16000)
+        assert sig["dc_milli"] == 100
+        assert sig["clip_ppm"] == 0
+        empty = integrity_signals(np.array([], dtype=np.int16), 16000)
+        assert empty["silence_ppm"] == 1000000
+
+    def test_mfcc_separates_tones(self):
+        from schema_guru_ray.stages.audio_features import clip_mfcc
+
+        t = np.arange(16000) / 16000.0
+        a = (np.sin(2 * np.pi * 300 * t) * 20000).astype(np.int16)
+        b = (np.sin(2 * np.pi * 3000 * t) * 20000).astype(np.int16)
+        ma, mb = clip_mfcc(a, 16000), clip_mfcc(b, 16000)
+        assert ma.shape == (26,)
+        # same tone reproducible, different tones clearly apart in cepstrum
+        assert np.allclose(ma, clip_mfcc(a, 16000))
+        assert np.linalg.norm(ma - mb) > 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAudioIntegrityStage:
+    def test_batch_rows_and_undecodable(self):
+        import ray.data as rd
+
+        from schema_guru_ray.audio.wav import encode_wav
+        from schema_guru_ray.stages.audio_features import audio_integrity
+
+        good = encode_wav(np.full(1600, 32767, dtype=np.int16), 16000)
+        ds = rd.from_items(
+            [
+                {"clip_id": "a", "codec": "wav", "bytes": good},
+                {"clip_id": "b", "codec": "wav", "bytes": b"not a wav"},
+            ]
+        )
+        out = audio_integrity(ds).to_pandas().set_index("clip_id")
+        assert bool(out.loc["a", "decodable"]) is True
+        assert out.loc["a", "clip_ppm"] == 1000000
+        assert bool(out.loc["b", "decodable"]) is False

@@ -150,6 +150,7 @@ class TestOracleParity:
             "clips_segments",
             "clips_resample_stats",
             "kmeans_embeddings",
+            "clips_integrity",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
