@@ -70,11 +70,17 @@ class ClipValidator:
         strict_codecs: bool = False,
         valid_srs: Tuple[int, ...] = SR_VALUES,
         dur_tolerance_ms: int = 1,
+        rate_bounds_cps: Optional[Tuple[float, float]] = None,
     ):
         self.snr_threshold_db = snr_threshold_db
         self.check_transcript = check_transcript
         self.valid_srs = frozenset(valid_srs)
         self.dur_tolerance_ms = dur_tolerance_ms
+        # speech-rate sanity band in transcript chars/sec — standard speech
+        # corpora run ~5-25 cps; OFF by default because the synthetic
+        # transcripts are duration-independent word salad and would
+        # misfire (real deployments pass e.g. (1.0, 50.0))
+        self.rate_bounds_cps = rate_bounds_cps
         # decoder registry — per-actor state, built once (SURVEY.md §2.3)
         self.decoders: Dict[str, Callable[[bytes], Tuple[np.ndarray, int]]] = {
             "pcm_s16le": _decode_pcm_s16le
@@ -121,6 +127,11 @@ class ClipValidator:
             actual_ms = round(len(pcm) / sr_wav * 1000.0)
             if abs(actual_ms - dur_col) > self.dur_tolerance_ms:
                 violations.append("dur_inconsistent")
+            if self.rate_bounds_cps is not None and transcript is not None:
+                lo, hi = self.rate_bounds_cps
+                cps = len(transcript) / max(dur_col, 1) * 1000.0
+                if not (lo <= cps <= hi):
+                    violations.append("speech_rate_out_of_range")
         if sr_col not in self.valid_srs:
             violations.append("sr_out_of_range")
         return decodable, snr, violations

@@ -121,3 +121,41 @@ class TestClipValidator:
         # non-pcm codecs route to the NotImplementedError stub → undecodable
         assert not any(d for c, d in zip(codecs, dec) if c != "pcm_s16le")
         assert any(d for c, d in zip(codecs, dec) if c == "pcm_s16le")
+
+
+class TestSpeechRateCheck:
+    """Opt-in transcript speech-rate band (chars/sec vs dur_ms)."""
+
+    def _batch(self, clip_id, dur_ms, transcript):
+        import pyarrow as pa
+
+        from schema_guru_ray.audio import synth
+        from schema_guru_ray.audio.wav import encode_wav
+
+        sr = 16000
+        n = int(sr * dur_ms / 1000)
+        pcm = synth.reference_pcm(clip_id, sr, n)
+        return pa.table(
+            {
+                "clip_id": [clip_id],
+                "bytes": [encode_wav(pcm, sr)],
+                "sr_hz": pa.array([sr], pa.int32()),
+                "dur_ms": pa.array([dur_ms], pa.int32()),
+                "codec": ["pcm_s16le"],
+                "transcript": [transcript],
+            }
+        )
+
+    def test_flags_only_out_of_band(self):
+        from schema_guru_ray.stages.audio import ClipValidator
+
+        v = ClipValidator(check_transcript=False, rate_bounds_cps=(1.0, 50.0))
+        # 1000 ms with 20 chars → 20 cps: in band
+        ok = v(self._batch("clip-a", 1000, "x" * 20))
+        assert "speech_rate_out_of_range" not in ok["violations"][0].as_py()
+        # 100 ms with 200 chars → 2000 cps: flagged
+        bad = v(self._batch("clip-b", 100, "x" * 200))
+        assert "speech_rate_out_of_range" in bad["violations"][0].as_py()
+        # default validator: check disabled
+        off = ClipValidator(check_transcript=False)(self._batch("clip-c", 100, "x" * 200))
+        assert "speech_rate_out_of_range" not in off["violations"][0].as_py()
