@@ -111,6 +111,10 @@ def run_bench() -> dict:
         "asof_latest_order_before_event",
         "windowed_events_daily",
         "schema_roundtrip_validate_events",
+        "decontaminate_documents",
+        "cluster_assign_embeddings",
+        "repetition_documents",
+        "scrub_pii_documents",
     ]
     # minhash_dedup_documents in queries() is the CHECKED-INVARIANT form: it
     # additionally computes the recall-exhaustive truth set in the same run

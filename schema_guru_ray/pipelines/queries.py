@@ -1133,6 +1133,93 @@ GROUP BY token
 """
 
 
+def vocab_documents(sf_dir: str, min_freq: int = 5):
+    """Vocabulary construction with DISTRIBUTED id assignment: global token
+    frequencies (per-batch partials → groupby Sum), frequency floor, then
+    ``vocab_id = row_number() ORDER BY (freq DESC, token)`` without a
+    global sort — the pack_documents ordered-prefix-sum pattern on a
+    composite key:
+
+    1. band every surviving token by ``(-freq, first-byte band)`` — bands
+       are totally ordered consistently with the target sort order;
+    2. one tiny multi-key groupby counts tokens per band; the driver
+       prefix-sums the ≤ (#distinct freqs × 256) band counts and
+       broadcasts the exclusive offsets;
+    3. per-band ``map_groups`` sorts locally by token and adds the band
+       offset — global rank = band offset + local rank.
+
+    At web scale the vocabulary is ~10^7-10^8 rows; the only driver state
+    is band counts, and the heaviest pandas group is one (freq, first-byte)
+    band (the freq=min_freq singleton tail splits across 256 bands)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"[\w']+").explode()
+        counts = toks.value_counts()
+        return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
+
+    freq = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="freq"))
+    )
+
+    def band(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["freq"] >= min_freq].copy()
+        b["negfreq"] = -b["freq"].astype("int64")
+        first = b["token"].str.slice(0, 1).map(lambda s: ord(s) if s else 0)
+        b["band"] = first.clip(0, 255).astype("int64")
+        return b[["token", "freq", "negfreq", "band"]]
+
+    banded = freq.map_batches(band, batch_format="pandas")
+    counts = (
+        banded.groupby(["negfreq", "band"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["negfreq", "band"])
+    )
+    cum = np.concatenate([[0], np.cumsum(counts["n"].to_numpy(dtype=np.int64))[:-1]])
+    offsets_ref = ray.put(
+        {
+            (int(nf), int(bd)): int(off)
+            for nf, bd, off in zip(counts["negfreq"], counts["band"], cum)
+        }
+    )
+
+    def rank_band(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offsets_ref)
+        g = g.sort_values("token")
+        off = offsets[(int(g["negfreq"].iloc[0]), int(g["band"].iloc[0]))]
+        return pd.DataFrame(
+            {
+                "token": g["token"].to_numpy(),
+                "freq": g["freq"].astype("int64").to_numpy(),
+                "vocab_id": off + 1 + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return banded.groupby(["negfreq", "band"]).map_groups(
+        rank_band, batch_format="pandas"
+    )
+
+
+VOCAB_DOCUMENTS_SQL = """
+WITH tf AS (
+    SELECT token, count(*) AS c
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[\\w'']+')) AS token
+          FROM documents)
+    GROUP BY 1
+)
+SELECT token, CAST(c AS BIGINT) AS freq,
+       CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS vocab_id
+FROM tf
+WHERE c >= 5
+"""
+
+
 def quality_documents(sf_dir: str):
     from schema_guru_ray.stages.text import QualityScorer
 
@@ -2614,6 +2701,66 @@ SELECT user_id FROM events, bounds WHERE epoch_us(ts) >= mid
 """
 
 
+def left_join_customer_orders(sf_dir: str):
+    """LEFT OUTER join through the bucketed hash join: every customer with
+    their order count + revenue, customers WITHOUT orders kept with zero
+    fill. The right side is pre-aggregated (per-batch partials → groupby
+    Sum) before the join, so the exchange moves one row per customer, not
+    per order; the null-fill happens post-join in a vectorized map, keeping
+    the output non-nullable int64 end-to-end."""
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "c_custkey": b["o_custkey"].astype("int64"),
+                "n": 1,
+                "cents": _int_units(b["o_totalprice"].to_numpy(), 100)
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+        return b.groupby("c_custkey", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+    joined = bucketed_hash_join(cust, per_cust, on="c_custkey", join_type="left")
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "n_orders": b["n"].fillna(0).astype("int64"),
+                "revenue_cents": b["cents"].fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+LEFT_JOIN_CUSTOMER_ORDERS_SQL = """
+SELECT c.c_custkey,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(o.cents, 0) AS BIGINT) AS revenue_cents
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
 def cluster_assign_embeddings(sf_dir: str, k: int = 8):
     """Nearest-centroid assignment with integer-milli quantized dot
     products (stages/cluster.py): centroids are the embeddings of the 8
@@ -2869,6 +3016,8 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "users_active_both_halves": users_active_both_halves,
     "clips_integrity": clips_integrity,
+    "left_join_customer_orders": left_join_customer_orders,
+    "vocab_documents": vocab_documents,
 }
 
 ORACLES = {
@@ -2920,4 +3069,6 @@ ORACLES = {
     "scrub_pii_documents": SCRUB_PII_DOCUMENTS_SQL,
     "cluster_assign_embeddings": CLUSTER_ASSIGN_EMBEDDINGS_SQL,
     "users_active_both_halves": USERS_ACTIVE_BOTH_HALVES_SQL,
+    "left_join_customer_orders": LEFT_JOIN_CUSTOMER_ORDERS_SQL,
+    "vocab_documents": VOCAB_DOCUMENTS_SQL,
 }

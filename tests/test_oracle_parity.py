@@ -123,6 +123,8 @@ class TestOracleParity:
             "scrub_pii_documents",
             "cluster_assign_embeddings",
             "users_active_both_halves",
+            "left_join_customer_orders",
+            "vocab_documents",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
