@@ -1220,6 +1220,57 @@ WHERE c >= 5
 """
 
 
+def quantile_buckets_extendedprice(sf_dir: str):
+    """Quantile discretization of a HIGH-cardinality continuous column:
+    exact quartile boundaries via the 3-pass bin-refinement operator
+    (stages/profile.py exact_quantiles_continuous — shuffle bounded by
+    n_bins, not by distinct values), then a streaming bucket-assignment +
+    partial aggregate. Boundaries are actual data values, so the ``v <=
+    boundary`` comparisons replay float-exactly in the percentile_disc
+    oracle."""
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.stages.profile import exact_quantiles_continuous
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qv = exact_quantiles_continuous(ds, "l_extendedprice")
+    bounds = np.array([qv[0.25], qv[0.5], qv[0.75]])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bucket = np.searchsorted(bounds, v, side="left")
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket.astype("int64"), "n": 1, "cents": cents})
+        return df.groupby("bucket", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+QUANTILE_BUCKETS_EXTENDEDPRICE_SQL = """
+WITH b AS (
+    SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS q2,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q3
+    FROM lineitem
+)
+SELECT CAST(CASE WHEN l_extendedprice <= q1 THEN 0
+                 WHEN l_extendedprice <= q2 THEN 1
+                 WHEN l_extendedprice <= q3 THEN 2
+                 ELSE 3 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM lineitem, b
+GROUP BY 1
+"""
+
+
 def quality_documents(sf_dir: str):
     from schema_guru_ray.stages.text import QualityScorer
 
@@ -3018,6 +3069,7 @@ QUERIES = {
     "clips_integrity": clips_integrity,
     "left_join_customer_orders": left_join_customer_orders,
     "vocab_documents": vocab_documents,
+    "quantile_buckets_extendedprice": quantile_buckets_extendedprice,
 }
 
 ORACLES = {
@@ -3071,4 +3123,5 @@ ORACLES = {
     "users_active_both_halves": USERS_ACTIVE_BOTH_HALVES_SQL,
     "left_join_customer_orders": LEFT_JOIN_CUSTOMER_ORDERS_SQL,
     "vocab_documents": VOCAB_DOCUMENTS_SQL,
+    "quantile_buckets_extendedprice": QUANTILE_BUCKETS_EXTENDEDPRICE_SQL,
 }

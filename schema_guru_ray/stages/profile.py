@@ -271,3 +271,93 @@ def fold_profiles(prof_ds, fanin: int = 64,
         .map_groups(merge_shard, batch_format="pandas")
     )
     return _driver_fold(folded)  # ≤ fanin rows per group
+
+
+def exact_quantiles_continuous(ds, column: str, qs=(0.25, 0.5, 0.75),
+                               n_bins: int = 65536):
+    """EXACT ``percentile_disc`` for HIGH-cardinality numeric columns (where
+    the value-histogram path would shuffle one row per distinct value) in
+    three streaming passes:
+
+    1. global Min/Max (tiny aggregate);
+    2. fixed-width integer-bin histogram: per-batch ``np.unique`` partials →
+       a groupby Sum of at most ``n_bins`` rows — shuffle volume is bounded
+       by ``n_bins`` regardless of corpus size; the driver cumsums the bin
+       counts and locates the bin containing each target rank
+       (``percentile_disc`` = smallest value whose cumulative count ≥ q·N,
+       verified against DuckDB);
+    3. refine: exact value counts restricted to the (≤ len(qs)) target
+       bins — only values inside those narrow bins move.
+
+    NaNs are ignored (SQL NULL semantics). Returns {q: value}.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = ds.aggregate(Min(column), Max(column))
+    lo, hi = float(agg[f"min({column})"]), float(agg[f"max({column})"])
+    if not (hi > lo):
+        return {q: lo for q in qs}
+    width = (hi - lo) / n_bins
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        bins = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        idx, cnt = np.unique(bins, return_counts=True)
+        return pa.table({"bin": idx.astype(np.int64), "cnt": cnt.astype(np.int64)})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("bin")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy(dtype=np.int64)
+    total = int(cum[-1])
+    plan = {}
+    target_bins = set()
+    for q in qs:
+        k = q * total  # exact for binary-rational q
+        i = int(np.searchsorted(cum, k, side="left"))
+        b = int(hist["bin"].iloc[i])
+        below = int(cum[i - 1]) if i > 0 else 0
+        plan[q] = (b, below)
+        target_bins.add(b)
+
+    tb = sorted(target_bins)
+
+    def refine(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        bins = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        keep = np.isin(bins, tb)
+        vals, cnt = np.unique(v[keep], return_counts=True)
+        return pa.table(
+            {
+                "value": vals,
+                "bin": np.clip(((vals - lo) / width).astype(np.int64), 0, n_bins - 1),
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    vc = (
+        ds.map_batches(refine, batch_format="pyarrow", batch_size=131072)
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    vc["bin"] = np.clip(
+        ((vc["value"].to_numpy() - lo) / width).astype(np.int64), 0, n_bins - 1
+    )
+    out = {}
+    for q, (b, below) in plan.items():
+        sub = vc[vc["bin"] == b]
+        c = below + sub["cnt"].cumsum().to_numpy(dtype=np.int64)
+        j = int(np.searchsorted(c, q * total, side="left"))
+        out[q] = float(sub["value"].iloc[j])
+    return out

@@ -125,6 +125,7 @@ class TestOracleParity:
             "users_active_both_halves",
             "left_join_customer_orders",
             "vocab_documents",
+            "quantile_buckets_extendedprice",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):

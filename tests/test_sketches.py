@@ -217,3 +217,33 @@ class TestDriftTracksExact:
         assert exact > 0.05
         # KLL(k=200) rank error ~1.7/k per side
         assert abs(ks_statistic(skb, skc) - exact) < 0.03
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactQuantilesContinuous:
+    def test_matches_numpy_disc_quantiles(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from schema_guru_ray.stages.profile import exact_quantiles_continuous
+
+        rng = np.random.default_rng(11)
+        v = np.concatenate([rng.lognormal(3, 1, 5001), [0.0, 1e6]])
+        ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(5)
+        got = exact_quantiles_continuous(ds, "x", n_bins=256)
+        s = np.sort(v)
+        n = len(s)
+        for q, val in got.items():
+            k = int(np.ceil(q * n))  # smallest rank with cum >= q*n
+            assert val == s[k - 1], (q, val, s[k - 1])
+
+    def test_constant_column(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from schema_guru_ray.stages.profile import exact_quantiles_continuous
+
+        ds = rd.from_pandas(pd.DataFrame({"x": [7.5] * 100}))
+        got = exact_quantiles_continuous(ds, "x")
+        assert all(val == 7.5 for val in got.values())
