@@ -1271,6 +1271,66 @@ GROUP BY 1
 """
 
 
+def shuffle_positions_documents(sf_dir: str):
+    """Deterministic global shuffle for training-data export: every doc
+    gets a content-addressed shuffle key ``md5(doc_id)``, a 256-way shard
+    (first hex byte) and its EXACT global position in the shuffled order —
+    reproducible across runs and resumable per shard, unlike
+    ``random_shuffle``. Position assignment is the banded distributed
+    row-number (shards are totally ordered by their hex prefix): per-shard
+    counts → driver prefix-sum over 256 scalars → per-shard local sort.
+    No global sort, no driver materialization. Oracle: ``row_number() OVER
+    (ORDER BY md5, doc_id)``."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in b["doc_id"]]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "h": h,
+                "shard": [x[:2] for x in h],
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+    counts = (
+        keyed.groupby("shard")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("shard")
+    )
+    cum = np.concatenate([[0], np.cumsum(counts["n"].to_numpy(dtype=np.int64))[:-1]])
+    offsets_ref = ray.put(dict(zip(counts["shard"], cum.tolist())))
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offsets_ref)
+        g = g.sort_values(["h", "doc_id"])
+        off = offsets[g["shard"].iloc[0]]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "shard": g["shard"].to_numpy(),
+                "pos": off + 1 + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed.groupby("shard").map_groups(rank_shard, batch_format="pandas")
+
+
+SHUFFLE_POSITIONS_DOCUMENTS_SQL = """
+WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+SELECT doc_id, substr(h, 1, 2) AS shard,
+       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
+
 def quality_documents(sf_dir: str):
     from schema_guru_ray.stages.text import QualityScorer
 
@@ -2601,6 +2661,27 @@ def clips_resample_stats(sf_dir: str):
     )
 
 
+def image_phash_dedup_documents(sf_dir: str):
+    """Image near-dup pairs by 64-bit DCT perceptual hash over the
+    synthetic media column (doc text bytes as payloads, fake decoder —
+    real plumbing): actor-pool decode+hash, then the shared 16-bit-chunk
+    pigeonhole pairing (exact for hamming ≤ 3). Identical payloads (the
+    corpus' exact-dup docs) land at hamming 0. Rows-only: the fake decoder
+    is environment-dependent by design; ground truth in
+    tests/test_multimodal.py."""
+    from schema_guru_ray.stages.multimodal import phash_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "media": [t.encode() for t in b["text"]]}
+        )
+
+    media = ds.map_batches(to_media, batch_format="pandas")
+    return phash_dup_pairs(media, max_hamming=3)
+
+
 def clips_integrity(sf_dir: str):
     """Per-codec audio integrity report: clipping / silence / DC-offset /
     peak-level signals (stages/audio_features.py integrity_signals),
@@ -3070,6 +3151,8 @@ QUERIES = {
     "left_join_customer_orders": left_join_customer_orders,
     "vocab_documents": vocab_documents,
     "quantile_buckets_extendedprice": quantile_buckets_extendedprice,
+    "shuffle_positions_documents": shuffle_positions_documents,
+    "image_phash_dedup_documents": image_phash_dedup_documents,
 }
 
 ORACLES = {
@@ -3124,4 +3207,5 @@ ORACLES = {
     "left_join_customer_orders": LEFT_JOIN_CUSTOMER_ORDERS_SQL,
     "vocab_documents": VOCAB_DOCUMENTS_SQL,
     "quantile_buckets_extendedprice": QUANTILE_BUCKETS_EXTENDEDPRICE_SQL,
+    "shuffle_positions_documents": SHUFFLE_POSITIONS_DOCUMENTS_SQL,
 }

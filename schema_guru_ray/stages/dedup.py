@@ -388,12 +388,17 @@ class SimHasher:
         return pd.DataFrame(out)
 
 
-def simhash_pairs(ds, max_hamming: int = 3, column: str = "text", id_column: str = "doc_id"):
-    """Near-dup pairs by SimHash: bucket on each 16-bit chunk, verify hamming
-    distance in-bucket. Returns (id_a, id_b, hamming)."""
+def hamming_pairs_from_chunked_hashes(hashed, id_column: str = "doc_id",
+                                      hash_column: str = "simhash",
+                                      max_hamming: int = 3):
+    """Generic 64-bit-hash near-dup pairing by 16-bit-chunk pigeonhole:
+    ``hashed`` carries (id, <hash_column> uint64, chunk0..chunk3) rows; any
+    pair at hamming distance ≤ 3 must agree on at least one chunk, so
+    bucketing on each chunk and verifying popcount in-bucket is EXACT for
+    ``max_hamming ≤ 3`` (and a recall-documented heuristic above). Shared
+    by text SimHash and image perceptual-hash dedup. Returns (id_a, id_b,
+    hamming)."""
     import pandas as pd
-
-    hashed = ds.map_batches(SimHasher(column, id_column), batch_format="pandas")
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -404,7 +409,7 @@ def simhash_pairs(ds, max_hamming: int = 3, column: str = "text", id_column: str
                         "chunk_idx": c,
                         "chunk_val": b[f"chunk{c}"],
                         id_column: b[id_column],
-                        "simhash": b["simhash"],
+                        "__h": b[hash_column],
                     }
                 )
             )
@@ -422,7 +427,7 @@ def simhash_pairs(ds, max_hamming: int = 3, column: str = "text", id_column: str
                 continue
             uniq = grp.drop_duplicates(id_column)
             ids = uniq[id_column].to_numpy()
-            hs = uniq["simhash"].to_numpy(dtype=np.uint64)
+            hs = uniq["__h"].to_numpy(dtype=np.uint64)
             for i, j in itertools.combinations(range(len(ids)), 2):
                 d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
                 if d <= max_hamming:
@@ -439,6 +444,15 @@ def simhash_pairs(ds, max_hamming: int = 3, column: str = "text", id_column: str
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
+    )
+
+
+def simhash_pairs(ds, max_hamming: int = 3, column: str = "text", id_column: str = "doc_id"):
+    """Near-dup pairs by SimHash: bucket on each 16-bit chunk, verify hamming
+    distance in-bucket. Returns (id_a, id_b, hamming)."""
+    hashed = ds.map_batches(SimHasher(column, id_column), batch_format="pandas")
+    return hamming_pairs_from_chunked_hashes(
+        hashed, id_column=id_column, hash_column="simhash", max_hamming=max_hamming
     )
 
 

@@ -117,3 +117,86 @@ class FrameSampler:
             "environment; plug a decoder into FrameSampler._decode and emit "
             "(id, frame_idx, frame) rows"
         )
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (same transform the MFCC stage uses)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    M = np.cos(np.pi * k * (2 * m + 1) / (2.0 * n)) * np.sqrt(2.0 / n)
+    M[0] /= np.sqrt(2.0)
+    return M
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(img: np.ndarray) -> np.uint64:
+    """64-bit DCT perceptual hash (classic pHash): grayscale → 32×32 →
+    2-D orthonormal DCT-II → top-left 8×8 low-frequency block → each
+    coefficient vs the block median → 64 bits. Robust to resizing and
+    small pixel noise; identical payloads hash identically."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    g = resize_nearest(g, (32, 32))
+    coeffs = _DCT32 @ g @ _DCT32.T
+    block = coeffs[:8, :8].reshape(-1)
+    bits = block > np.median(block)
+    return np.uint64(sum(np.uint64(1) << np.uint64(i) for i, b in enumerate(bits) if b))
+
+
+class ImagePHasher:
+    """Actor-pool kernel: (id, image binary) → (id, phash uint64,
+    chunk0..chunk3) rows, ready for the shared 16-bit-chunk pigeonhole
+    pair machinery (stages/dedup.py hamming_pairs_from_chunked_hashes).
+    Decoder contract identical to ImageFeaturizer (PIL when available,
+    deterministic fake otherwise; strict mode raises)."""
+
+    def __init__(self, column: str = "media", id_column: str = "doc_id",
+                 strict: bool = False):
+        self.column = column
+        self.id_column = id_column
+        self.pil = _try_import_pil()
+        if strict and self.pil is None:
+            raise NotImplementedError(
+                "image decode requires PIL/libjpeg — not available in this environment"
+            )
+
+    def _decode(self, buf: bytes) -> np.ndarray:
+        if self.pil is not None:
+            import io
+
+            return np.asarray(self.pil.open(io.BytesIO(buf)).convert("RGB"))
+        return fake_decode_image(buf)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hashes = np.array(
+            [phash64(self._decode(buf)) for buf in batch[self.column]],
+            dtype=np.uint64,
+        )
+        out = {self.id_column: batch[self.id_column], "phash": hashes}
+        for c in range(4):
+            out[f"chunk{c}"] = (
+                (hashes >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            ).astype(np.int32)
+        return pd.DataFrame(out)
+
+
+def phash_dup_pairs(media_ds, max_hamming: int = 3, column: str = "media",
+                    id_column: str = "doc_id", batch_size: int = 64):
+    """Image near-dup pairs by perceptual hash: actor-pool decode+hash
+    (small batches — wide binary rows), then the exact chunk-pigeonhole
+    pairing. Payload bytes are dropped at the hash stage; only (id, 8-byte
+    hash) rows shuffle."""
+    from schema_guru_ray.stages.dedup import hamming_pairs_from_chunked_hashes
+
+    hashed = media_ds.map_batches(
+        ImagePHasher,
+        fn_constructor_kwargs=dict(column=column, id_column=id_column),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, 8), num_cpus=1,
+    )
+    return hamming_pairs_from_chunked_hashes(
+        hashed, id_column=id_column, hash_column="phash", max_hamming=max_hamming
+    )

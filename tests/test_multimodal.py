@@ -65,3 +65,44 @@ class TestImageFeaturizer:
 def test_frame_sampler_stub():
     with pytest.raises(NotImplementedError):
         FrameSampler()(pd.DataFrame({"doc_id": [1], "media": [b"x"]}))
+
+
+class TestPHash:
+    @staticmethod
+    def _img(seed):
+        r = np.random.default_rng(seed)
+        y, x = np.mgrid[0:64, 0:64]
+        img = np.zeros((64, 64))
+        for _ in range(6):
+            fx, fy = r.uniform(0.2, 3, 2)
+            img += r.uniform(50, 100) * np.cos(
+                2 * np.pi * (fx * x / 64 + fy * y / 64) + r.uniform(0, 6)
+            )
+        return img - img.min()
+
+    def test_noise_robust_and_discriminative(self):
+        from schema_guru_ray.stages.multimodal import phash64
+
+        ham = lambda p, q: bin(int(p) ^ int(q)).count("1")
+        a = self._img(1)
+        noisy = a + np.random.default_rng(99).normal(0, 2.0, a.shape)
+        assert ham(phash64(a), phash64(a)) == 0
+        assert ham(phash64(a), phash64(noisy)) <= 3
+        assert ham(phash64(a), phash64(self._img(2))) > 10
+
+    def test_dup_pairs_over_media(self, ray_session):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.multimodal import phash_dup_pairs
+
+        # identical payloads → identical fake-decoded pixels → hamming 0
+        rows = [
+            {"doc_id": 1, "media": b"payload-A"},
+            {"doc_id": 2, "media": b"payload-B"},
+            {"doc_id": 3, "media": b"payload-A"},   # dup of 1
+            {"doc_id": 4, "media": b"payload-C"},
+        ]
+        pairs = phash_dup_pairs(rd.from_items(rows)).to_pandas()
+        assert len(pairs) == 1
+        assert (int(pairs["id_a"][0]), int(pairs["id_b"][0])) == (1, 3)
+        assert int(pairs["hamming"][0]) == 0

@@ -126,6 +126,7 @@ class TestOracleParity:
             "left_join_customer_orders",
             "vocab_documents",
             "quantile_buckets_extendedprice",
+            "shuffle_positions_documents",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
@@ -154,6 +155,7 @@ class TestOracleParity:
             "clips_resample_stats",
             "kmeans_embeddings",
             "clips_integrity",
+            "image_phash_dedup_documents",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
