@@ -191,6 +191,22 @@ def _merge_agg_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _local_merge_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Combiner level: merge a batch's states by (codec, salt) WITHOUT a
+    shuffle — a batch of a few thousand per-block partials collapses to ≤
+    codecs × salts rows, so the sort-based groupby that follows moves
+    dozens of states instead of one per (block × codec × salt). By
+    associativity the result is identical."""
+    out = []
+    for (codec, salt), g in b.groupby(["codec", "salt"], sort=False):
+        acc: Optional[CodecAgg] = None
+        for buf in g["agg"]:
+            a = pickle.loads(buf)
+            acc = a if acc is None else acc.merge(a)
+        out.append({"codec": codec, "salt": int(salt), "agg": pickle.dumps(acc)})
+    return pd.DataFrame(out)
+
+
 def codec_verdicts(
     verdicts,
     cfg: ValidationConfig = ValidationConfig(),
@@ -201,11 +217,38 @@ def codec_verdicts(
     Two-level salted aggregate: groupby([codec, salt]) merges the per-batch
     partials, then groupby(codec) merges the ≤ n_salts survivors and
     finalizes (counts, HLL distinct, KLL quantiles, PSI/KS drift vs the
-    broadcast baseline store, pass/fail)."""
+    broadcast baseline store, pass/fail).
+
+    Two execution-shape choices here are load-bearing (both measured on
+    the 250k-clip scaling corpus at 8 CPUs):
+
+    * ``batch_size=None`` on the partial aggregator: inherit the upstream
+      (validator) batching. A fixed large batch_size LOOKS harmless — the
+      aggregator reads tiny verdict rows — but map-fusion propagates it UP
+      into the fused read→validate→aggregate task and re-batches the wide
+      binary clips into ~batch_size×38KB bundles.
+    * ``materialize()`` of the partial states BEFORE the groupby: when the
+      sort-based groupby shares one streaming plan with the heavy fused
+      decode map, the all-to-all's resource reservation starves the map
+      operator down to ~1 concurrent task at small CPU counts (measured:
+      271s wall for 260 CPU-s — serial; the same map runs at full
+      concurrency alone). Splitting the plan costs one materialization of
+      KB-scale state rows (distributed, spillable — never the clips) and
+      restored 8-CPU wall time from 274s to 55s (5x).
+
+    A shuffle-free combiner (``_local_merge_batch``) then collapses the
+    per-block states to ≤ codecs × salts per 4096-state batch, so the
+    sort-based groupby moves dozens of rows — the aggregate tail stays
+    O(seconds) regardless of block count (the Amdahl term of the N-vs-4N
+    scaling measurement).
+    """
     partials = verdicts.map_batches(
-        CodecPartialAggregator(cfg), batch_format="pyarrow", batch_size=4096
+        CodecPartialAggregator(cfg), batch_format="pyarrow", batch_size=None
+    ).materialize()
+    combined = partials.map_batches(
+        _local_merge_batch, batch_format="pandas", batch_size=4096
     )
-    level1 = partials.groupby(["codec", "salt"]).map_groups(
+    level1 = combined.groupby(["codec", "salt"]).map_groups(
         _merge_agg_group, batch_format="pandas"
     )
     level2 = level1.groupby("codec").map_groups(_merge_agg_group, batch_format="pandas")
@@ -299,11 +342,15 @@ def run_validation_checkpointed(
 
 def build_baseline(verdicts, cfg: ValidationConfig = ValidationConfig()):
     """Build a baseline sketch store {codec: {col: KLL bytes}} from a
-    reference run. Small (KBs/codec); broadcast with ray.put at use time."""
+    reference run. Small (KBs/codec); broadcast with ray.put at use time.
+    batch_size=None + pre-groupby materialize: see codec_verdicts."""
     partials = verdicts.map_batches(
-        CodecPartialAggregator(cfg), batch_format="pyarrow", batch_size=4096
+        CodecPartialAggregator(cfg), batch_format="pyarrow", batch_size=None
+    ).materialize()
+    combined = partials.map_batches(
+        _local_merge_batch, batch_format="pandas", batch_size=4096
     )
-    level1 = partials.groupby(["codec", "salt"]).map_groups(
+    level1 = combined.groupby(["codec", "salt"]).map_groups(
         _merge_agg_group, batch_format="pandas"
     )
     level2 = level1.groupby("codec").map_groups(_merge_agg_group, batch_format="pandas")
