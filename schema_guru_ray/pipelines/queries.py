@@ -1271,6 +1271,163 @@ GROUP BY 1
 """
 
 
+def corr_stats_lineitem(sf_dir: str):
+    """Distributed correlation/covariance via INTEGER sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy² with x = quantity units, y = price cents):
+    one streaming pass of per-batch partial sums, one tiny groupby — the
+    associative-monoid shape of A11 applied to second moments. Pearson r /
+    covariance derive client-side from the exact integers, so the oracle
+    compares bit-exact sums instead of float-rounded r."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sum_x": [x.sum()],
+                "sum_y": [y.sum()],
+                "sum_xy": [(x * y).sum()],
+                "sum_x2": [(x * x).sum()],
+                "sum_y2": [(y * y).sum()],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .map_batches(lambda b: b.assign(k=0), batch_format="pandas")
+        .groupby("k")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_x", alias_name="sum_x"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_xy", alias_name="sum_xy"),
+            Sum("sum_x2", alias_name="sum_x2"),
+            Sum("sum_y2", alias_name="sum_y2"),
+        )
+        .map_batches(lambda t: t.drop_columns(["k"]), batch_format="pyarrow")
+    )
+
+
+CORR_STATS_LINEITEM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_y,
+       CAST(sum(CAST(l_quantity AS BIGINT)
+                * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_xy,
+       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS sum_x2,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_y2
+FROM lineitem
+"""
+
+
+def split_assign_documents(sf_dir: str):
+    """Deterministic train/val/test split — the standard content-addressed
+    80/10/10 assignment: split by md5(doc_id) hex thresholds, so membership
+    is a pure function of the id (stable across runs, machines, and corpus
+    growth). Pure streaming map; oracle replays the same hex comparison."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    t80, t90 = "c" + "c" * 31, "e" + "6" * 31  # 0.8 and 0.9 of hex space
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in b["doc_id"]]
+        split = ["train" if x < t80 else ("val" if x < t90 else "test") for x in h]
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "split": split}
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+SPLIT_ASSIGN_DOCUMENTS_SQL = """
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c{c31}'
+            THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e{six31}'
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""".replace("{c31}", "c" * 31).replace("{six31}", "6" * 31)
+
+
+def groupwise_dev_events(sf_dir: str):
+    """Group-wise normalization with INTEGER-exact arithmetic: per event
+    row, its deviation from the group mean scaled by the group size —
+    ``dev_n_milli = n_g * value_milli - sum_g_milli`` (the z-score
+    numerator times n, exact in int64, so no float mean ever enters the
+    comparison). Two-phase broadcast pattern: the per-group (n, sum) table
+    is a tiny aggregate shipped once via ``ray.put``; the normalization
+    pass is a shuffle-free map — the standard alternative to a window
+    shuffle when the group-stat side is small."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "v": np.floor(
+                    t["value"].to_numpy(zero_copy_only=False) * 1000 + 0.5
+                ).astype(np.int64),
+                "n": 1,
+            }
+        )
+        return df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s=("v", "sum")
+        )
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    ref = ray.put(
+        {r["event_type"]: (int(r["n"]), int(r["s"])) for _, r in stats.iterrows()}
+    )
+
+    def dev(t: pa.Table) -> pd.DataFrame:
+        table = ray.get(ref)
+        et = t["event_type"].to_pylist()
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000 + 0.5).astype(
+            np.int64
+        )
+        n = np.array([table[e][0] for e in et], dtype=np.int64)
+        s = np.array([table[e][1] for e in et], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": t["event_id"].to_numpy(),
+                "dev_n_milli": n * v - s,
+            }
+        )
+
+    return ds.map_batches(dev, batch_format="pyarrow")
+
+
+GROUPWISE_DEV_EVENTS_SQL = """
+SELECT event_id,
+       CAST(count(*) OVER w * CAST(round(value * 1000) AS BIGINT)
+            - sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+           AS dev_n_milli
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 def shuffle_positions_documents(sf_dir: str):
     """Deterministic global shuffle for training-data export: every doc
     gets a content-addressed shuffle key ``md5(doc_id)``, a 256-way shard
@@ -3153,6 +3310,9 @@ QUERIES = {
     "quantile_buckets_extendedprice": quantile_buckets_extendedprice,
     "shuffle_positions_documents": shuffle_positions_documents,
     "image_phash_dedup_documents": image_phash_dedup_documents,
+    "corr_stats_lineitem": corr_stats_lineitem,
+    "split_assign_documents": split_assign_documents,
+    "groupwise_dev_events": groupwise_dev_events,
 }
 
 ORACLES = {
@@ -3208,4 +3368,7 @@ ORACLES = {
     "vocab_documents": VOCAB_DOCUMENTS_SQL,
     "quantile_buckets_extendedprice": QUANTILE_BUCKETS_EXTENDEDPRICE_SQL,
     "shuffle_positions_documents": SHUFFLE_POSITIONS_DOCUMENTS_SQL,
+    "corr_stats_lineitem": CORR_STATS_LINEITEM_SQL,
+    "split_assign_documents": SPLIT_ASSIGN_DOCUMENTS_SQL,
+    "groupwise_dev_events": GROUPWISE_DEV_EVENTS_SQL,
 }

@@ -127,6 +127,9 @@ class TestOracleParity:
             "vocab_documents",
             "quantile_buckets_extendedprice",
             "shuffle_positions_documents",
+            "corr_stats_lineitem",
+            "split_assign_documents",
+            "groupwise_dev_events",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
