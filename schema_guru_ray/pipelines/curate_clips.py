@@ -1,0 +1,200 @@
+"""Flagship AUDIO curation chain — the clips-table mirror of the text
+curation composition (pipelines/curate.py), built from the stages the
+north star demands (BASELINE.json: validation + dedup + transform over
+audio clip + transcript pairs):
+
+    1. validate-and-filter — single-pass decode + SNR/transcript/
+       referential checks (stages/audio.ClipValidator semantics), keeping
+       only passing rows WITH their bytes. Deliberately NOT a
+       verdict-join: the keep set is O(corpus) at 10^12 clips, so no
+       broadcast or join can carry it — the ok-mask must ride in the same
+       task that decoded the clip.
+    2. exact dedup by clip_id — hash-bucket shuffle, keep one row per id
+       (generator duplicates are byte-identical; D4 of SURVEY.md §2.7).
+       The chain's ONE corpus-wide shuffle; materialized afterwards as
+       the natural checkpoint boundary (same call the text chain makes).
+    3. content near-dup removal — log-mel features → hyperplane-LSH
+       cosine pairs ACROSS different clip_ids → drop the higher hashed id
+       of each confirmed pair. Drop ids are corpus-tiny; broadcast regime
+       with the bucketed-anti-join escape hatch above
+       ``drop_broadcast_limit`` (the curate.py two-regime rule).
+    4. resample + loudness-normalize the survivors to a uniform training
+       format (stages/audio_transform.resample_clips).
+
+Returns the curated Dataset plus a summary of exact integer counts per
+stage (pytest pins them against generator ground-truth labels).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from schema_guru_ray.pipelines.validate import ValidationConfig
+
+
+@dataclass
+class ClipCurationConfig:
+    validation: ValidationConfig = field(default_factory=ValidationConfig)
+    dedup_threshold: float = 0.999
+    dedup_bits: int = 10
+    sr_out: int = 16000
+    target_dbfs: float = -20.0
+    drop_broadcast_limit: int = 2_000_000
+
+
+def filter_valid_clips(clips_ds, vcfg: ValidationConfig):
+    """Validate and KEEP passing rows with their bytes, one streaming pass
+    (decode happens exactly once; see module docstring for why this is not
+    a verdict join)."""
+    from schema_guru_ray.stages.audio import validate_batch_task
+
+    def fv(batch: pa.Table) -> pa.Table:
+        verdict = validate_batch_task(
+            batch,
+            snr_threshold_db=vcfg.snr_threshold_db,
+            check_transcript=vcfg.check_transcript,
+            strict_codecs=vcfg.strict_codecs,
+        )
+        return batch.filter(verdict["ok"])
+
+    return clips_ds.map_batches(
+        fv, batch_format="pyarrow", batch_size=vcfg.validator_batch_size
+    )
+
+
+def exact_dedup_clips(ds, rows_per_bucket: int = 65536):
+    """One row per clip_id: tag with hash(clip_id) bucket, groupby bucket,
+    vectorized drop_duplicates inside each bucket — per-bucket memory is
+    bounded by ``rows_per_bucket`` × row width as the corpus grows."""
+    from schema_guru_ray.stages.joins import derive_num_buckets
+    from schema_guru_ray.stages.profile import stable_hash64
+
+    nb = derive_num_buckets(ds.count(), rows_per_bucket=rows_per_bucket)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (stable_hash64(b["clip_id"]) % np.uint64(nb)).astype(np.int64)
+        return b
+
+    def keep_one(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("clip_id").drop_duplicates("clip_id").drop(
+            columns="__bucket"
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(keep_one, batch_format="pandas")
+    )
+
+
+def _near_dup_drop_hashes(deduped, cfg: ClipCurationConfig):
+    """Confirmed cross-id near-dup pairs → Dataset of hashed ids to drop
+    (the HIGHER hash of each pair, so one representative survives)."""
+    from schema_guru_ray.stages.audio_features import content_dedup_pairs
+
+    pairs = content_dedup_pairs(
+        deduped, threshold=cfg.dedup_threshold, n_bits=cfg.dedup_bits
+    )
+
+    def higher(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["id_a"] != b["id_b"]
+        return pd.DataFrame(
+            {"drop_h": np.maximum(b["id_a"][keep], b["id_b"][keep]).astype("int64")}
+        )
+
+    return pairs.map_batches(higher, batch_format="pandas")
+
+
+def _remove_by_hash(ds, drops, n_drop: int, limit: int):
+    """Two-regime removal of clips whose hashed id is in ``drops``:
+    broadcast frozenset below ``limit``, exact bucketed anti-join above
+    (the drop set never lands on the driver in the scale regime)."""
+    import ray
+
+    from schema_guru_ray.stages.profile import stable_hash64
+
+    if n_drop == 0:
+        return ds
+
+    if n_drop <= limit:
+        ref = ray.put(frozenset(int(h) for h in drops.to_pandas()["drop_h"]))
+
+        def drop_filter(b: pd.DataFrame) -> pd.DataFrame:
+            dset = ray.get(ref)
+            h = stable_hash64(b["clip_id"]).astype(np.int64)
+            return b[~pd.Series(h).isin(dset).to_numpy()]
+
+        return ds.map_batches(drop_filter, batch_format="pandas")
+
+    # Scale regime: ARROW-NATIVE bucketed anti join. The generic
+    # bucketed_anti_join round-trips groups through pandas, which degrades
+    # the binary ``bytes`` payload column; this variant keeps every block
+    # Arrow end-to-end (tag → union-with-null-fill → per-bucket pc.is_in +
+    # filter), so wide binary rows shuffle exactly once, zero-copy.
+    import pyarrow.compute as pc
+
+    from schema_guru_ray.stages.joins import _tag_fn, derive_num_buckets
+
+    nb = derive_num_buckets(ds.count() + n_drop)
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        h = stable_hash64(pd.Series(t["clip_id"].to_pylist())).astype(np.int64)
+        return t.append_column("__h", pa.array(h, pa.int64()))
+
+    left = ds.map_batches(with_hash, batch_format="pyarrow").map_batches(
+        _tag_fn("l", "__h", nb), batch_format="pyarrow"
+    )
+    keys = drops.map_batches(_tag_fn("r", "drop_h", nb), batch_format="pyarrow")
+
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        lmask = pc.equal(t["__side"], "l")
+        l = t.filter(lmask)
+        dropset = t.filter(pc.invert(lmask))["drop_h"].combine_chunks()
+        keep = pc.invert(pc.is_in(l["__h"].combine_chunks(), value_set=dropset))
+        return l.filter(keep).drop_columns(
+            [c for c in ("__side", "__bucket", "__h", "drop_h") if c in l.column_names]
+        )
+
+    return (
+        left.union(keys)
+        .groupby("__bucket")
+        .map_groups(anti_bucket, batch_format="pyarrow")
+    )
+
+
+def curate_clips(clips_ds, cfg: ClipCurationConfig = ClipCurationConfig()):
+    """Run the full chain. Returns ``(curated_ds, summary_df)`` — summary
+    rows are exact integer counts per stage."""
+    from schema_guru_ray.stages.audio_transform import resample_clips
+
+    n_in = clips_ds.count()
+    valid = filter_valid_clips(clips_ds, cfg.validation)
+    deduped = exact_dedup_clips(valid).materialize()  # checkpoint boundary
+    n_dedup = deduped.count()
+    n_valid = valid.count()
+
+    drops = _near_dup_drop_hashes(deduped, cfg).materialize()
+    n_drop = drops.count()
+    survivors = _remove_by_hash(
+        deduped, drops, n_drop, cfg.drop_broadcast_limit
+    ).materialize()
+    n_surv = survivors.count()
+
+    curated = resample_clips(
+        survivors, sr_out=cfg.sr_out, target_dbfs=cfg.target_dbfs
+    ).materialize()
+    n_out = curated.count()
+
+    summary = pd.DataFrame(
+        {
+            "stage": ["input", "valid", "exact_dedup", "near_dup", "curated"],
+            "n": [n_in, n_valid, n_dedup, n_surv, n_out],
+        }
+    )
+    summary["n"] = summary["n"].astype("int64")
+    return curated, summary

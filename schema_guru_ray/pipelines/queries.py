@@ -2886,6 +2886,22 @@ def clips_integrity(sf_dir: str):
     )
 
 
+def curate_clips_summary(sf_dir: str):
+    """Flagship AUDIO curation chain (pipelines/curate_clips.py):
+    validate-and-filter → exact dedup by clip_id → content near-dup
+    removal → resample/normalize, reported as exact per-stage row counts.
+    Rows-only (clips are engine-generated); stage ground truth in
+    tests/test_curate_clips.py."""
+    import ray.data as rd
+
+    from schema_guru_ray.pipelines.curate_clips import curate_clips
+    from schema_guru_ray.sources.clips import ensure_clips
+
+    path = ensure_clips(sf_dir)
+    _, summary = curate_clips(rd.read_parquet(path))
+    return summary
+
+
 def clips_content_dedup(sf_dir: str):
     """Content-based audio near-dup pairs: same-signal clips found via
     feature-vector LSH regardless of clip_id (rows-only)."""
@@ -3313,6 +3329,7 @@ QUERIES = {
     "corr_stats_lineitem": corr_stats_lineitem,
     "split_assign_documents": split_assign_documents,
     "groupwise_dev_events": groupwise_dev_events,
+    "curate_clips_summary": curate_clips_summary,
 }
 
 ORACLES = {

@@ -1,0 +1,89 @@
+"""Flagship audio curation chain (pipelines/curate_clips.py): per-stage
+counts pinned against generator ground-truth labels, output-format
+invariants, and the two removal regimes agreeing."""
+
+import numpy as np
+import pytest
+
+from schema_guru_ray.pipelines.curate_clips import (
+    ClipCurationConfig,
+    curate_clips,
+    exact_dedup_clips,
+    filter_valid_clips,
+)
+from schema_guru_ray.pipelines.validate import ValidationConfig
+from schema_guru_ray.sources.clips import ClipsConfig, generate_clips_table
+
+CFG = ClipsConfig(
+    rate_dup=0.03, rate_corrupt=0.03, rate_ref_transcript_on_bad=0.01,
+    rate_ref_null_on_good=0.01, rate_snr=0.02, rate_transcript_mismatch=0.02,
+    rate_sr_invalid=0.01, rate_dur_mismatch=0.02,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    tab, labels = generate_clips_table(400, CFG, with_labels=True)
+    return tab, labels
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateClips:
+    def test_stage_counts_match_labels(self, corpus):
+        import ray.data as rd
+
+        tab, labels = corpus
+        ds = rd.from_arrow(tab).repartition(4)
+        curated, summary = curate_clips(ds)
+        s = dict(zip(summary["stage"], summary["n"]))
+
+        # validity ground truth: a row passes iff its only label (if any)
+        # is duplicate_clip_id
+        valid_mask = [set(ls) <= {"duplicate_clip_id"} for ls in labels]
+        assert s["input"] == 400
+        assert s["valid"] == sum(valid_mask)
+
+        # exact dedup ground truth: distinct clip_ids among valid rows
+        ids = tab["clip_id"].to_pylist()
+        distinct_valid = len({i for i, v in zip(ids, valid_mask) if v})
+        assert s["exact_dedup"] == distinct_valid
+
+        # near-dup removal only ever removes; resample is 1:1
+        assert s["near_dup"] <= s["exact_dedup"]
+        assert s["curated"] == s["near_dup"]
+
+        # output format: uniform sr, ids unique, no invalid survivors
+        out = curated.to_pandas()
+        assert (out["sr_hz"] == 16000).all()
+        assert out["clip_id"].is_unique
+
+    def test_filter_valid_keeps_bytes(self, corpus):
+        import ray.data as rd
+
+        tab, labels = corpus
+        out = filter_valid_clips(
+            rd.from_arrow(tab), ValidationConfig()
+        ).to_pandas()
+        assert "bytes" in out.columns and len(out) > 0
+        assert out["bytes"].map(lambda b: b[:4]).eq(b"RIFF").all()
+
+    def test_exact_dedup_keeps_one_per_id(self, corpus):
+        import ray.data as rd
+
+        tab, _ = corpus
+        deduped = exact_dedup_clips(rd.from_arrow(tab)).to_pandas()
+        assert deduped["clip_id"].is_unique
+        assert len(deduped) == len(set(tab["clip_id"].to_pylist()))
+
+    def test_removal_regimes_agree(self, corpus):
+        """Broadcast and bucketed-anti-join drop regimes produce the same
+        curated id set (force the scale regime with limit=0... limit=1)."""
+        import ray.data as rd
+
+        tab, _ = corpus
+        ds = rd.from_arrow(tab).repartition(4)
+        _, s_broadcast = curate_clips(ds, ClipCurationConfig())
+        _, s_anti = curate_clips(
+            ds, ClipCurationConfig(drop_broadcast_limit=0)
+        )
+        assert list(s_broadcast["n"]) == list(s_anti["n"])

@@ -159,6 +159,7 @@ class TestOracleParity:
             "kmeans_embeddings",
             "clips_integrity",
             "image_phash_dedup_documents",
+            "curate_clips_summary",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
