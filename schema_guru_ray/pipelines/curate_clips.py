@@ -93,21 +93,15 @@ def exact_dedup_clips(ds, rows_per_bucket: int = 65536):
 
 
 def _near_dup_drop_hashes(deduped, cfg: ClipCurationConfig):
-    """Confirmed cross-id near-dup pairs → Dataset of hashed ids to drop
-    (the HIGHER hash of each pair, so one representative survives)."""
-    from schema_guru_ray.stages.audio_features import content_dedup_pairs
+    """Content-dedup drop set via 64-bit signature cluster-collapse
+    (stages/audio_features.content_dedup_drop_hashes): each same-content
+    cluster keeps its minimum hashed id, the rest drop. LINEAR in corpus
+    size — the all-pairs LSH operator is inherently quadratic inside
+    near-identical clusters (measured 7.6/18/59 s at 5k/10k/20k clips)
+    and belongs on bounded candidate sets, not the corpus-wide chain."""
+    from schema_guru_ray.stages.audio_features import content_dedup_drop_hashes
 
-    pairs = content_dedup_pairs(
-        deduped, threshold=cfg.dedup_threshold, n_bits=cfg.dedup_bits
-    )
-
-    def higher(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b["id_a"] != b["id_b"]
-        return pd.DataFrame(
-            {"drop_h": np.maximum(b["id_a"][keep], b["id_b"][keep]).astype("int64")}
-        )
-
-    return pairs.map_batches(higher, batch_format="pandas")
+    return content_dedup_drop_hashes(deduped)
 
 
 def _remove_by_hash(ds, drops, n_drop: int, limit: int):
@@ -173,10 +167,15 @@ def curate_clips(clips_ds, cfg: ClipCurationConfig = ClipCurationConfig()):
     from schema_guru_ray.stages.audio_transform import resample_clips
 
     n_in = clips_ds.count()
-    valid = filter_valid_clips(clips_ds, cfg.validation)
+    # materialize between the heavy decode map and the dedup shuffle: a
+    # sort-based groupby sharing one streaming plan with a decode map
+    # starves the map via the all-to-all's resource reservation (the
+    # codec_verdicts finding, pipelines/validate.py) — measured >10min vs
+    # ~1min at sf0.1 with the split plans. Also makes n_valid free.
+    valid = filter_valid_clips(clips_ds, cfg.validation).materialize()
+    n_valid = valid.count()
     deduped = exact_dedup_clips(valid).materialize()  # checkpoint boundary
     n_dedup = deduped.count()
-    n_valid = valid.count()
 
     drops = _near_dup_drop_hashes(deduped, cfg).materialize()
     n_drop = drops.count()

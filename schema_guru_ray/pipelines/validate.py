@@ -94,8 +94,12 @@ def violations_dataset(verdicts):
 
 def duplicate_clip_ids(verdicts):
     """Exact uniqueness check on clip_id (SURVEY.md §2.7 D4): hash-shuffle of
-    the id column only → groups with count > 1."""
-    counts = verdicts.select_columns(["clip_id"]).groupby("clip_id").count()
+    the id column only → groups with count > 1. The id projection is
+    materialized first so the decode-heavy validate map never shares a
+    streaming plan with the groupby's all-to-all (whose resource
+    reservation would starve it — see codec_verdicts)."""
+    ids = verdicts.select_columns(["clip_id"]).materialize()
+    counts = ids.groupby("clip_id").count()
     return counts.map_batches(
         lambda t: t.filter(pc.greater(t["count()"], 1)).rename_columns(
             ["clip_id", "n_copies"]

@@ -163,7 +163,11 @@ def content_dedup_pairs(clips_ds, threshold: float = 0.999, n_bits: int = 10):
         b["vec_id"] = stable_hash64(b["clip_id"]).astype(np.int64)
         return b
 
-    feats = feats.map_batches(with_num_id, batch_format="pandas")
+    # materialize the (tiny: 48 floats/clip) feature rows so the decode
+    # actor pool never shares a streaming plan with the LSH groupbys —
+    # an all-to-all's resource reservation starves a heavy map operator
+    # in the same plan (see pipelines/validate.py codec_verdicts).
+    feats = feats.map_batches(with_num_id, batch_format="pandas").materialize()
     return embedding_near_dup_pairs(
         feats, dim=FEATURE_DIM, threshold=threshold, n_bits=n_bits
     )
@@ -240,3 +244,73 @@ def audio_integrity(clips_ds, batch_size: int = 256):
         AudioIntegrity, batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 16), num_cpus=1,
     )
+
+
+_SIGN_SEED = 0xA0D1051  # fixed hyperplane seed (deterministic signatures)
+
+
+def _sign_planes(dim: int, n_bits: int = 64) -> np.ndarray:
+    rng = np.random.default_rng(_SIGN_SEED)
+    return rng.standard_normal((n_bits, dim))
+
+
+class ContentSigner:
+    """map_batches kernel: decodable clips → (clip_id, vec_id, sig) rows,
+    where ``sig`` is a 256-bit hyperplane sign hash of the feature vector
+    (fixed seed — deterministic across workers and runs), packed to a hex
+    string. Identical signals hash identically ALWAYS (same bytes → same
+    features → same signs); a cosine-c pair collides with probability
+    (1 - arccos(c)/π)^256 — vanishing below c ≈ 0.9999 — so this targets
+    same-content dedup with a tight tolerance. NB: the synthetic sine
+    corpus has heavy feature-level near-dup mass BY CONSTRUCTION (close
+    frequencies quantize into the same mel band), so collapse counts there
+    reflect the corpus, not a bug."""
+
+    N_BITS = 256
+
+    def __init__(self, frame_ms: float = 25.0, hop_ms: float = 10.0):
+        self.frame_ms = frame_ms
+        self.hop_ms = hop_ms
+        self.planes = _sign_planes(FEATURE_DIM, self.N_BITS)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        from schema_guru_ray.stages.profile import stable_hash64
+
+        ids, sigs = [], []
+        for cid, buf in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
+            try:
+                pcm, sr = decode_wav(buf)
+            except (WavDecodeError, TypeError):
+                continue
+            f = clip_features(pcm, sr, self.frame_ms, self.hop_ms).astype(np.float64)
+            signs = (self.planes @ f) > 0
+            sigs.append(np.packbits(signs).tobytes().hex())
+            ids.append(cid)
+        out = pd.DataFrame({"clip_id": ids})
+        out["vec_id"] = (
+            stable_hash64(out["clip_id"]).astype(np.int64)
+            if len(out) else pd.Series(dtype="int64")
+        )
+        out["sig"] = pd.Series(sigs, dtype="object")
+        return out
+
+
+def content_dedup_drop_hashes(clips_ds, batch_size: int = 256):
+    """SCALE-PATH content dedup: collapse each content-signature cluster to
+    its minimum hashed id and emit the rest as drop ids. One linear pass +
+    one groupby of (sig64, vec_id) scalar rows — O(n) shuffle, no pair
+    explosion (the all-pairs operator :func:`content_dedup_pairs` is
+    inherently quadratic in near-identical clusters: measured 7.6s/18s/59s
+    at 5k/10k/20k clips — fine for bounded candidate sets, wrong as the
+    corpus-wide dedup primitive). Returns a Dataset of ``drop_h`` int64."""
+    sigs = clips_ds.map_batches(
+        ContentSigner, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 16), num_cpus=1,
+    ).materialize()  # keep the decode pool out of the groupby's plan
+
+    def drop_all_but_min(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g["vec_id"].min()
+        rest = g.loc[g["vec_id"] != keep, "vec_id"]
+        return pd.DataFrame({"drop_h": rest.astype("int64")})
+
+    return sigs.groupby("sig").map_groups(drop_all_but_min, batch_format="pandas")

@@ -641,26 +641,37 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for _, grp in g.groupby(["table", "bucket"], sort=False):
-            if len(grp) < 2:
+            n = len(grp)
+            if n < 2:
                 continue
             # NO id dedup here: two ROWS with the same id are a legitimate
             # duplicate pair (e.g. audio content dedup keys vec_id off
             # clip_id, and duplicated clip_ids are exactly the signal)
             ids = grp[id_column].to_numpy()
             vecs = np.stack([np.frombuffer(u, dtype=np.float32) for u in grp["unit"]])
-            sims = vecs @ vecs.T
-            ii, jj = np.triu_indices(len(ids), k=1)
-            mask = sims[ii, jj] >= threshold
-            if mask.any():
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": np.minimum(ids[ii[mask]], ids[jj[mask]]),
-                            "id_b": np.maximum(ids[ii[mask]], ids[jj[mask]]),
-                            "cosine": sims[ii, jj][mask].astype(np.float64),
-                        }
+            # chunked upper-triangle scan: a SKEWED bucket (thousands of
+            # near-identical vectors — e.g. synthetic audio features) must
+            # not materialize the full n×n matrix or triu index arrays
+            # (O(n²) memory: 30k rows → ~11 GB). Each chunk is a
+            # (≤chunk × n) matmul + threshold; only passing pairs survive.
+            chunk = int(max(64, min(1024, 64_000_000 // max(n, 1))))
+            for s in range(0, n - 1, chunk):
+                e = min(s + chunk, n)
+                sims = vecs[s:e] @ vecs.T  # (e-s, n) float32
+                li, j = np.nonzero(sims >= threshold)
+                i = li + s
+                keep = j > i
+                if keep.any():
+                    i, j = i[keep], j[keep]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(ids[i], ids[j]),
+                                "id_b": np.maximum(ids[i], ids[j]),
+                                "cosine": sims[li[keep], j].astype(np.float64),
+                            }
+                        )
                     )
-                )
         if not frames:
             return pd.DataFrame(
                 {

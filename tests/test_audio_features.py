@@ -141,3 +141,34 @@ class TestAudioIntegrityStage:
         assert bool(out.loc["a", "decodable"]) is True
         assert out.loc["a", "clip_ppm"] == 1000000
         assert bool(out.loc["b", "decodable"]) is False
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContentSigner:
+    def test_same_signal_collides_distinct_tones_differ(self):
+        import ray.data as rd
+
+        from schema_guru_ray.audio.wav import encode_wav
+        from schema_guru_ray.stages.audio_features import content_dedup_drop_hashes, ContentSigner
+        from schema_guru_ray.stages.profile import stable_hash64
+        import pandas as pd
+        import pyarrow as pa
+
+        t = np.arange(16000) / 16000.0
+        tone_a = encode_wav((np.sin(2 * np.pi * 300 * t) * 20000).astype(np.int16), 16000)
+        tone_b = encode_wav((np.sin(2 * np.pi * 2900 * t) * 20000).astype(np.int16), 16000)
+        rows = [
+            {"clip_id": "x1", "bytes": tone_a},
+            {"clip_id": "x2", "bytes": tone_a},   # same SIGNAL, different id
+            {"clip_id": "y1", "bytes": tone_b},
+        ]
+        sigs = ContentSigner()(pa.Table.from_pylist(rows)).set_index("clip_id")
+        assert sigs.loc["x1", "sig"] == sigs.loc["x2", "sig"]
+        assert sigs.loc["x1", "sig"] != sigs.loc["y1", "sig"]
+
+        drops = content_dedup_drop_hashes(rd.from_items(rows)).to_pandas()
+        expected_drop = max(
+            int(stable_hash64(pd.Series(["x1"]))[0].astype(np.int64)),
+            int(stable_hash64(pd.Series(["x2"]))[0].astype(np.int64)),
+        )
+        assert list(drops["drop_h"]) == [expected_drop]
