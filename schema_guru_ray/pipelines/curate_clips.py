@@ -197,3 +197,107 @@ def curate_clips(clips_ds, cfg: ClipCurationConfig = ClipCurationConfig()):
     )
     summary["n"] = summary["n"].astype("int64")
     return curated, summary
+
+
+def curate_clips_checkpointed(input_files, out_dir: str,
+                              cfg: ClipCurationConfig = ClipCurationConfig(),
+                              num_partitions: int = 8, log=None):
+    """Resumable audio curation over a parquet file list — four
+    checkpointed stages under ``out_dir`` (atomic commit + lineage +
+    config hash via ``state/checkpoint.run_partitioned``):
+
+      valid/  — validate-and-filter, PER PARTITION over the input files
+                (embarrassingly parallel; a crash re-decodes only the
+                unfinished partitions — the expensive stage at 10^12);
+      dedup/  — exact dedup by clip_id over the valid files (GLOBAL: the
+                keep-one shuffle is one atomic unit);
+      drops/  — content-signature drop ids (GLOBAL);
+      final/  — drop removal + resample/normalize, PER PARTITION over the
+                dedup output files.
+
+    Returns {result: Dataset over final/, manifest: {stage: summary}}. A
+    completed run's row set equals :func:`curate_clips` on the same
+    corpus (tested, including crash-mid-run resume)."""
+    import os
+
+    import ray.data as rd
+
+    from schema_guru_ray.state.checkpoint import config_hash, run_partitioned
+    from schema_guru_ray.stages.audio_transform import resample_clips
+
+    manifest = {}
+
+    def _stage_files(stage_dir):
+        return sorted(
+            os.path.join(stage_dir, d, n)
+            for d in os.listdir(stage_dir)
+            if d.startswith("partition=")
+            for n in os.listdir(os.path.join(stage_dir, d))
+            if n.endswith(".parquet")
+        )
+
+    valid_dir = os.path.join(out_dir, "valid")
+    cfg_valid = config_hash({"stage": "valid", "v": vars(cfg.validation)})
+
+    def run_valid(files, tmp_dir):
+        out = filter_valid_clips(rd.read_parquet(files), cfg.validation).materialize()
+        out.write_parquet(tmp_dir)
+        return {"n_valid": out.count()}
+
+    manifest["valid"] = run_partitioned(
+        list(input_files), valid_dir, run_valid, cfg_hash=cfg_valid,
+        num_partitions=num_partitions, log=log,
+    )
+
+    dedup_dir = os.path.join(out_dir, "dedup")
+    cfg_dedup = config_hash({"stage": "dedup", "valid_cfg": cfg_valid})
+
+    def run_dedup(files, tmp_dir):
+        out = exact_dedup_clips(rd.read_parquet(files)).materialize()
+        out.write_parquet(tmp_dir)
+        return {"n_dedup": out.count()}
+
+    manifest["dedup"] = run_partitioned(
+        _stage_files(valid_dir), dedup_dir, run_dedup, cfg_hash=cfg_dedup,
+        num_partitions=1, log=log,
+    )
+    dedup_files = _stage_files(dedup_dir)
+
+    drops_dir = os.path.join(out_dir, "drops")
+    cfg_drops = config_hash({"stage": "drops", "dedup_cfg": cfg_dedup})
+
+    def run_drops(files, tmp_dir):
+        drops = _near_dup_drop_hashes(rd.read_parquet(files), cfg).materialize()
+        drops.write_parquet(tmp_dir)
+        return {"n_drops": drops.count()}
+
+    manifest["drops"] = run_partitioned(
+        dedup_files, drops_dir, run_drops, cfg_hash=cfg_drops,
+        num_partitions=1, log=log,
+    )
+    drop_files = _stage_files(drops_dir)
+
+    final_dir = os.path.join(out_dir, "final")
+    cfg_final = config_hash(
+        {"stage": "final", "sr_out": cfg.sr_out, "dbfs": cfg.target_dbfs,
+         "drops_cfg": cfg_drops}
+    )
+
+    def run_final(files, tmp_dir):
+        part = rd.read_parquet(files)
+        if drop_files:
+            drops = rd.read_parquet(drop_files)
+            part = _remove_by_hash(
+                part, drops, drops.count(), cfg.drop_broadcast_limit
+            )
+        out = resample_clips(
+            part, sr_out=cfg.sr_out, target_dbfs=cfg.target_dbfs
+        ).materialize()
+        out.write_parquet(tmp_dir)
+        return {"n_out": out.count()}
+
+    manifest["final"] = run_partitioned(
+        dedup_files, final_dir, run_final, cfg_hash=cfg_final,
+        num_partitions=num_partitions, log=log,
+    )
+    return {"result": rd.read_parquet(_stage_files(final_dir)), "manifest": manifest}

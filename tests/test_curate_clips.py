@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from schema_guru_ray.pipelines.curate_clips import (
+    curate_clips_checkpointed,
     ClipCurationConfig,
     curate_clips,
     exact_dedup_clips,
@@ -87,3 +88,42 @@ class TestCurateClips:
             ds, ClipCurationConfig(drop_broadcast_limit=0)
         )
         assert list(s_broadcast["n"]) == list(s_anti["n"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateClipsCheckpointed:
+    def _split(self, tmp_path, n=300, parts=3):
+        import pyarrow.parquet as pq
+
+        tab, _ = generate_clips_table(n, CFG, with_labels=True)
+        files = []
+        for i in range(parts):
+            f = tmp_path / f"clips{i}.parquet"
+            pq.write_table(tab.take(list(range(i, n, parts))), f)
+            files.append(str(f))
+        return tab, files
+
+    def test_matches_inmemory_and_resumes(self, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        tab, files = self._split(tmp_path)
+        out = str(tmp_path / "out")
+        res = curate_clips_checkpointed(files, out, num_partitions=2,
+                                        log=lambda *_: None)
+        got_ids = sorted(res["result"].to_pandas()["clip_id"])
+
+        curated, _ = curate_clips(rd.from_arrow(tab).repartition(3))
+        want_ids = sorted(curated.to_pandas()["clip_id"])
+        assert got_ids == want_ids
+
+        # resume: wipe one final partition commit → only it reruns
+        victim = os.path.join(out, "final", "partition=0001", "_SUCCESS.json")
+        os.remove(victim)
+        res2 = curate_clips_checkpointed(files, out, num_partitions=2,
+                                         log=lambda *_: None)
+        m = res2["manifest"]
+        assert m["valid"]["ran"] == 0 and m["dedup"]["ran"] == 0
+        assert m["drops"]["ran"] == 0 and m["final"]["ran"] == 1
+        assert sorted(res2["result"].to_pandas()["clip_id"]) == got_ids
