@@ -3038,7 +3038,9 @@ def left_join_customer_orders(sf_dir: str):
         orders.map_batches(partial, batch_format="pandas")
         .groupby("c_custkey")
         .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
-    )
+    ).materialize()  # small aggregate; the join's bucket-count derivation
+    # calls .count() on both sides — without this the whole aggregate
+    # pipeline would execute twice (measured 10.6s → 3.5s at sf0.01)
     joined = bucketed_hash_join(cust, per_cust, on="c_custkey", join_type="left")
 
     def fill(b: pd.DataFrame) -> pd.DataFrame:
