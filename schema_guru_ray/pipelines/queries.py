@@ -3254,6 +3254,384 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def revenue_by_region(sf_dir: str):
+    """TPC-H Q5-style multi-way join chain: region ⨝ nation ⨝ customer ⨝
+    orders ⨝ lineitem → revenue per region for one order year.
+
+    100-TB shape: the two TINY dimensions (region×nation, ≤ a few hundred
+    rows) ship once as a broadcast dict and annotate customer in a pure map
+    — no shuffle. The two genuinely big-big joins (orders ⨝ customer on
+    custkey, lineitem ⨝ orders on orderkey) run as bucketed hash joins over
+    SLIM projections: customer contributes (c_custkey, r_name) only, orders
+    contributes (o_orderkey, r_name) only — the fact columns never ride
+    through a shuffle they don't need. The date filter is pushed into the
+    parquet read (row-group pruning), and the final aggregate is
+    partial-per-batch (integer cents) before a ≤|regions|-row groupby."""
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nk_to_region = dict(
+        zip(
+            nation["n_nationkey"].astype("int64"),
+            region.set_index("r_regionkey")["r_name"].reindex(
+                nation["n_regionkey"]
+            ).to_numpy(),
+        )
+    )
+    nk_ref = ray.put(nk_to_region)
+
+    def tag_customer(t: pa.Table) -> pa.Table:
+        m = ray.get(nk_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        names = np.array([m[int(k)] for k in uniq], dtype=object)[inv]
+        return pa.table(
+            {
+                "o_custkey": t["c_custkey"],  # join-key name shared with orders
+                "r_name": pa.array(names, type=pa.string()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        tag_customer, batch_format="pyarrow"
+    )
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pads.field("o_orderdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
+            & (pads.field("o_orderdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+        ),
+    ).select_columns(["o_orderkey", "o_custkey"])
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join
+
+    # orders ⨝ customer on o_custkey → (o_orderkey, r_name); rename the
+    # order key to the lineitem join-key name before the second join
+    orders_region = bucketed_hash_join(orders, cust, on="o_custkey").select_columns(
+        ["o_orderkey", "r_name"]
+    )
+
+    def _rekey(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_orderkey", "r_name"])
+
+    orders_region = orders_region.map_batches(_rekey, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    joined = bucketed_hash_join(li, orders_region, on="l_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(
+                            t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                        ),
+                        100.0,
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"r_name": t["r_name"], "revenue_cents": rev})
+            .group_by("r_name")
+            .aggregate(
+                [("revenue_cents", "sum"),
+                 ("revenue_cents", "count", pc.CountOptions(mode="all"))]
+            )
+        )
+        return g.rename_columns(["r_name", "revenue_cents", "n"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("r_name").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n", alias_name="n"),
+    )
+
+
+REVENUE_BY_REGION_SQL = """
+SELECT r_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       count(*) AS n
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY r_name
+"""
+
+
+def grouped_median_quantity(sf_dir: str):
+    """Per-group EXACT discrete percentiles (SQL ``percentile_disc``) of
+    l_quantity by return flag. 100-TB shape: the raw column never shuffles —
+    each batch emits (group, value) → count partials via Arrow C++
+    group_by, the groupby merges ≤ |groups|×|distinct| count rows, and the
+    percentile selection runs per group inside map_groups over sorted
+    cumulative counts with INTEGER threshold comparisons
+    (``cum*b ≥ n*a`` for q=a/b — no float cumulative-distribution
+    edge cases). Only works this cheaply because l_quantity is
+    low-cardinality; high-cardinality columns route to the KLL sketch
+    (approx_quantiles) or the 3-pass bin refinement
+    (quantile_buckets)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
+        g = (
+            pa.table({"l_returnflag": t["l_returnflag"], "qty": qty})
+            .group_by(["l_returnflag", "qty"])
+            .aggregate([("qty", "count", pc.CountOptions(mode="all"))])
+        )
+        return g.rename_columns(["l_returnflag", "qty", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("qty")
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        vals = g["qty"].to_numpy()
+
+        def disc(a: int, b: int) -> int:
+            # percentile_disc(a/b): first value with cum_dist >= a/b
+            return int(vals[np.searchsorted(cum * b, n * a, side="left")])
+
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "q25": [disc(1, 4)],
+                "median": [disc(1, 2)],
+                "q75": [disc(3, 4)],
+            }
+        )
+
+    return counts.groupby("l_returnflag").map_groups(pick, batch_format="pandas")
+
+
+GROUPED_MEDIAN_QUANTITY_SQL = """
+SELECT l_returnflag,
+       CAST(percentile_disc(0.25) WITHIN GROUP
+            (ORDER BY CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q25,
+       CAST(percentile_disc(0.5) WITHIN GROUP
+            (ORDER BY CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS median,
+       CAST(percentile_disc(0.75) WITHIN GROUP
+            (ORDER BY CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def rolling_revenue_customer(sf_dir: str, window_days: int = 7):
+    """Per-customer trailing 7-day revenue at every order (SQL ``RANGE
+    BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW`` — peer rows with the
+    SAME date are all included, unlike a ROWS window). One
+    partitioned_window pass: hash-bucket by customer, sort
+    (custkey, date) inside the bucket, then a FUSED-KEY searchsorted over
+    the whole bucket — ``custkey * 2^21 + day`` packs (customer, day) into
+    one sortable int64 (valid while day-since-epoch < 2^21 ≈ year 7700 and
+    custkey < 2^42), so the per-row window bounds come from two vectorized
+    searchsorted calls over the bucket, not a per-customer Python loop.
+    o_orderdate is date-granular (midnight timestamps), so day encoding is
+    exact."""
+    from schema_guru_ray.stages.joins import partitioned_window
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def trailing(g: pd.DataFrame) -> pd.DataFrame:
+        # g sorted by (o_custkey, o_orderdate); searchsorted needs the fused
+        # key monotone within the frame, which (custkey, day) sort gives
+        days = (
+            g["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        )
+        cust = g["o_custkey"].to_numpy().astype(np.int64)
+        assert (days < (1 << 21)).all() and (cust < (1 << 42)).all()
+        fused = cust * (1 << 21) + days
+        cents = _int_units(g["o_totalprice"].to_numpy(), 100).to_numpy(np.int64)
+        prefix = np.concatenate([[0], cents.cumsum()])
+        lo = np.searchsorted(fused, cust * (1 << 21) + (days - window_days), "left")
+        hi = np.searchsorted(fused, fused, "right")
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].astype("int64"),
+                "trailing_cents": (prefix[hi] - prefix[lo]).astype("int64"),
+                "n_in_window": (hi - lo).astype("int64"),
+            }
+        )
+
+    return partitioned_window(orders, "o_custkey", ["o_orderdate"], trailing)
+
+
+ROLLING_REVENUE_CUSTOMER_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS trailing_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def nation_balance_full_outer(sf_dir: str):
+    """FULL OUTER join of two independently-aggregated sides: per-nation
+    high-balance customer totals vs per-nation high-balance supplier
+    totals. The thresholds are chosen so BOTH sides have nations the other
+    lacks at every test scale — the join must synthesize rows from each
+    unmatched side (COALESCE key + zero-fill). 100-TB shape: both sides
+    pre-aggregate to ≤ |nations| rows via batch partials before the join;
+    the outer join itself is the bucketed tagged-union pattern with pandas
+    ``how='outer'`` inside the bucket."""
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join
+
+    def agg_side(table: str, key: str, bal: str, thresh: float, prefix: str):
+        ds = _read(sf_dir, table, [key, bal])
+
+        def partial(t: pa.Table) -> pa.Table:
+            keep = pc.greater(t[bal], pa.scalar(thresh))
+            t = t.filter(keep)
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(t[bal], 100.0), 0.5)), pa.int64()
+            )
+            g = (
+                pa.table({"nationkey": pc.cast(t[key], pa.int64()), "c": cents})
+                .group_by("nationkey")
+                .aggregate(
+                    [("c", "sum"), ("c", "count", pc.CountOptions(mode="all"))]
+                )
+            )
+            return g.rename_columns(
+                ["nationkey", f"{prefix}_cents", f"n_{prefix}"]
+            )
+
+        return ds.map_batches(partial, batch_format="pyarrow").groupby(
+            "nationkey"
+        ).aggregate(
+            Sum(f"{prefix}_cents", alias_name=f"{prefix}_cents"),
+            Sum(f"n_{prefix}", alias_name=f"n_{prefix}"),
+        )
+
+    cust = agg_side("customer", "c_nationkey", "c_acctbal", 9900.0, "cust")
+    supp = agg_side("supplier", "s_nationkey", "s_acctbal", 5000.0, "supp")
+    joined = bucketed_hash_join(cust, supp, on="nationkey", join_type="outer")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"nationkey": b["nationkey"].astype("int64")})
+        for c in ("n_cust", "cust_cents", "n_supp", "supp_cents"):
+            out[c] = b[c].fillna(0).astype("int64")
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+NATION_BALANCE_FULL_OUTER_SQL = """
+WITH c AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           count(*) AS n_cust,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cust_cents
+    FROM customer WHERE c_acctbal > 9900 GROUP BY 1
+), s AS (
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+           count(*) AS n_supp,
+           sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS supp_cents
+    FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(c.cust_cents, 0) AS BIGINT) AS cust_cents,
+       CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp,
+       CAST(COALESCE(s.supp_cents, 0) AS BIGINT) AS supp_cents
+FROM c FULL OUTER JOIN s USING (nationkey)
+"""
+
+
+def edit_distance_adjacent_docs(sf_dir: str, cap: int = 48):
+    """Levenshtein edit distance over document pairs (here: adjacent
+    doc_ids, a deterministic SQL-expressible pairing; production pairs
+    come from the near-dup candidate stage). The distance kernel is the
+    classic DP VECTORIZED ACROSS THE PAIR BATCH — a (cap×cap) loop of
+    O(batch) numpy ops, not a per-pair Python loop — on texts truncated to
+    ``cap`` characters (SQL substr parity). The pairing join ships only
+    (doc_id, 48-char prefix) slim projections through one bucketed hash
+    join."""
+    from schema_guru_ray.stages.text import batch_levenshtein
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def left_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pair_key": pc.add(t["doc_id"], pa.scalar(1, pa.int64())),
+                "doc_a": t["doc_id"],
+                "text_a": pc.utf8_slice_codeunits(t["text"], 0, cap),
+            }
+        )
+
+    def right_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pair_key": t["doc_id"],
+                "text_b": pc.utf8_slice_codeunits(t["text"], 0, cap),
+            }
+        )
+
+    left = docs.map_batches(left_side, batch_format="pyarrow")
+    right = docs.map_batches(right_side, batch_format="pyarrow")
+    pairs = bucketed_hash_join(left, right, on="pair_key")
+
+    def dist(b: pd.DataFrame) -> pd.DataFrame:
+        # utf-8 bytes: DuckDB levenshtein() is byte-unit over UTF-8
+        d = batch_levenshtein(
+            [s.encode("utf-8") for s in b["text_a"]],
+            [s.encode("utf-8") for s in b["text_b"]],
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": b["doc_a"].astype("int64"),
+                "doc_b": b["pair_key"].astype("int64"),
+                "dist": d.astype("int64"),
+            }
+        )
+
+    return pairs.map_batches(dist, batch_format="pandas")
+
+
+EDIT_DISTANCE_ADJACENT_DOCS_SQL = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48))
+            AS BIGINT) AS dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "grouped_stats_events": grouped_stats_events,
@@ -3332,6 +3710,11 @@ QUERIES = {
     "split_assign_documents": split_assign_documents,
     "groupwise_dev_events": groupwise_dev_events,
     "curate_clips_summary": curate_clips_summary,
+    "revenue_by_region": revenue_by_region,
+    "grouped_median_quantity": grouped_median_quantity,
+    "rolling_revenue_customer": rolling_revenue_customer,
+    "nation_balance_full_outer": nation_balance_full_outer,
+    "edit_distance_adjacent_docs": edit_distance_adjacent_docs,
 }
 
 ORACLES = {
@@ -3390,4 +3773,9 @@ ORACLES = {
     "corr_stats_lineitem": CORR_STATS_LINEITEM_SQL,
     "split_assign_documents": SPLIT_ASSIGN_DOCUMENTS_SQL,
     "groupwise_dev_events": GROUPWISE_DEV_EVENTS_SQL,
+    "revenue_by_region": REVENUE_BY_REGION_SQL,
+    "grouped_median_quantity": GROUPED_MEDIAN_QUANTITY_SQL,
+    "rolling_revenue_customer": ROLLING_REVENUE_CUSTOMER_SQL,
+    "nation_balance_full_outer": NATION_BALANCE_FULL_OUTER_SQL,
+    "edit_distance_adjacent_docs": EDIT_DISTANCE_ADJACENT_DOCS_SQL,
 }

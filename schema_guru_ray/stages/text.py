@@ -415,3 +415,61 @@ class LangId:
                 "lang_score": scored.map(lambda t: t[1]),
             }
         )
+
+
+def batch_levenshtein(a_list, b_list, dtype=np.int32) -> np.ndarray:
+    """Unit-cost Levenshtein edit distance, VECTORIZED ACROSS THE BATCH:
+    the classic DP recurrence runs as an (max_len_a × max_len_b) loop of
+    O(batch)-wide numpy ops — never a per-pair Python loop — so cost is
+    bounded by the TRUNCATION CAP the caller applies (pair texts should be
+    pre-sliced, e.g. 48 chars), not by corpus text length. Strings are
+    encoded to padded int32 codepoint matrices with DISTINCT pad sentinels
+    per side (-1/-2), and each pair's answer is read at its own
+    (len_a, len_b) cell — pad cells beyond it never feed into it.
+
+    Unit semantics: ``str`` inputs → CODEPOINT-unit distance (what a human
+    means by "edits"); ``bytes`` inputs → BYTE-unit distance, which is what
+    SQL ``levenshtein()`` (DuckDB) computes over UTF-8 — pass
+    ``s.encode("utf-8")`` for oracle parity on non-ASCII text (the two
+    agree on pure ASCII)."""
+    P = len(a_list)
+    if P == 0:
+        return np.zeros(0, dtype=dtype)
+
+    def enc(s):
+        if isinstance(s, bytes):
+            return np.frombuffer(s, dtype=np.uint8).astype(np.int32)
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+
+    a_enc = [enc(s) for s in a_list]
+    b_enc = [enc(s) for s in b_list]
+    la = np.array([len(s) for s in a_enc], dtype=np.int64)
+    lb = np.array([len(s) for s in b_enc], dtype=np.int64)
+    M, N = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.full((P, M), -1, dtype=np.int32)
+    B = np.full((P, N), -2, dtype=np.int32)
+    for i, s in enumerate(a_enc):  # encode only: O(total units), not O(M*N)
+        A[i, : len(s)] = s
+    for i, s in enumerate(b_enc):
+        B[i, : len(s)] = s
+
+    prev = np.broadcast_to(np.arange(N + 1, dtype=dtype), (P, N + 1)).copy()
+    cur = np.empty_like(prev)
+    out = np.where(la == 0, lb, 0).astype(dtype)  # rows with empty a: dist=len(b)
+    for i in range(1, M + 1):
+        cur[:, 0] = i
+        ai = A[:, i - 1 : i]  # (P,1)
+        sub = prev[:, :-1] + (ai != B).astype(dtype)  # diagonal + cost
+        dele = prev[:, 1:] + 1
+        np.minimum(sub, dele, out=sub)
+        # insertion has a sequential left-to-right dependency within the row:
+        # resolve it with the standard running-minimum pass (np.minimum
+        # accumulate over j of (candidate - j) restores the +1-per-step slope)
+        cand = np.concatenate([cur[:, :1], sub], axis=1)  # (P, N+1)
+        j = np.arange(N + 1, dtype=dtype)
+        cur = np.minimum.accumulate(cand - j, axis=1) + j
+        hit = la == i
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]]
+        prev, cur = cur, np.empty_like(prev)
+    return out

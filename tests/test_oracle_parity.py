@@ -130,6 +130,11 @@ class TestOracleParity:
             "corr_stats_lineitem",
             "split_assign_documents",
             "groupwise_dev_events",
+            "revenue_by_region",
+            "grouped_median_quantity",
+            "rolling_revenue_customer",
+            "nation_balance_full_outer",
+            "edit_distance_adjacent_docs",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):

@@ -260,3 +260,67 @@ class TestPiiScrubber:
         assert list(out["n_nums"]) == [1, 0, 0, 0]
         assert out.loc[0, "scrubbed"] == "mail [EMAIL] then [IP] and [NUM] end"
         assert out.loc[3, "scrubbed"] == "digits inside email [EMAIL] stay emailed"
+
+
+class TestBatchLevenshtein:
+    def test_known_cases(self):
+        import numpy as np
+
+        from schema_guru_ray.stages.text import batch_levenshtein
+
+        got = batch_levenshtein(
+            ["kitten", "", "abc", "same", "ab"],
+            ["sitting", "abc", "", "same", "ba"],
+        )
+        assert list(got) == [3, 3, 3, 0, 2]
+
+    def test_fuzz_against_reference_dp(self):
+        """Vectorized batch DP ≡ the textbook per-pair DP, on mixed-length
+        unicode strings (codepoint units for str inputs)."""
+        import random
+
+        import numpy as np
+
+        from schema_guru_ray.stages.text import batch_levenshtein
+
+        rng = random.Random(13)
+        alpha = "abcdé ω"
+        pairs = [
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14))),
+            )
+            for _ in range(300)
+        ]
+        got = batch_levenshtein([a for a, _ in pairs], [b for _, b in pairs])
+
+        def ref(a, b):
+            D = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, D[0] = D[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, D[j] = D[j], min(D[j] + 1, D[j - 1] + 1, prev + (ca != cb))
+            return D[len(b)]
+
+        exp = np.array([ref(a, b) for a, b in pairs])
+        assert (got == exp).all()
+
+    def test_byte_unit_matches_duckdb(self):
+        """bytes inputs → byte-unit distance, DuckDB levenshtein() parity
+        on non-ASCII text (DuckDB computes over UTF-8 bytes)."""
+        import duckdb
+        import numpy as np
+
+        from schema_guru_ray.stages.text import batch_levenshtein
+
+        pairs = [("héllo", "hello"), ("αβγ", "αβδ"), ("", "é"), ("naïve", "naive")]
+        got = batch_levenshtein(
+            [a.encode("utf-8") for a, _ in pairs],
+            [b.encode("utf-8") for _, b in pairs],
+        )
+        con = duckdb.connect()
+        exp = np.array(
+            [con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+             for a, b in pairs]
+        )
+        assert (got == exp).all()
