@@ -30,6 +30,16 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 
+def _meta_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet FOOTER metadata — free, no plan execution.
+    Used to size join buckets for DERIVED datasets (whose ``.count()``
+    would execute the upstream plan once just to pick a bucket count,
+    then the join would execute it again)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
 def _int_units(values: np.ndarray, scale: int) -> pd.Series:
     """NaN-safe half-up integer conversion (SQL round semantics): NULLs stay
     NA and are skipped by pandas group sums, like SQL sum()."""
@@ -3309,13 +3319,18 @@ def revenue_by_region(sf_dir: str):
         ),
     ).select_columns(["o_orderkey", "o_custkey"])
 
-    from schema_guru_ray.stages.joins import bucketed_hash_join
+    from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
+
+    # bucket counts from parquet FOOTER row counts — a .count() on these
+    # derived sides would execute the filter/tag plans once extra
+    nb1 = derive_num_buckets(_meta_rows(sf_dir, "orders") + _meta_rows(sf_dir, "customer"))
+    nb2 = derive_num_buckets(_meta_rows(sf_dir, "lineitem") + _meta_rows(sf_dir, "orders"))
 
     # orders ⨝ customer on o_custkey → (o_orderkey, r_name); rename the
     # order key to the lineitem join-key name before the second join
-    orders_region = bucketed_hash_join(orders, cust, on="o_custkey").select_columns(
-        ["o_orderkey", "r_name"]
-    )
+    orders_region = bucketed_hash_join(
+        orders, cust, on="o_custkey", num_buckets=nb1
+    ).select_columns(["o_orderkey", "r_name"])
 
     def _rekey(t: pa.Table) -> pa.Table:
         return t.rename_columns(["l_orderkey", "r_name"])
@@ -3325,7 +3340,7 @@ def revenue_by_region(sf_dir: str):
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    joined = bucketed_hash_join(li, orders_region, on="l_orderkey")
+    joined = bucketed_hash_join(li, orders_region, on="l_orderkey", num_buckets=nb2)
 
     def partial(t: pa.Table) -> pa.Table:
         rev = pc.cast(
@@ -3483,7 +3498,10 @@ def rolling_revenue_customer(sf_dir: str, window_days: int = 7):
             }
         )
 
-    return partitioned_window(orders, "o_custkey", ["o_orderdate"], trailing)
+    return partitioned_window(
+        orders, "o_custkey", ["o_orderdate"], trailing,
+        n_rows=_meta_rows(sf_dir, "orders"),
+    )
 
 
 ROLLING_REVENUE_CUSTOMER_SQL = """
@@ -3539,7 +3557,11 @@ def nation_balance_full_outer(sf_dir: str):
 
     cust = agg_side("customer", "c_nationkey", "c_acctbal", 9900.0, "cust")
     supp = agg_side("supplier", "s_nationkey", "s_acctbal", 5000.0, "supp")
-    joined = bucketed_hash_join(cust, supp, on="nationkey", join_type="outer")
+    # both sides are ≤|nations|-row aggregates; explicit tiny bucket count
+    # (a .count() here would execute each aggregate once extra)
+    joined = bucketed_hash_join(
+        cust, supp, on="nationkey", join_type="outer", num_buckets=8
+    )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"nationkey": b["nationkey"].astype("int64")})
@@ -3603,9 +3625,14 @@ def edit_distance_adjacent_docs(sf_dir: str, cap: int = 48):
             }
         )
 
+    from schema_guru_ray.stages.joins import derive_num_buckets
+
     left = docs.map_batches(left_side, batch_format="pyarrow")
     right = docs.map_batches(right_side, batch_format="pyarrow")
-    pairs = bucketed_hash_join(left, right, on="pair_key")
+    pairs = bucketed_hash_join(
+        left, right, on="pair_key",
+        num_buckets=derive_num_buckets(2 * _meta_rows(sf_dir, "documents")),
+    )
 
     def dist(b: pd.DataFrame) -> pd.DataFrame:
         # utf-8 bytes: DuckDB levenshtein() is byte-unit over UTF-8
