@@ -115,6 +115,8 @@ def run_bench() -> dict:
         "cluster_assign_embeddings",
         "repetition_documents",
         "scrub_pii_documents",
+        "revenue_by_region",
+        "rolling_revenue_customer",
     ]
     # minhash_dedup_documents in queries() is the CHECKED-INVARIANT form: it
     # additionally computes the recall-exhaustive truth set in the same run

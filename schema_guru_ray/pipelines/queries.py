@@ -3659,6 +3659,357 @@ FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
 
 
+def order_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape: count orders per priority where EXISTS a returned
+    lineitem (l_returnflag = 'R'). 100-TB shape: the EXISTS is a distributed
+    SEMI join — the probe side is reduced to DISTINCT qualifying order keys
+    first (per-batch ``pc.unique`` then a Count groupby, so each key crosses
+    the exchange once no matter how many lineitems match), the filter is
+    pushed into the parquet read, and the priority count is partial-per-batch
+    after the join."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": pc.unique(t["l_orderkey"])})
+
+    # one row per distinct qualifying order key (semi-join key set)
+    keys = (
+        li.map_batches(uniq, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["o_orderkey"])
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    nb = derive_num_buckets(2 * _meta_rows(sf_dir, "orders"))
+    joined = bucketed_hash_join(orders, keys, on="o_orderkey", num_buckets=nb)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_orderpriority"])
+            .group_by("o_orderpriority")
+            .aggregate([("o_orderpriority", "count", pc.CountOptions(mode="all"))])
+        )
+        return g.rename_columns(["o_orderpriority", "n_orders"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+ORDER_PRIORITY_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: the distribution-of-a-distribution — how many
+    customers placed exactly k orders, INCLUDING k = 0. 100-TB shape: orders
+    pre-aggregate to one (custkey, count) row per customer before the LEFT
+    join (the exchange moves one row per customer, never per order); the
+    zero-fill happens post-join; the outer distribution is another
+    partial-per-batch count whose final groupby has ≤ max-orders-per-customer
+    rows."""
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by("o_custkey")
+            .aggregate([("o_custkey", "count", pc.CountOptions(mode="all"))])
+        )
+        return g.rename_columns(["c_custkey", "c_count"])
+
+    counts = (
+        orders.map_batches(per_cust, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("c_count", alias_name="c_count"))
+        .materialize()  # KB-scale; avoids double execution through the join
+    )
+
+    nb = derive_num_buckets(
+        _meta_rows(sf_dir, "customer") + _meta_rows(sf_dir, "customer")
+    )
+    joined = bucketed_hash_join(cust, counts, on="c_custkey",
+                                join_type="left", num_buckets=nb)
+
+    def dist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_count"].fillna(0).astype("int64")
+        out = k.value_counts().reset_index()
+        out.columns = ["c_count", "n_cust"]
+        return out.astype({"c_count": "int64", "n_cust": "int64"})
+
+    return (
+        joined.map_batches(dist_partial, batch_format="pandas")
+        .groupby("c_count")
+        .aggregate(Sum("n_cust", alias_name="n_cust"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS n_cust
+FROM per_cust GROUP BY c_count
+"""
+
+
+def promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: conditional aggregation across a join — the share of
+    revenue from PROMO parts, as one global row. 100-TB shape: part ships a
+    SLIM (partkey, is_promo:bool) projection through the bucketed join;
+    revenue is integer cents with the CASE folded into the per-batch partial,
+    so the final exchange is one 2-int row per batch; the ratio is integer
+    basis points (floor division) for bit-exact oracle comparison."""
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def slim_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["p_partkey"],
+                "is_promo": pc.starts_with(t["p_type"], "PROMO"),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    nb = derive_num_buckets(
+        _meta_rows(sf_dir, "lineitem") + _meta_rows(sf_dir, "part")
+    )
+    joined = bucketed_hash_join(
+        li, part.map_batches(slim_part, batch_format="pyarrow"),
+        on="l_partkey", num_buckets=nb,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _int_units(
+            (b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy(), 100
+        ).astype("int64")
+        promo = cents.where(b["is_promo"].astype(bool).to_numpy(), 0)
+        return pd.DataFrame(
+            {"promo_cents": [int(promo.sum())], "total_cents": [int(cents.sum())]}
+        )
+
+    sums = (
+        joined.map_batches(partial, batch_format="pandas")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    promo_c, total_c = int(sums["promo_cents"]), int(sums["total_cents"])
+    return pd.DataFrame(
+        {
+            "promo_cents": [promo_c],
+            "total_cents": [total_c],
+            "promo_bp": [promo_c * 10000 // total_c],
+        }
+    )
+
+
+PROMO_REVENUE_SQL = """
+WITH s AS (
+    SELECT
+      sum(CASE WHEN p_type LIKE 'PROMO%'
+               THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               ELSE 0 END) AS promo_cents,
+      sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT CAST(promo_cents AS BIGINT) AS promo_cents,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       CAST(promo_cents * 10000 // total_cents AS BIGINT) AS promo_bp
+FROM s
+"""
+
+
+def large_orders_having(sf_dir: str, min_qty: int = 200):
+    """TPC-H Q18 shape: GROUP BY + HAVING over the fact table, joined back
+    to the dimension for context. 100-TB shape: the quantity sum is
+    partial-per-batch (integer units) so the groupby exchanges one row per
+    (batch × order); the HAVING filter runs BEFORE the join back, so only
+    qualifying order keys (a tiny fraction) enter the second exchange."""
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
+        g = (
+            pa.table({"o_orderkey": t["l_orderkey"], "sum_qty": qty})
+            .group_by("o_orderkey")
+            .aggregate([("sum_qty", "sum")])
+        )
+        return g.rename_columns(["o_orderkey", "sum_qty"])
+
+    big = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {int(min_qty)}")
+        .materialize()  # tiny survivor set; avoids re-running the aggregate
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    nb = derive_num_buckets(2 * _meta_rows(sf_dir, "orders"))
+    return bucketed_hash_join(orders, big, on="o_orderkey", num_buckets=nb)
+
+
+LARGE_ORDERS_HAVING_SQL = """
+SELECT o_orderkey, o_custkey, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200) q
+  ON q.l_orderkey = o_orderkey
+"""
+
+
+def brand_supplier_distinct(sf_dir: str):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part brand across a
+    join. 100-TB shape: lineitem is reduced to distinct (partkey, suppkey)
+    pairs PER BATCH before the join (the join moves pairs, not lineitems);
+    after annotating with brand, global distinctness is one (brand, suppkey)
+    groupby whose output is already the distinct pair set, counted per brand
+    with partial-per-batch counts — the distinct sets themselves never
+    assemble on any single node."""
+    from ray.data.aggregate import Count, Sum
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g
+
+    pairs = li.map_batches(uniq_pairs, batch_format="pyarrow")
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_partkey", "p_brand"])
+
+    nb = derive_num_buckets(
+        _meta_rows(sf_dir, "lineitem") + _meta_rows(sf_dir, "part")
+    )
+    joined = bucketed_hash_join(
+        pairs, part.map_batches(rekey, batch_format="pyarrow"),
+        on="l_partkey", num_buckets=nb,
+    )
+
+    # global distinct (brand, suppkey) — one row per pair after this groupby
+    distinct_pairs = (
+        joined.select_columns(["p_brand", "l_suppkey"])
+        .groupby(["p_brand", "l_suppkey"])
+        .aggregate(Count(alias_name="__c"))
+    )
+
+    def per_brand(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["p_brand"])
+            .group_by("p_brand")
+            .aggregate([("p_brand", "count", pc.CountOptions(mode="all"))])
+        )
+        return g.rename_columns(["p_brand", "n_supp"])
+
+    return (
+        distinct_pairs.map_batches(per_brand, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("n_supp", alias_name="n_supp"))
+    )
+
+
+BRAND_SUPPLIER_DISTINCT_SQL = """
+SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+FROM part JOIN lineitem ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def modal_event_type_user(sf_dir: str):
+    """Grouped MODE (argmax-by-count) with deterministic tie-breaking: each
+    user's most frequent event type; ties go to the lexicographically
+    smallest type, matching the oracle's ``row_number() OVER (ORDER BY cnt
+    DESC, event_type ASC)``. 100-TB shape: counts are partial-per-batch so
+    the exchange moves (user, type, n) partials; the argmax runs per user
+    group over ≤ |event types| rows — never over raw events."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["user_id", "event_type"])
+            .aggregate([("event_type", "count", pc.CountOptions(mode="all"))])
+        )
+        return g.rename_columns(["user_id", "event_type", "cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "event_type"], ascending=[False, True])
+        top = g.iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [int(top["user_id"])],
+                "modal_type": [top["event_type"]],
+                "cnt": [int(top["cnt"])],
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(pick, batch_format="pandas")
+
+
+MODAL_EVENT_TYPE_USER_SQL = """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+), ranked AS (
+    SELECT user_id, event_type, cnt,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY cnt DESC, event_type ASC) AS rn
+    FROM counts
+)
+SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS cnt
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "grouped_stats_events": grouped_stats_events,
@@ -3742,6 +4093,12 @@ QUERIES = {
     "rolling_revenue_customer": rolling_revenue_customer,
     "nation_balance_full_outer": nation_balance_full_outer,
     "edit_distance_adjacent_docs": edit_distance_adjacent_docs,
+    "order_priority_exists": order_priority_exists,
+    "customer_order_distribution": customer_order_distribution,
+    "promo_revenue": promo_revenue,
+    "large_orders_having": large_orders_having,
+    "brand_supplier_distinct": brand_supplier_distinct,
+    "modal_event_type_user": modal_event_type_user,
 }
 
 ORACLES = {
@@ -3805,4 +4162,10 @@ ORACLES = {
     "rolling_revenue_customer": ROLLING_REVENUE_CUSTOMER_SQL,
     "nation_balance_full_outer": NATION_BALANCE_FULL_OUTER_SQL,
     "edit_distance_adjacent_docs": EDIT_DISTANCE_ADJACENT_DOCS_SQL,
+    "order_priority_exists": ORDER_PRIORITY_EXISTS_SQL,
+    "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    "promo_revenue": PROMO_REVENUE_SQL,
+    "large_orders_having": LARGE_ORDERS_HAVING_SQL,
+    "brand_supplier_distinct": BRAND_SUPPLIER_DISTINCT_SQL,
+    "modal_event_type_user": MODAL_EVENT_TYPE_USER_SQL,
 }

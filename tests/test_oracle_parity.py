@@ -135,6 +135,12 @@ class TestOracleParity:
             "rolling_revenue_customer",
             "nation_balance_full_outer",
             "edit_distance_adjacent_docs",
+            "order_priority_exists",
+            "customer_order_distribution",
+            "promo_revenue",
+            "large_orders_having",
+            "brand_supplier_distinct",
+            "modal_event_type_user",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
