@@ -2771,6 +2771,20 @@ def clips_segments(sf_dir: str):
     return segment_clips(read_clips(path))
 
 
+def clips_windows(sf_dir: str):
+    """Fixed-length training-window chunking (250 ms window / 100 ms hop)
+    over every decodable clip: (clip_id, win_idx, start_ms, end_ms, rms_db)
+    rows — the layout stage a speech-training pipeline runs before packing
+    windows into shards. Per-window RMS is one cumulative-sum pass per clip
+    (O(n) regardless of overlap); bytes stay inside the stage (rows-only;
+    layout and RMS ground truth are pytest-checked on synthesized clips)."""
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
+    from schema_guru_ray.stages.audio_transform import window_clips
+
+    path = ensure_clips(sf_dir)
+    return window_clips(read_clips(path))
+
+
 def clips_resample_stats(sf_dir: str):
     """Resample + RMS-normalize every clip to 16 kHz / -20 dBFS, then
     verify the transform's own invariants per codec over the TRANSFORMED
@@ -4099,6 +4113,7 @@ QUERIES = {
     "large_orders_having": large_orders_having,
     "brand_supplier_distinct": brand_supplier_distinct,
     "modal_event_type_user": modal_event_type_user,
+    "clips_windows": clips_windows,
 }
 
 ORACLES = {

@@ -139,6 +139,100 @@ def segment_clips(clips_ds, batch_size: int = 256, **kw):
     )
 
 
+WINDOW_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("win_idx", pa.int32()),
+        ("start_ms", pa.int32()),
+        ("end_ms", pa.int32()),
+        ("rms_db", pa.float64()),
+    ]
+)
+
+
+def window_layout(n_samples: int, sr: int, window_ms: int, hop_ms: int):
+    """Deterministic training-window layout over one clip: start sample of
+    every full window of ``window_ms`` advancing by ``hop_ms``. Clips
+    shorter than one window yield zero windows (no padding — the packing
+    stage owns padding policy). Returns (starts, win_samples)."""
+    win = max(1, int(sr * window_ms / 1000.0))
+    hop = max(1, int(sr * hop_ms / 1000.0))
+    if n_samples < win:
+        return np.zeros(0, dtype=np.int64), win
+    n_win = (n_samples - win) // hop + 1
+    return np.arange(n_win, dtype=np.int64) * hop, win
+
+
+class WindowChunker:
+    """Actor-pool kernel: clips batch → fixed-length training-window rows
+    (clip_id, win_idx, start_ms, end_ms, rms_db). The per-window RMS is
+    vectorized across ALL windows of a clip via one cumulative sum of
+    squares (O(n) per clip regardless of overlap — overlapping windows
+    never re-read samples). With ``emit_bytes=True`` each row also carries
+    the window's PCM re-encoded as WAV (the export path for training
+    shards); default False so only ~30-byte rows leave the stage and the
+    audio column never crosses a shuffle."""
+
+    def __init__(self, window_ms: int = 250, hop_ms: int = 100,
+                 emit_bytes: bool = False):
+        self.window_ms = window_ms
+        self.hop_ms = hop_ms
+        self.emit_bytes = emit_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, starts_ms, ends_ms, dbs = [], [], [], [], []
+        wavs: List[bytes] = []
+        for cid, buf in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
+            if buf is None:
+                continue
+            try:
+                pcm, sr = decode_wav(buf)
+            except (WavDecodeError, TypeError):
+                continue
+            starts, win = window_layout(len(pcm), sr, self.window_ms, self.hop_ms)
+            if not len(starts):
+                continue
+            x = pcm.astype(np.float64) / 32768.0
+            cs = np.concatenate([[0.0], np.square(x).cumsum()])
+            power = (cs[starts + win] - cs[starts]) / win
+            db = 10.0 * np.log10(np.maximum(power, 1e-12))
+            ids.extend([cid] * len(starts))
+            idxs.extend(range(len(starts)))
+            starts_ms.extend((starts * 1000.0 / sr).round().astype(int).tolist())
+            ends_ms.extend(((starts + win) * 1000.0 / sr).round().astype(int).tolist())
+            dbs.extend(db.tolist())
+            if self.emit_bytes:
+                wavs.extend(encode_wav(pcm[s : s + win], sr) for s in starts)
+        arrays = [
+            pa.array(ids, pa.string()),
+            pa.array(idxs, pa.int32()),
+            pa.array(starts_ms, pa.int32()),
+            pa.array(ends_ms, pa.int32()),
+            pa.array(dbs, pa.float64()),
+        ]
+        schema = WINDOW_SCHEMA
+        if self.emit_bytes:
+            arrays.append(pa.array(wavs, pa.binary()))
+            schema = WINDOW_SCHEMA.append(pa.field("bytes", pa.binary()))
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def window_clips(clips_ds, window_ms: int = 250, hop_ms: int = 100,
+                 emit_bytes: bool = False, batch_size: int = 256):
+    """clips Dataset → fixed training-window rows. With ``emit_bytes`` the
+    batch size should shrink (each input clip multiplies into
+    ~dur/hop windows of payload)."""
+    return clips_ds.map_batches(
+        WindowChunker,
+        fn_constructor_kwargs={
+            "window_ms": window_ms, "hop_ms": hop_ms, "emit_bytes": emit_bytes,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size if not emit_bytes else max(16, batch_size // 8),
+        concurrency=(1, 16), num_cpus=1,
+    )
+
+
 def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Linear-interpolation resample int16 → int16. Output length is
     round(n * sr_out / sr_in) so duration is preserved to < 1 sample.

@@ -153,3 +153,58 @@ class TestStages:
             assert abs(round(len(pcm) / sr * 1000) - r["dur_ms"]) <= 1
         bad = out[out["clip_id"] == "bad"].iloc[0]
         assert bad["bytes"] == b"nope" and bad["sr_hz"] == 8000  # passthrough
+
+    def test_window_clips_layout_and_rms(self):
+        from schema_guru_ray.stages.audio_transform import (
+            window_clips, window_layout,
+        )
+
+        out = window_clips(
+            self._clips_ds(), window_ms=250, hop_ms=100
+        ).to_pandas()
+        # exact layout ground truth: n = (dur - win)//hop + 1 windows per
+        # decodable clip ('a'/'c' 800 ms, 'b' 900 ms; silence decodes fine)
+        win, hop = int(SR * 0.25), int(SR * 0.10)
+
+        def n_for(dur_s):
+            return (int(dur_s * SR) - win) // hop + 1
+
+        by_clip = out.groupby("clip_id").size().to_dict()
+        assert by_clip == {"a": n_for(0.8), "b": n_for(0.9), "c": n_for(0.8)}
+        n_expected = n_for(0.8)
+        a = out[out["clip_id"] == "a"].sort_values("win_idx")
+        assert a["win_idx"].tolist() == list(range(n_expected))
+        assert a["start_ms"].tolist() == [100 * i for i in range(n_expected)]
+        assert (a["end_ms"] - a["start_ms"] == 250).all()
+        # cumsum RMS must equal direct per-window RMS; windows fully inside
+        # the tone of clip 'a' (200-600 ms) sit at the sine's RMS level
+        pcm = np.concatenate([silence(0.2), tone(0.4), silence(0.2)])
+        starts, w = window_layout(len(pcm), SR, 250, 100)
+        x = pcm.astype(np.float64) / 32768.0
+        for _, r in a.iterrows():
+            s = starts[int(r["win_idx"])]
+            seg = x[s : s + w]
+            direct = 10.0 * np.log10(max(float(np.square(seg).mean()), 1e-12))
+            assert abs(direct - r["rms_db"]) < 1e-9
+        full_tone = a[(a["start_ms"] >= 200) & (a["end_ms"] <= 600)]
+        assert len(full_tone) >= 1
+        assert ((full_tone["rms_db"] > -17) & (full_tone["rms_db"] < -13)).all()
+        # silent clip floors at -120 dB
+        assert (out[out["clip_id"] == "c"]["rms_db"] == -120.0).all()
+
+    def test_window_clips_emit_bytes_roundtrip(self):
+        from schema_guru_ray.stages.audio_transform import window_clips
+
+        out = window_clips(
+            self._clips_ds(), window_ms=250, hop_ms=250, emit_bytes=True
+        ).to_pandas()
+        assert "bytes" in out.columns and len(out) > 0
+        for _, r in out.iterrows():
+            pcm, sr = decode_wav(r["bytes"])
+            assert sr == SR and len(pcm) == int(SR * 0.25)
+
+    def test_window_layout_short_clip_yields_nothing(self):
+        from schema_guru_ray.stages.audio_transform import window_layout
+
+        starts, _ = window_layout(int(SR * 0.1), SR, 250, 100)
+        assert len(starts) == 0

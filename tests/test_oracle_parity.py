@@ -171,6 +171,7 @@ class TestOracleParity:
             "clips_integrity",
             "image_phash_dedup_documents",
             "curate_clips_summary",
+            "clips_windows",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
