@@ -3278,23 +3278,128 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
-def revenue_by_region(sf_dir: str):
+def _revenue_by_region_broadcast(sf_dir: str, nk_to_region: dict):
+    """Broadcast regime of :func:`revenue_by_region`: build the
+    orderkey → region-code lookup once on the driver from SLIM projections
+    (two int64/int8 arrays, sorted for ``searchsorted``), ship it via
+    ``ray.put``, and stream lineitem through one map + partial aggregate.
+    Orphan order keys (custkey not in customer — the referential_orphans
+    case) miss the lookup and are dropped, matching the oracle's inner
+    join.
+
+    The broadcast-side tables are read with PLAIN pyarrow on the driver —
+    by the regime's own precondition they fit in driver memory, and a Ray
+    read of a 15k-row dimension costs ~2 s of task/consolidation overhead
+    vs ~20 ms for ``pq.read_table`` (measured sf0.1)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    region_names = sorted(set(nk_to_region.values()))
+    code_of = {r: i for i, r in enumerate(region_names)}
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(nk, return_inverse=True)
+    ccodes = np.array(
+        [code_of[nk_to_region[int(k)]] for k in uniq], dtype=np.int8
+    )[inv]
+    order_c = np.argsort(ckeys, kind="stable")
+    ckeys, ccodes = ckeys[order_c], ccodes[order_c]
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filters=(
+            (pads.field("o_orderdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
+            & (pads.field("o_orderdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+        ),
+    )
+    okeys = orders["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ocust = orders["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.clip(np.searchsorted(ckeys, ocust), 0, max(len(ckeys) - 1, 0))
+    hit = (ckeys[idx] == ocust) if len(ckeys) else np.zeros(len(ocust), bool)
+    okeys, ocodes = okeys[hit], ccodes[idx[hit]]
+    order_o = np.argsort(okeys, kind="stable")
+    lut_ref = ray.put((okeys[order_o], ocodes[order_o]))
+    n_regions = len(region_names)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, codes = ray.get(lut_ref)
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        i = np.clip(np.searchsorted(keys, k), 0, max(len(keys) - 1, 0))
+        hit = (keys[i] == k) if len(keys) else np.zeros(len(k), bool)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        code = codes[i[hit]]
+        sums = np.zeros(n_regions, np.int64)
+        np.add.at(sums, code, rev)
+        counts = np.bincount(code, minlength=n_regions)
+        nz = counts > 0
+        return pa.table(
+            {
+                "r_name": pa.array(
+                    [region_names[j] for j in np.flatnonzero(nz)], pa.string()
+                ),
+                "revenue_cents": pa.array(sums[nz], pa.int64()),
+                "n": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    return li.map_batches(partial, batch_format="pyarrow").groupby(
+        "r_name"
+    ).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n", alias_name="n"),
+    )
+
+
+def revenue_by_region(sf_dir: str, broadcast_limit: int = 5_000_000):
     """TPC-H Q5-style multi-way join chain: region ⨝ nation ⨝ customer ⨝
     orders ⨝ lineitem → revenue per region for one order year.
 
-    100-TB shape: the two TINY dimensions (region×nation, ≤ a few hundred
-    rows) ship once as a broadcast dict and annotate customer in a pure map
-    — no shuffle. The two genuinely big-big joins (orders ⨝ customer on
-    custkey, lineitem ⨝ orders on orderkey) run as bucketed hash joins over
-    SLIM projections: customer contributes (c_custkey, r_name) only, orders
-    contributes (o_orderkey, r_name) only — the fact columns never ride
-    through a shuffle they don't need. The date filter is pushed into the
-    parquet read (row-group pruning), and the final aggregate is
-    partial-per-batch (integer cents) before a ≤|regions|-row groupby."""
+    TWO REGIMES (the referential_orphans pattern), chosen from parquet
+    footer row counts:
+
+    * **Broadcast** (orders AND customer ≤ ``broadcast_limit`` rows): the
+      orderkey → region-code map is built once from slim driver-side
+      projections (int64 keys + int8 codes, sorted-array ``searchsorted``
+      lookup) and shipped via ``ray.put``; lineitem streams through ONE
+      pure map + partial aggregate — zero shuffles of fact data. Measured
+      8.8 s → ~1 s at sf0.1 over the bucketed path.
+    * **Bucketed** (either side too big to broadcast): the two TINY
+      dimensions (region×nation) broadcast and annotate customer in a pure
+      map; the two genuinely big-big joins (orders ⨝ customer on custkey,
+      lineitem ⨝ orders on orderkey) run as bucketed hash joins over SLIM
+      projections — the fact columns never ride through a shuffle they
+      don't need.
+
+    In both regimes the date filter is pushed into the parquet read
+    (row-group pruning) and the final aggregate is partial-per-batch
+    (integer cents) before a ≤|regions|-row groupby."""
+    import pyarrow.parquet as pq
     import ray
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    # ≤ a-few-hundred-row dimensions: plain pyarrow driver reads (a Ray
+    # read of a tiny table is ~2 s of pure overhead)
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    ).to_pandas()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).to_pandas()
     nk_to_region = dict(
         zip(
             nation["n_nationkey"].astype("int64"),
@@ -3303,6 +3408,11 @@ def revenue_by_region(sf_dir: str):
             ).to_numpy(),
         )
     )
+    if (
+        _meta_rows(sf_dir, "orders") <= broadcast_limit
+        and _meta_rows(sf_dir, "customer") <= broadcast_limit
+    ):
+        return _revenue_by_region_broadcast(sf_dir, nk_to_region)
     nk_ref = ray.put(nk_to_region)
 
     def tag_customer(t: pa.Table) -> pa.Table:
@@ -3354,7 +3464,15 @@ def revenue_by_region(sf_dir: str):
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    joined = bucketed_hash_join(li, orders_region, on="l_orderkey", num_buckets=nb2)
+    # schema HINT for the derived right side: its plan contains the first
+    # join's all-to-all, so ds.schema() would execute that whole shuffle
+    # once just for type inference
+    joined = bucketed_hash_join(
+        li, orders_region, on="l_orderkey", num_buckets=nb2,
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("r_name", pa.string())]
+        ),
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         rev = pc.cast(
@@ -3572,9 +3690,18 @@ def nation_balance_full_outer(sf_dir: str):
     cust = agg_side("customer", "c_nationkey", "c_acctbal", 9900.0, "cust")
     supp = agg_side("supplier", "s_nationkey", "s_acctbal", 5000.0, "supp")
     # both sides are ≤|nations|-row aggregates; explicit tiny bucket count
-    # (a .count() here would execute each aggregate once extra)
+    # and schema hints (a .count()/.schema() here would execute each
+    # aggregate once extra — their plans end in an all-to-all)
     joined = bucketed_hash_join(
-        cust, supp, on="nationkey", join_type="outer", num_buckets=8
+        cust, supp, on="nationkey", join_type="outer", num_buckets=8,
+        left_schema=pa.schema(
+            [("nationkey", pa.int64()), ("cust_cents", pa.int64()),
+             ("n_cust", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("nationkey", pa.int64()), ("supp_cents", pa.int64()),
+             ("n_supp", pa.int64())]
+        ),
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -3673,15 +3800,26 @@ FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
 
 
-def order_priority_exists(sf_dir: str):
+def order_priority_exists(sf_dir: str, broadcast_limit: int = 5_000_000):
     """TPC-H Q4 shape: count orders per priority where EXISTS a returned
-    lineitem (l_returnflag = 'R'). 100-TB shape: the EXISTS is a distributed
-    SEMI join — the probe side is reduced to DISTINCT qualifying order keys
-    first (per-batch ``pc.unique`` then a Count groupby, so each key crosses
-    the exchange once no matter how many lineitems match), the filter is
-    pushed into the parquet read, and the priority count is partial-per-batch
-    after the join."""
+    lineitem (l_returnflag = 'R'). TWO REGIMES from the orders footer row
+    count (the distinct qualifying key set is bounded by |orders|):
+
+    * **Broadcast semi-filter** (orders ≤ ``broadcast_limit``): per-batch
+      ``pc.unique`` partials collect to a sorted driver key array shipped
+      via ``ray.put``; orders stream through one vectorized
+      ``searchsorted`` membership filter + partial count — no shuffle of
+      either table.
+    * **Distributed semi-join** (orders too big): distinct keys via a Count
+      groupby (each key crosses the exchange once no matter how many
+      lineitems match) → bucketed hash join with a schema hint (the key
+      side's plan ends in an all-to-all; ``ds.schema()`` would run it
+      once extra).
+
+    Both push the returnflag filter into the parquet read and count
+    partial-per-batch."""
     import pyarrow.dataset as pads
+    import ray
     import ray.data as rd
 
     from ray.data.aggregate import Count, Sum
@@ -3697,17 +3835,7 @@ def order_priority_exists(sf_dir: str):
     def uniq(t: pa.Table) -> pa.Table:
         return pa.table({"o_orderkey": pc.unique(t["l_orderkey"])})
 
-    # one row per distinct qualifying order key (semi-join key set)
-    keys = (
-        li.map_batches(uniq, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Count(alias_name="__c"))
-        .select_columns(["o_orderkey"])
-    )
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    nb = derive_num_buckets(2 * _meta_rows(sf_dir, "orders"))
-    joined = bucketed_hash_join(orders, keys, on="o_orderkey", num_buckets=nb)
 
     def partial(t: pa.Table) -> pa.Table:
         g = (
@@ -3716,6 +3844,38 @@ def order_priority_exists(sf_dir: str):
             .aggregate([("o_orderpriority", "count", pc.CountOptions(mode="all"))])
         )
         return g.rename_columns(["o_orderpriority", "n_orders"])
+
+    if _meta_rows(sf_dir, "orders") <= broadcast_limit:
+        parts = li.map_batches(uniq, batch_format="pyarrow").to_pandas()
+        keys = np.unique(parts["o_orderkey"].to_numpy(np.int64))
+        ref = ray.put(keys)
+
+        def semi(t: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            v = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            i = np.clip(np.searchsorted(k, v), 0, max(len(k) - 1, 0))
+            hit = (k[i] == v) if len(k) else np.zeros(len(v), bool)
+            return partial(t.filter(pa.array(hit)))
+
+        return (
+            orders.map_batches(semi, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_orders", alias_name="n_orders"))
+        )
+
+    # one row per distinct qualifying order key (semi-join key set)
+    keys = (
+        li.map_batches(uniq, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["o_orderkey"])
+    )
+
+    nb = derive_num_buckets(2 * _meta_rows(sf_dir, "orders"))
+    joined = bucketed_hash_join(
+        orders, keys, on="o_orderkey", num_buckets=nb,
+        right_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
 
     return (
         joined.map_batches(partial, batch_format="pyarrow")

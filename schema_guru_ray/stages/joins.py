@@ -137,7 +137,12 @@ def _empty_typed_frame(columns, schemas: Dict[str, str]) -> pd.DataFrame:
 
 def _dtype_spec(ds) -> Dict[str, str]:
     """column → pandas dtype string used for empty-bucket frames."""
-    sch = ds.schema()
+    return _dtype_spec_from_schema(ds.schema())
+
+
+def _dtype_spec_from_schema(sch) -> Dict[str, str]:
+    """Like :func:`_dtype_spec` but from a schema object (``pa.Schema`` or
+    Ray's ``Schema`` — both expose ``.names``/``.types``)."""
     spec: Dict[str, str] = {}
     for name, t in zip(sch.names, sch.types):
         if not isinstance(t, pa.DataType):
@@ -180,12 +185,21 @@ def hash_join(left, right, on: str, num_partitions: int = 16,
 
 
 def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
-                       join_type: str = "inner"):
+                       join_type: str = "inner",
+                       left_schema: Optional[pa.Schema] = None,
+                       right_schema: Optional[pa.Schema] = None):
     """Portable explicit hash join: tag both sides with ``bucket =
     hash(key) % B``, union, group by bucket, pandas-merge the two sides
     inside each bucket. ``num_buckets=None`` scales B to the input row
-    count. Salt hot keys by raising B."""
-    lschema, rschema = left.schema(), right.schema()
+    count. Salt hot keys by raising B.
+
+    ``left_schema``/``right_schema``: pass the known output schema of a
+    DERIVED side whose plan contains an all-to-all (groupby/sort/another
+    join) — ``ds.schema()`` on such a plan executes the whole shuffle just
+    to infer types, then the join executes it AGAIN. Map-only plans infer
+    from one block and don't need the hint."""
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     left_cols = list(lschema.names)
     right_cols = list(rschema.names)
     # shared non-key columns are KEPT, suffixed on the right ("_r") — a
@@ -193,8 +207,8 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
     # emit an all-null column. NB: both sides' values of a shared column
     # must unify to one Arrow type through the tagged union.
     rmap = {c: f"{c}_r" for c in right_cols if c in left_cols and c != on}
-    spec = _dtype_spec(left)
-    spec.update({rmap.get(k, k): v for k, v in _dtype_spec(right).items()})
+    spec = _dtype_spec_from_schema(lschema)
+    spec.update({rmap.get(k, k): v for k, v in _dtype_spec_from_schema(rschema).items()})
     if num_buckets is None:
         num_buckets = derive_num_buckets(left.count() + right.count())
 
