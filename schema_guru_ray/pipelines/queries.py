@@ -3893,14 +3893,15 @@ GROUP BY o_orderpriority
 """
 
 
-def customer_order_distribution(sf_dir: str):
+def customer_order_distribution(sf_dir: str, broadcast_limit: int = 5_000_000):
     """TPC-H Q13 shape: the distribution-of-a-distribution — how many
-    customers placed exactly k orders, INCLUDING k = 0. 100-TB shape: orders
-    pre-aggregate to one (custkey, count) row per customer before the LEFT
-    join (the exchange moves one row per customer, never per order); the
-    zero-fill happens post-join; the outer distribution is another
-    partial-per-batch count whose final groupby has ≤ max-orders-per-customer
-    rows."""
+    customers placed exactly k orders, INCLUDING k = 0. Orders pre-aggregate
+    to one (custkey, count) row per customer (the exchange moves one row per
+    customer, never per order); the zero-fill join then has TWO REGIMES on
+    the materialized count-side size: ≤ ``broadcast_limit`` ordering
+    customers → sorted-array lookup broadcast into a customer map; larger →
+    bucketed LEFT join. The outer distribution is another partial-per-batch
+    count whose final groupby has ≤ max-orders-per-customer rows."""
     from ray.data.aggregate import Sum
 
     from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
@@ -3919,8 +3920,37 @@ def customer_order_distribution(sf_dir: str):
         orders.map_batches(per_cust, batch_format="pyarrow")
         .groupby("c_custkey")
         .aggregate(Sum("c_count", alias_name="c_count"))
-        .materialize()  # KB-scale; avoids double execution through the join
+        .materialize()  # one row per ordering customer; counting is free
     )
+
+    if counts.count() <= broadcast_limit:
+        # broadcast regime: custkey → order-count sorted lookup; customers
+        # stream through one vectorized map (zero-fill on miss) — the only
+        # shuffle left is the ≤ max-orders-per-customer-row distribution
+        import ray
+
+        cc = counts.to_pandas()
+        keys = cc["c_custkey"].to_numpy(np.int64)
+        vals = cc["c_count"].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        lut_ref = ray.put((keys[order], vals[order]))
+
+        def bdist(t: pa.Table) -> pd.DataFrame:
+            k_arr, v_arr = ray.get(lut_ref)
+            v = t["c_custkey"].to_numpy(zero_copy_only=False)
+            i = np.clip(np.searchsorted(k_arr, v), 0, max(len(k_arr) - 1, 0))
+            hit = (k_arr[i] == v) if len(k_arr) else np.zeros(len(v), bool)
+            k = np.where(hit, v_arr[i], 0)
+            u, n = np.unique(k, return_counts=True)
+            return pd.DataFrame(
+                {"c_count": u.astype("int64"), "n_cust": n.astype("int64")}
+            )
+
+        return (
+            cust.map_batches(bdist, batch_format="pyarrow")
+            .groupby("c_count")
+            .aggregate(Sum("n_cust", alias_name="n_cust"))
+        )
 
     nb = derive_num_buckets(
         _meta_rows(sf_dir, "customer") + _meta_rows(sf_dir, "customer")
@@ -3952,16 +3982,71 @@ FROM per_cust GROUP BY c_count
 """
 
 
-def promo_revenue(sf_dir: str):
+def promo_revenue(sf_dir: str, broadcast_limit: int = 20_000_000):
     """TPC-H Q14 shape: conditional aggregation across a join — the share of
-    revenue from PROMO parts, as one global row. 100-TB shape: part ships a
-    SLIM (partkey, is_promo:bool) projection through the bucketed join;
-    revenue is integer cents with the CASE folded into the per-batch partial,
-    so the final exchange is one 2-int row per batch; the ratio is integer
-    basis points (floor division) for bit-exact oracle comparison."""
+    revenue from PROMO parts, as one global row. TWO REGIMES on the part
+    footer row count:
+
+    * **Broadcast** (part ≤ ``broadcast_limit``): the part side reduces to
+      a sorted int64 key array + bool flag array (9 bytes/part — 20M parts
+      ≈ 180 MB, one ``ray.put``); lineitem streams through one vectorized
+      ``searchsorted`` lookup + 2-int partial — zero shuffles.
+    * **Bucketed** (part too big): a SLIM (partkey, is_promo:bool)
+      projection through the bucketed join.
+
+    Revenue is integer cents with the CASE folded into the per-batch
+    partial, so the final exchange is one 2-int row per batch; the ratio is
+    integer basis points (floor division) for bit-exact oracle
+    comparison."""
+    import ray
+
     from ray.data.aggregate import Sum
 
     from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    if _meta_rows(sf_dir, "part") <= broadcast_limit:
+        import pyarrow.parquet as pq
+
+        part_t = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+        )
+        pkeys = part_t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        promo = pc.starts_with(part_t["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(pkeys, kind="stable")
+        lut_ref = ray.put((pkeys[order], promo[order]))
+
+        def bpartial(t: pa.Table) -> pa.Table:
+            keys, flags = ray.get(lut_ref)
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            i = np.clip(np.searchsorted(keys, k), 0, max(len(keys) - 1, 0))
+            hit = (keys[i] == k) if len(keys) else np.zeros(len(k), bool)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)[hit]
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            is_p = flags[i[hit]]
+            return pa.table(
+                {
+                    "promo_cents": pa.array([int(cents[is_p].sum())], pa.int64()),
+                    "total_cents": pa.array([int(cents.sum())], pa.int64()),
+                }
+            )
+
+        sums = li.map_batches(bpartial, batch_format="pyarrow").aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        promo_c, total_c = int(sums["promo_cents"]), int(sums["total_cents"])
+        return pd.DataFrame(
+            {
+                "promo_cents": [promo_c],
+                "total_cents": [total_c],
+                "promo_bp": [promo_c * 10000 // total_c],
+            }
+        )
 
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
 
@@ -3973,7 +4058,6 @@ def promo_revenue(sf_dir: str):
             }
         )
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
     nb = derive_num_buckets(
         _meta_rows(sf_dir, "lineitem") + _meta_rows(sf_dir, "part")
     )
@@ -4024,12 +4108,19 @@ FROM s
 """
 
 
-def large_orders_having(sf_dir: str, min_qty: int = 200):
+def large_orders_having(sf_dir: str, min_qty: int = 200,
+                        broadcast_limit: int = 5_000_000):
     """TPC-H Q18 shape: GROUP BY + HAVING over the fact table, joined back
-    to the dimension for context. 100-TB shape: the quantity sum is
-    partial-per-batch (integer units) so the groupby exchanges one row per
-    (batch × order); the HAVING filter runs BEFORE the join back, so only
-    qualifying order keys (a tiny fraction) enter the second exchange."""
+    to the dimension for context. The quantity sum is partial-per-batch
+    (integer units) so the groupby exchanges one row per (batch × order),
+    and the HAVING filter runs BEFORE the join back. The join back itself
+    has TWO REGIMES on the (materialized, so counting is free) survivor
+    set: ≤ ``broadcast_limit`` survivors → sorted-array lookup broadcast
+    into an orders map (HAVING survivors are a tiny fraction by
+    construction — this is the expected path at any scale); larger →
+    bucketed hash join."""
+    import ray
+
     from ray.data.aggregate import Sum
 
     from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
@@ -4054,6 +4145,26 @@ def large_orders_having(sf_dir: str, min_qty: int = 200):
     )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    if big.count() <= broadcast_limit:
+        surv = big.to_pandas()
+        keys = surv["o_orderkey"].to_numpy(np.int64)
+        qtys = surv["sum_qty"].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        lut_ref = ray.put((keys[order], qtys[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            k_arr, q_arr = ray.get(lut_ref)
+            v = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            i = np.clip(np.searchsorted(k_arr, v), 0, max(len(k_arr) - 1, 0))
+            hit = (k_arr[i] == v) if len(k_arr) else np.zeros(len(v), bool)
+            t = t.filter(pa.array(hit))
+            return t.append_column(
+                "sum_qty", pa.array(q_arr[i[hit]], pa.int64())
+            )
+
+        return orders.map_batches(attach, batch_format="pyarrow")
+
     nb = derive_num_buckets(2 * _meta_rows(sf_dir, "orders"))
     return bucketed_hash_join(orders, big, on="o_orderkey", num_buckets=nb)
 
@@ -4069,19 +4180,100 @@ JOIN (SELECT l_orderkey,
 """
 
 
-def brand_supplier_distinct(sf_dir: str):
+def brand_supplier_distinct(sf_dir: str, broadcast_limit: int = 20_000_000):
     """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part brand across a
-    join. 100-TB shape: lineitem is reduced to distinct (partkey, suppkey)
-    pairs PER BATCH before the join (the join moves pairs, not lineitems);
-    after annotating with brand, global distinctness is one (brand, suppkey)
-    groupby whose output is already the distinct pair set, counted per brand
-    with partial-per-batch counts — the distinct sets themselves never
-    assemble on any single node."""
+    join. TWO REGIMES on the part footer row count:
+
+    * **Broadcast** (part ≤ ``broadcast_limit``): partkey → brand-code
+      lookup (sorted int64 keys + int16 codes) ships once via ``ray.put``;
+      lineitem streams through annotate + per-batch distinct — the only
+      shuffle is the (brand, suppkey) distinct groupby over per-batch-
+      deduped pairs (≤ |brands| × |suppliers| rows).
+    * **Bucketed** (part too big): lineitem reduces to distinct (partkey,
+      suppkey) pairs PER BATCH before the join (the join moves pairs, not
+      lineitems), then the same distinct-pair groupby.
+
+    In both regimes the per-brand count is partial-per-batch over the
+    distinct pair set — the sets themselves never assemble on one node."""
+    import ray
+
     from ray.data.aggregate import Count, Sum
 
     from schema_guru_ray.stages.joins import bucketed_hash_join, derive_num_buckets
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def per_brand(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["p_brand"])
+            .group_by("p_brand")
+            .aggregate([("p_brand", "count", pc.CountOptions(mode="all"))])
+        )
+        return g.rename_columns(["p_brand", "n_supp"])
+
+    if _meta_rows(sf_dir, "part") <= broadcast_limit:
+        import pyarrow.parquet as pq
+
+        part_t = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+        )
+        pkeys = part_t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        brands = part_t["p_brand"].to_pandas()
+        cats = pd.Categorical(brands)
+        brand_names = list(cats.categories)
+        codes = cats.codes.astype(np.int16)
+        order = np.argsort(pkeys, kind="stable")
+        lut_ref = ray.put((pkeys[order], codes[order]))
+
+        def annotate(t: pa.Table) -> pa.Table:
+            keys, cds = ray.get(lut_ref)
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            i = np.clip(np.searchsorted(keys, k), 0, max(len(keys) - 1, 0))
+            hit = (keys[i] == k) if len(keys) else np.zeros(len(k), bool)
+            sup = t["l_suppkey"].to_numpy(zero_copy_only=False)[hit]
+            bc = cds[i[hit]].astype(np.int64)
+            # per-batch distinct via ONE composite int64 (suppkey is bounded
+            # far below 2e9 in any TPC-H-shaped corpus; guarded) — and the
+            # composite itself is what shuffles: a single-int64 groupby
+            # sorts ~3x faster than a (string, int64) pair
+            assert len(sup) == 0 or sup.max() < 2_000_000_000
+            comp = np.unique(bc * 2_000_000_000 + sup)
+            return pa.table({"comp": pa.array(comp, pa.int64())})
+
+        distinct_pairs = (
+            li.map_batches(annotate, batch_format="pyarrow")
+            .groupby("comp")
+            .aggregate(Count(alias_name="__c"))
+        )
+
+        def count_codes(t: pa.Table) -> pa.Table:
+            bc = t["comp"].to_numpy(zero_copy_only=False) // 2_000_000_000
+            u, n = np.unique(bc, return_counts=True)
+            return pa.table(
+                {
+                    "bc": pa.array(u, pa.int64()),
+                    "n_supp": pa.array(n.astype(np.int64), pa.int64()),
+                }
+            )
+
+        agg = (
+            distinct_pairs.map_batches(count_codes, batch_format="pyarrow")
+            .groupby("bc")
+            .aggregate(Sum("n_supp", alias_name="n_supp"))
+        )
+
+        def to_names(t: pa.Table) -> pa.Table:
+            bc = t["bc"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "p_brand": pa.array(
+                        [brand_names[int(c)] for c in bc], pa.string()
+                    ),
+                    "n_supp": t["n_supp"],
+                }
+            )
+
+        return agg.map_batches(to_names, batch_format="pyarrow")
 
     def uniq_pairs(t: pa.Table) -> pa.Table:
         g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
@@ -4109,14 +4301,6 @@ def brand_supplier_distinct(sf_dir: str):
         .aggregate(Count(alias_name="__c"))
     )
 
-    def per_brand(t: pa.Table) -> pa.Table:
-        g = (
-            t.select(["p_brand"])
-            .group_by("p_brand")
-            .aggregate([("p_brand", "count", pc.CountOptions(mode="all"))])
-        )
-        return g.rename_columns(["p_brand", "n_supp"])
-
     return (
         distinct_pairs.map_batches(per_brand, batch_format="pyarrow")
         .groupby("p_brand")
@@ -4136,10 +4320,10 @@ def modal_event_type_user(sf_dir: str):
     user's most frequent event type; ties go to the lexicographically
     smallest type, matching the oracle's ``row_number() OVER (ORDER BY cnt
     DESC, event_type ASC)``. 100-TB shape: counts are partial-per-batch so
-    the exchange moves (user, type, n) partials; the argmax runs per user
-    group over ≤ |event types| rows — never over raw events."""
-    from ray.data.aggregate import Sum
-
+    the ONE shuffle moves (user, type, n) partials — ≤ |event types| rows
+    per user per batch; the per-user group merges its partials AND takes
+    the argmax inside the same map_groups (a separate (user, type) groupby
+    first would be a second all-to-all over already-colocated rows)."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -4149,24 +4333,23 @@ def modal_event_type_user(sf_dir: str):
         )
         return g.rename_columns(["user_id", "event_type", "cnt"])
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cnt", "event_type"], ascending=[False, True])
-        top = g.iloc[0]
+        m = g.groupby("event_type", as_index=False)["cnt"].sum()
+        m = m.sort_values(["cnt", "event_type"], ascending=[False, True])
+        top = m.iloc[0]
         return pd.DataFrame(
             {
-                "user_id": [int(top["user_id"])],
+                "user_id": [int(g["user_id"].iloc[0])],
                 "modal_type": [top["event_type"]],
                 "cnt": [int(top["cnt"])],
             }
         )
 
-    return counts.groupby("user_id").map_groups(pick, batch_format="pandas")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(pick, batch_format="pandas")
+    )
 
 
 MODAL_EVENT_TYPE_USER_SQL = """

@@ -31,3 +31,21 @@ class TestJoinRegimes:
         joined = _canon(order_priority_exists(sf_dir, broadcast_limit=0))
         assert len(broadcast) > 0
         pd.testing.assert_frame_equal(broadcast, joined)
+
+    @pytest.mark.parametrize(
+        "fn_name",
+        [
+            "promo_revenue",
+            "brand_supplier_distinct",
+            "large_orders_having",
+            "customer_order_distribution",
+        ],
+    )
+    def test_part_and_survivor_regimes_agree(self, sf_dir, fn_name):
+        from schema_guru_ray.pipelines import queries
+
+        fn = getattr(queries, fn_name)
+        broadcast = _canon(fn(sf_dir))
+        bucketed = _canon(fn(sf_dir, broadcast_limit=0))
+        assert len(broadcast) > 0
+        pd.testing.assert_frame_equal(broadcast, bucketed)
