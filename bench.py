@@ -117,6 +117,12 @@ def run_bench() -> dict:
         "scrub_pii_documents",
         "revenue_by_region",
         "rolling_revenue_customer",
+        "promo_revenue",
+        "brand_supplier_distinct",
+        "order_priority_exists",
+        "customer_order_distribution",
+        "large_orders_having",
+        "modal_event_type_user",
     ]
     # minhash_dedup_documents in queries() is the CHECKED-INVARIANT form: it
     # additionally computes the recall-exhaustive truth set in the same run
