@@ -4367,6 +4367,100 @@ FROM ranked WHERE rn = 1
 """
 
 
+def duplicate_passages_documents(sf_dir: str, n: int = 5, min_docs: int = 2):
+    """Repeated-passage detection (the exact-substring dedup signal of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at n-gram granularity): every token ``n``-gram appearing in ≥
+    ``min_docs`` DISTINCT documents, with its document count. 100-TB
+    shape: a document lives entirely inside one batch, so its distinct
+    grams fully dedupe in the per-batch partial — the one exchange moves
+    (gram, per-batch doc-count) partials and the HAVING filter runs on the
+    merged counts. At real scale the gram TEXT would be replaced by a
+    128-bit hash through the shuffle with a semi-join back for the
+    surviving grams; the text form here keeps the DuckDB oracle
+    byte-exact. Tokenization is the decontamination stage's ``\\S+`` over
+    lowercased text (same oracle-replayable normalization)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.stages.contamination import doc_grams
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"].fillna(""):
+            for g in doc_grams(t, n):
+                c[g] += 1
+        return pd.DataFrame(
+            {"g": list(c.keys()),
+             "n_docs": pd.Series(list(c.values()), dtype="int64")}
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return agg.filter(expr=f"n_docs >= {int(min_docs)}")
+
+
+DUPLICATE_PASSAGES_DOCUMENTS_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+    FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+    WHERE len(t) >= 5
+)
+SELECT g, count(*) AS n_docs
+FROM grams GROUP BY g HAVING count(*) >= 2
+"""
+
+
+def group_split_events(sf_dir: str):
+    """GROUP-preserving train/val/test split — the leakage-safe variant of
+    split_assign_documents: membership is a function of md5(user_id), so
+    ALL of a user's events land in the same split (no user straddles
+    train and test). Pure streaming map, md5 computed once per distinct
+    user per batch; the oracle replays the identical hex thresholds."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    t80, t90 = "c" + "c" * 31, "e" + "6" * 31  # 0.8 and 0.9 of hex space
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].astype("int64")
+        m = {
+            int(x): hashlib.md5(str(int(x)).encode()).hexdigest()
+            for x in u.unique()
+        }
+        h = u.map(m)
+        split = np.where(h < t80, "train", np.where(h < t90, "val", "test"))
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": u,
+                "split": split,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+GROUP_SPLIT_EVENTS_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN md5(CAST(user_id AS VARCHAR)) < 'c{c31}'
+            THEN 'train'
+            WHEN md5(CAST(user_id AS VARCHAR)) < 'e{six31}'
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM events
+""".replace("{c31}", "c" * 31).replace("{six31}", "6" * 31)
+
+
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "grouped_stats_events": grouped_stats_events,
@@ -4457,6 +4551,8 @@ QUERIES = {
     "brand_supplier_distinct": brand_supplier_distinct,
     "modal_event_type_user": modal_event_type_user,
     "clips_windows": clips_windows,
+    "duplicate_passages_documents": duplicate_passages_documents,
+    "group_split_events": group_split_events,
 }
 
 ORACLES = {
@@ -4526,4 +4622,6 @@ ORACLES = {
     "large_orders_having": LARGE_ORDERS_HAVING_SQL,
     "brand_supplier_distinct": BRAND_SUPPLIER_DISTINCT_SQL,
     "modal_event_type_user": MODAL_EVENT_TYPE_USER_SQL,
+    "duplicate_passages_documents": DUPLICATE_PASSAGES_DOCUMENTS_SQL,
+    "group_split_events": GROUP_SPLIT_EVENTS_SQL,
 }

@@ -141,6 +141,8 @@ class TestOracleParity:
             "large_orders_having",
             "brand_supplier_distinct",
             "modal_event_type_user",
+            "duplicate_passages_documents",
+            "group_split_events",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
