@@ -3916,10 +3916,24 @@ def customer_order_distribution(sf_dir: str, broadcast_limit: int = 5_000_000):
         )
         return g.rename_columns(["c_custkey", "c_count"])
 
+    # coarse-bucket merge of the per-batch partials (one vectorized pandas
+    # sum per ~250k-customer reducer group) instead of a 1-group-per-
+    # customer sort aggregate
+    nbk = max(8, _meta_rows(sf_dir, "customer") // 250_000 + 1)
+
+    def tagk(t: pa.Table) -> pa.Table:
+        b = (t["c_custkey"].to_numpy(zero_copy_only=False) % nbk).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("c_custkey", as_index=False)["c_count"].sum()
+        return s.astype({"c_custkey": "int64", "c_count": "int64"})
+
     counts = (
         orders.map_batches(per_cust, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("c_count", alias_name="c_count"))
+        .map_batches(tagk, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_bucket, batch_format="pandas")
         .materialize()  # one row per ordering customer; counting is free
     )
 
@@ -4136,11 +4150,26 @@ def large_orders_having(sf_dir: str, min_qty: int = 200,
         )
         return g.rename_columns(["o_orderkey", "sum_qty"])
 
+    # coarse-bucket aggregate instead of a 1-group-per-order sort: the
+    # shuffle has ~|orders|/250k reducer groups, each summed + HAVING-
+    # filtered by one vectorized pandas groupby (measured 5.9s → 2.4s at
+    # sf0.1 over groupby(o_orderkey).aggregate)
+    nb = max(8, _meta_rows(sf_dir, "orders") // 250_000 + 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (t["o_orderkey"].to_numpy(zero_copy_only=False) % nb).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_orderkey", as_index=False)["sum_qty"].sum()
+        s = s[s["sum_qty"] > int(min_qty)]
+        return s.astype({"o_orderkey": "int64", "sum_qty": "int64"})
+
     big = (
         li.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-        .filter(expr=f"sum_qty > {int(min_qty)}")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pandas")
         .materialize()  # tiny survivor set; avoids re-running the aggregate
     )
 
@@ -4240,24 +4269,27 @@ def brand_supplier_distinct(sf_dir: str, broadcast_limit: int = 20_000_000):
             comp = np.unique(bc * 2_000_000_000 + sup)
             return pa.table({"comp": pa.array(comp, pa.int64())})
 
-        distinct_pairs = (
-            li.map_batches(annotate, batch_format="pyarrow")
-            .groupby("comp")
-            .aggregate(Count(alias_name="__c"))
-        )
+        # coarse-bucket distinct: ~250k composite keys per reducer group,
+        # deduped + counted by one vectorized np.unique per group — not a
+        # 1-group-per-pair sort aggregate
+        nbk = max(8, (_meta_rows(sf_dir, "supplier") * 32) // 250_000 + 1)
 
-        def count_codes(t: pa.Table) -> pa.Table:
-            bc = t["comp"].to_numpy(zero_copy_only=False) // 2_000_000_000
-            u, n = np.unique(bc, return_counts=True)
-            return pa.table(
-                {
-                    "bc": pa.array(u, pa.int64()),
-                    "n_supp": pa.array(n.astype(np.int64), pa.int64()),
-                }
+        def tagc(t: pa.Table) -> pa.Table:
+            b = (t["comp"].to_numpy(zero_copy_only=False) % nbk).astype(np.int32)
+            return t.append_column("__b", pa.array(b, pa.int32()))
+
+        def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            u = np.unique(g["comp"].to_numpy())
+            bc, n = np.unique(u // 2_000_000_000, return_counts=True)
+            return pd.DataFrame(
+                {"bc": bc.astype("int64"), "n_supp": n.astype("int64")}
             )
 
         agg = (
-            distinct_pairs.map_batches(count_codes, batch_format="pyarrow")
+            li.map_batches(annotate, batch_format="pyarrow")
+            .map_batches(tagc, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(reduce_bucket, batch_format="pandas")
             .groupby("bc")
             .aggregate(Sum("n_supp", alias_name="n_supp"))
         )
