@@ -88,3 +88,96 @@ class TestNullEnumProduct:
             assert validate_instance(d, schema) == [], d
         # non-enum values still rejected
         assert validate_instance({"b": "z"}, schema) != []
+
+
+class TestVectorizedPrefilterParity:
+    """The vectorized candidate prefilter must agree EXACTLY with the naive
+    per-(row, column) validate_instance loop — including the adversarial
+    cases the mask could get wrong (bool-vs-int enum entries, NaN-as-null,
+    nulls under non-nullable types, boundary values)."""
+
+    def _naive(self, batch, schema, id_column):
+        import datetime as _dt
+
+        from schema_guru_ray.schema.finalize import validate_instance
+
+        cols = list(batch.column_names)
+        data = {c: batch.column(c).to_pylist() for c in cols}
+        ids = data.get(id_column) if id_column else list(range(batch.num_rows))
+        props = schema.get("properties", {})
+        out = []
+        for i in range(batch.num_rows):
+            for c in cols:
+                sub = props.get(c)
+                if sub is None:
+                    continue
+                v = data[c][i]
+                if isinstance(v, float) and v != v:
+                    v = None
+                elif isinstance(v, (_dt.datetime, _dt.date)):
+                    v = v.isoformat()
+                for err in validate_instance(v, sub, path=f"$.{c}"):
+                    out.append((str(ids[i]), err))
+        return out
+
+    def test_agrees_with_naive_loop(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from schema_guru_ray.pipelines.validate_schema import _validate_row_batch
+
+        batch = pa.table(
+            {
+                "rid": pa.array(list(range(8)), pa.int64()),
+                "i": pa.array([1, 5, 0, 100, None, 7, 2, 3], pa.int64()),
+                "f": pa.array([0.5, float("nan"), 2.5, -1.0, 0.0, 9.9, 1.0, 2.0]),
+                "s": pa.array(["a", "bb", None, "ddd", "e", "ff", "g", "hhhh"]),
+                "ts": pa.array(
+                    [None] * 8, pa.timestamp("us")
+                ),  # timestamp column → exact-loop fallback path
+            }
+        )
+        schema = {
+            "type": "object",
+            "properties": {
+                "i": {"type": "integer", "minimum": 1, "maximum": 50,
+                      "enum": [True, 1, 2, 3, 5, 7]},  # bool enum entry trap
+                "f": {"type": ["number", "null"], "minimum": 0.0,
+                      "maximum": 5.0},
+                "s": {"type": "string", "minLength": 1, "maxLength": 3,
+                      "enum": ["a", "bb", "ddd", "e", "ff", "g"]},
+                "ts": {"type": ["string", "null"]},
+            },
+        }
+        got = _validate_row_batch(batch, schema=schema, id_column="rid")
+        got_pairs = list(zip(got["row_id"].to_pylist(),
+                             got["violation"].to_pylist()))
+        assert got_pairs == self._naive(batch, schema, "rid")
+        assert len(got_pairs) > 0  # the fixture genuinely violates
+
+    def test_clean_batch_has_zero_candidates_and_zero_violations(self):
+        import pyarrow as pa
+
+        from schema_guru_ray.pipelines.validate_schema import (
+            _candidate_mask, _validate_row_batch,
+        )
+
+        batch = pa.table(
+            {
+                "i": pa.array([1, 2, 3], pa.int64()),
+                "s": pa.array(["a", "b", "a"]),
+            }
+        )
+        schema = {
+            "type": "object",
+            "properties": {
+                "i": {"type": "integer", "minimum": 1, "maximum": 3},
+                "s": {"type": "string", "minLength": 1, "maxLength": 1,
+                      "enum": ["a", "b"]},
+            },
+        }
+        for c in ("i", "s"):
+            mask = _candidate_mask(batch, c, schema["properties"][c])
+            assert mask is not None and not mask.any()
+        out = _validate_row_batch(batch, schema=schema, id_column=None)
+        assert out.num_rows == 0
