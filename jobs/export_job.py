@@ -92,15 +92,36 @@ def export_shuffled(input_files, out_dir: str, id_column: str = "doc_id",
     )
 
 
-def read_shard(out_dir: str, shard: int, id_column: str = "doc_id") -> pd.DataFrame:
+def read_shard(out_dir: str, shard: int, id_column: str = "doc_id",
+               epoch: int = 0) -> pd.DataFrame:
     """Reader half of the contract: one shard in its global shuffled order
-    (streaming merge of per-partition fragments by (key, id))."""
+    (streaming merge of per-partition fragments by (key, id)).
+
+    ``epoch`` gives multi-epoch training loops a DIFFERENT but fully
+    reproducible order per epoch WITHOUT rewriting any data: epoch 0 is
+    the written md5(id) order; epoch k > 0 re-keys each row as
+    ``md5(key + ':' + k)`` and sorts by that — an in-memory permutation of
+    one shard (shards are sized to fit a reader by construction). The
+    multiset of rows is identical across epochs; only the order changes.
+    Shard-to-reader ASSIGNMENT stays epoch-independent, so a resumed epoch
+    re-reads exactly the shards it owned."""
     frags = sorted(
         glob.glob(os.path.join(out_dir, "partition=*", f"shard={shard:02d}", "*.parquet"))
     )
     if not frags:
         return pd.DataFrame()
     df = pd.concat([pd.read_parquet(f) for f in frags], ignore_index=True)
+    if epoch:
+        ek = [
+            hashlib.md5(f"{k}:{epoch}".encode()).hexdigest()
+            for k in df["__shuffle_key"]
+        ]
+        return (
+            df.assign(__epoch_key=ek)
+            .sort_values(["__epoch_key", id_column])
+            .drop(columns="__epoch_key")
+            .reset_index(drop=True)
+        )
     return df.sort_values(["__shuffle_key", id_column]).reset_index(drop=True)
 
 
