@@ -2785,6 +2785,61 @@ def clips_windows(sf_dir: str):
     return window_clips(read_clips(path))
 
 
+def clips_feature_prep(sf_dir: str):
+    """Feature-space training prep over the clips corpus: SpecAugment-
+    masked log-filterbank features (deterministic per clip_id — same clip,
+    same masks, exact resume) → corpus CMVN gather (one sufficient-stat
+    row per batch to the driver) → broadcast normalize → in-run
+    verification that every feature dimension of the normalized corpus has
+    mean 0 / std 1 (milli-units). Rows-only (engine-generated input);
+    masking determinism, mean-fill, and CMVN exactness are
+    pytest-checked."""
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
+    from schema_guru_ray.stages.audio_features import (
+        SpecAugmentFeaturizer, apply_cmvn, cmvn_stats,
+    )
+
+    path = ensure_clips(sf_dir)
+    feats = (
+        read_clips(path)
+        .map_batches(
+            SpecAugmentFeaturizer, batch_format="pyarrow", batch_size=256,
+            concurrency=(1, 16), num_cpus=1,
+        )
+        .map_batches(
+            lambda t: t.filter(t["decodable"]), batch_format="pyarrow"
+        )
+        .materialize()  # tiny feature rows; the stats + apply passes both
+        # read them, and the decode pool must not share a plan with them
+    )
+    mean, std = cmvn_stats(feats)
+    normed = apply_cmvn(feats, mean, std)
+
+    def check(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "s": [m.sum(axis=0).tobytes()],
+                "ss": [np.square(m).sum(axis=0).tobytes()],
+                "n": [len(m)],
+            }
+        )
+
+    rows = normed.map_batches(check, batch_format="pandas").to_pandas()
+    s = np.sum([np.frombuffer(x) for x in rows["s"]], axis=0)
+    ss = np.sum([np.frombuffer(x) for x in rows["ss"]], axis=0)
+    n = int(rows["n"].sum())
+    mu = s / n
+    sd = np.sqrt(np.maximum(ss / n - mu ** 2, 0.0))
+    return pd.DataFrame(
+        {
+            "dim": np.arange(len(mu), dtype="int64"),
+            "mean_milli": np.rint(mu * 1000).astype("int64"),
+            "std_milli": np.rint(sd * 1000).astype("int64"),
+        }
+    )
+
+
 def clips_resample_stats(sf_dir: str):
     """Resample + RMS-normalize every clip to 16 kHz / -20 dBFS, then
     verify the transform's own invariants per codec over the TRANSFORMED
@@ -4585,6 +4640,7 @@ QUERIES = {
     "clips_windows": clips_windows,
     "duplicate_passages_documents": duplicate_passages_documents,
     "group_split_events": group_split_events,
+    "clips_feature_prep": clips_feature_prep,
 }
 
 ORACLES = {

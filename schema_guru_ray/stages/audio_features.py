@@ -314,3 +314,126 @@ def content_dedup_drop_hashes(clips_ds, batch_size: int = 256):
         return pd.DataFrame({"drop_h": rest.astype("int64")})
 
     return sigs.groupby("sig").map_groups(drop_all_but_min, batch_format="pandas")
+
+
+# --- feature-space training prep: SpecAugment masking + corpus CMVN --------
+
+
+def spec_augment(energies: np.ndarray, key: str, n_time_masks: int = 2,
+                 time_mask_max: int = 20, n_freq_masks: int = 2,
+                 freq_mask_max: int = 8) -> np.ndarray:
+    """SpecAugment-style time/frequency masking (Park et al. 2019) over a
+    (n_frames, n_mels) log-energy matrix, DETERMINISTIC per ``key``: the
+    mask geometry is drawn from an md5(key)-seeded generator, so the same
+    clip always gets the same masks (reproducible training data, exact
+    resume). Masked cells are filled with the utterance mean (the standard
+    fill that keeps CMVN statistics stable). Returns a new array."""
+    import hashlib
+
+    rng = np.random.default_rng(
+        int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+    )
+    out = energies.copy()
+    fill = float(energies.mean()) if energies.size else 0.0
+    n_t, n_f = out.shape
+    for _ in range(n_time_masks):
+        w = int(rng.integers(0, min(time_mask_max, max(n_t, 1)) + 1))
+        if w and n_t:
+            s = int(rng.integers(0, n_t - w + 1))
+            out[s : s + w, :] = fill
+    for _ in range(n_freq_masks):
+        w = int(rng.integers(0, min(freq_mask_max, max(n_f, 1)) + 1))
+        if w and n_f:
+            s = int(rng.integers(0, n_f - w + 1))
+            out[:, s : s + w] = fill
+    return out
+
+
+class SpecAugmentFeaturizer:
+    """map_batches kernel: clips batch → masked pooled features
+    (clip_id, codec, decodable, n_frames, embedding). Same output shape as
+    :class:`AudioFeaturizer` plus frame accounting; the masking runs on
+    the (n_frames, n_mels) matrix BEFORE pooling."""
+
+    def __init__(self, frame_ms: float = 25.0, hop_ms: float = 10.0, **mask_kw):
+        self.frame_ms = frame_ms
+        self.hop_ms = hop_ms
+        self.mask_kw = mask_kw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        feats, ok, n_frames = [], [], []
+        for cid, buf in zip(ids, batch["bytes"].to_pylist()):
+            try:
+                pcm, sr = decode_wav(buf)
+                e = _log_energies(pcm, sr, self.frame_ms, self.hop_ms)
+                e = spec_augment(e, cid, **self.mask_kw)
+                feats.append(
+                    np.concatenate([e.mean(axis=0), e.std(axis=0)]).astype(np.float32)
+                )
+                ok.append(True)
+                n_frames.append(e.shape[0])
+            except (WavDecodeError, TypeError):
+                feats.append(np.zeros(FEATURE_DIM, dtype=np.float32))
+                ok.append(False)
+                n_frames.append(0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.string()),
+                pa.array(codecs, pa.string()),
+                pa.array(ok),
+                pa.array(n_frames, pa.int32()),
+                pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            ],
+            names=["clip_id", "codec", "decodable", "n_frames", "embedding"],
+        )
+
+
+def cmvn_stats(feats_ds, column: str = "embedding",
+               dim: int = FEATURE_DIM) -> tuple:
+    """Corpus-level per-dimension (mean, std) over a list<float> feature
+    column — the CMVN gather pass. 100-TB shape: each batch reduces to ONE
+    (sum, sumsq, n) sufficient-statistic row (vectorized numpy over the
+    stacked batch); the driver folds #batches tiny rows. Zero-variance
+    dims get std=1 so apply_cmvn is always well-defined."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b[column].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "s": [m.sum(axis=0).tobytes()],
+                "ss": [np.square(m).sum(axis=0).tobytes()],
+                "n": [len(m)],
+            }
+        )
+
+    rows = feats_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    s = np.sum([np.frombuffer(x) for x in rows["s"]], axis=0)
+    ss = np.sum([np.frombuffer(x) for x in rows["ss"]], axis=0)
+    n = int(rows["n"].sum())
+    mean = s / max(n, 1)
+    var = np.maximum(ss / max(n, 1) - mean ** 2, 0.0)
+    std = np.sqrt(var)
+    std[std < 1e-12] = 1.0
+    return mean, std
+
+
+def apply_cmvn(feats_ds, mean: np.ndarray, std: np.ndarray,
+               column: str = "embedding"):
+    """Broadcast-apply pass: normalize the feature column to zero mean /
+    unit variance per dimension using the gathered corpus statistics
+    (shipped once via ray.put, read per batch)."""
+    import ray
+
+    ref = ray.put((np.asarray(mean), np.asarray(std)))
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        mu, sd = ray.get(ref)
+        m = np.stack(b[column].to_numpy()).astype(np.float64)
+        z = (m - mu[None, :]) / sd[None, :]
+        b = b.copy()
+        b[column] = [r.astype(np.float32) for r in z]
+        return b
+
+    return feats_ds.map_batches(norm, batch_format="pandas")

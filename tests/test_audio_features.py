@@ -172,3 +172,74 @@ class TestContentSigner:
             int(stable_hash64(pd.Series(["x2"]))[0].astype(np.int64)),
         )
         assert list(drops["drop_h"]) == [expected_drop]
+
+
+class TestSpecAugment:
+    def _energies(self):
+        from schema_guru_ray.stages.audio_features import _log_energies
+
+        pcm = synth.reference_pcm("aug", 16000, 16000)
+        return _log_energies(pcm, 16000)
+
+    def test_deterministic_per_key_and_mean_fill(self):
+        from schema_guru_ray.stages.audio_features import spec_augment
+
+        e = self._energies()
+        a = spec_augment(e, "clip-1")
+        b = spec_augment(e, "clip-1")
+        c = spec_augment(e, "clip-2")
+        assert np.array_equal(a, b)  # same key → same masks
+        assert not np.array_equal(a, c)  # different key → different masks
+        # masked cells (where a differs from e) hold the utterance mean
+        changed = a != e
+        assert changed.any()
+        assert np.allclose(a[changed], e.mean())
+        # bounded damage: masks cover ≤ 2 time strips + 2 freq strips
+        n_t, n_f = e.shape
+        assert changed.sum() <= 2 * 20 * n_f + 2 * 8 * n_t
+
+    def test_input_not_mutated_and_degenerate_shapes(self):
+        from schema_guru_ray.stages.audio_features import spec_augment
+
+        e = self._energies()
+        snap = e.copy()
+        spec_augment(e, "k")
+        assert np.array_equal(e, snap)
+        tiny = np.zeros((1, 1))
+        out = spec_augment(tiny, "k")
+        assert out.shape == (1, 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCmvn:
+    def _feats_ds(self, n=40):
+        import pandas as pd
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(5.0, 2.0, size=(n, FEATURE_DIM)).astype(np.float32)
+        return (
+            rd.from_pandas(
+                pd.DataFrame({"embedding": [v for v in vecs]})
+            ).repartition(4),
+            vecs,
+        )
+
+    def test_stats_match_numpy_exactly_enough(self):
+        from schema_guru_ray.stages.audio_features import cmvn_stats
+
+        ds, vecs = self._feats_ds()
+        mean, std = cmvn_stats(ds)
+        ref = vecs.astype(np.float64)
+        assert np.allclose(mean, ref.mean(axis=0), atol=1e-9)
+        assert np.allclose(std, ref.std(axis=0), atol=1e-9)
+
+    def test_apply_normalizes_to_zero_one(self):
+        from schema_guru_ray.stages.audio_features import apply_cmvn, cmvn_stats
+
+        ds, _ = self._feats_ds()
+        mean, std = cmvn_stats(ds)
+        out = apply_cmvn(ds, mean, std).to_pandas()
+        m = np.stack(out["embedding"].to_numpy()).astype(np.float64)
+        assert np.allclose(m.mean(axis=0), 0.0, atol=1e-5)
+        assert np.allclose(m.std(axis=0), 1.0, atol=1e-4)

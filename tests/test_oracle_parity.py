@@ -174,6 +174,7 @@ class TestOracleParity:
             "image_phash_dedup_documents",
             "curate_clips_summary",
             "clips_windows",
+            "clips_feature_prep",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
