@@ -4408,34 +4408,41 @@ def modal_event_type_user(sf_dir: str):
     smallest type, matching the oracle's ``row_number() OVER (ORDER BY cnt
     DESC, event_type ASC)``. 100-TB shape: counts are partial-per-batch so
     the ONE shuffle moves (user, type, n) partials — ≤ |event types| rows
-    per user per batch; the per-user group merges its partials AND takes
-    the argmax inside the same map_groups (a separate (user, type) groupby
-    first would be a second all-to-all over already-colocated rows)."""
+    per user per batch — into COARSE user-hash buckets (~250k users per
+    reducer group, not one pandas dispatch per user: millions of users
+    would mean millions of per-group Python calls); inside a bucket one
+    vectorized sort + drop_duplicates merges partials and takes every
+    user's argmax at once."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nb = max(8, _meta_rows(sf_dir, "events") // 250_000 + 1)
 
     def partial(t: pa.Table) -> pa.Table:
         g = (
             t.group_by(["user_id", "event_type"])
             .aggregate([("event_type", "count", pc.CountOptions(mode="all"))])
         )
-        return g.rename_columns(["user_id", "event_type", "cnt"])
+        g = g.rename_columns(["user_id", "event_type", "cnt"])
+        b = (g["user_id"].to_numpy(zero_copy_only=False) % nb).astype(np.int32)
+        return g.append_column("__b", pa.array(b, pa.int32()))
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("event_type", as_index=False)["cnt"].sum()
-        m = m.sort_values(["cnt", "event_type"], ascending=[False, True])
-        top = m.iloc[0]
+    def bucket_pick(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False)["cnt"].sum()
+        m = m.sort_values(
+            ["user_id", "cnt", "event_type"], ascending=[True, False, True]
+        )
+        top = m.drop_duplicates("user_id", keep="first")
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "modal_type": [top["event_type"]],
-                "cnt": [int(top["cnt"])],
+                "user_id": top["user_id"].astype("int64"),
+                "modal_type": top["event_type"],
+                "cnt": top["cnt"].astype("int64"),
             }
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(pick, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket_pick, batch_format="pandas")
     )
 
 
