@@ -308,12 +308,30 @@ def content_dedup_drop_hashes(clips_ds, batch_size: int = 256):
         concurrency=(1, 16), num_cpus=1,
     ).materialize()  # keep the decode pool out of the groupby's plan
 
-    def drop_all_but_min(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g["vec_id"].min()
+    # coarse sig-hash buckets, NOT groupby(sig): mostly-unique signatures
+    # would mean one pandas dispatch per distinct signal (≈ per clip at
+    # 10^12 scale); inside a bucket one vectorized transform("min")
+    # collapses every cluster at once
+    from schema_guru_ray.stages.joins import derive_num_buckets
+    from schema_guru_ray.stages.profile import stable_hash64
+
+    nb = derive_num_buckets(sigs.count())
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__b"] = (stable_hash64(b["sig"]) % np.uint64(nb)).astype(np.int32)
+        return b
+
+    def drop_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("sig")["vec_id"].transform("min")
         rest = g.loc[g["vec_id"] != keep, "vec_id"]
         return pd.DataFrame({"drop_h": rest.astype("int64")})
 
-    return sigs.groupby("sig").map_groups(drop_all_but_min, batch_format="pandas")
+    return (
+        sigs.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(drop_bucket, batch_format="pandas")
+    )
 
 
 # --- feature-space training prep: SpecAugment masking + corpus CMVN --------
