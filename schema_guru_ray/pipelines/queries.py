@@ -4555,6 +4555,77 @@ FROM events
 """.replace("{c31}", "c" * 31).replace("{six31}", "6" * 31)
 
 
+def funnel_conversions_events(sf_dir: str, window_sec: int = 3600):
+    """Funnel conversion (the standard product-analytics shape): per user,
+    how many 'view' events were followed by at least one 'purchase'
+    STRICTLY after the view and within the window. 100-TB shape: the type
+    filter is pushed into the parquet read; slim (user, ts, type) rows
+    shuffle ONCE into user-hash buckets (a user's events co-locate); inside
+    a bucket one ``pd.merge_asof(direction='forward', by=user,
+    tolerance=window, allow_exact_matches=False)`` finds every view's next
+    purchase vectorized, then a bucket-local pandas groupby emits the
+    per-user counts."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(["view", "purchase"]),
+    )
+    nb = max(8, _meta_rows(sf_dir, "events") // 250_000 + 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (t["user_id"].to_numpy(zero_copy_only=False) % nb).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    tol = pd.Timedelta(seconds=window_sec)
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["event_type"] == "view"][["user_id", "ts"]].sort_values("ts")
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]].sort_values("ts")
+        if v.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_views": pd.Series(dtype="int64"),
+                    "n_converted": pd.Series(dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            v, p.rename(columns={"ts": "p_ts"}), left_on="ts",
+            right_on="p_ts", by="user_id", direction="forward",
+            tolerance=tol, allow_exact_matches=False,
+        )
+        out = m.groupby("user_id", as_index=False).agg(
+            n_views=("ts", "size"), n_converted=("p_ts", "count")
+        )
+        return out.astype(
+            {"user_id": "int64", "n_views": "int64", "n_converted": "int64"}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(funnel_bucket, batch_format="pandas")
+    )
+
+
+FUNNEL_CONVERSIONS_EVENTS_SQL = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT v.user_id,
+       count(*) AS n_views,
+       CAST(sum(CASE WHEN EXISTS (
+           SELECT 1 FROM p
+           WHERE p.user_id = v.user_id
+             AND p.ts > v.ts
+             AND p.ts <= v.ts + INTERVAL 1 HOUR)
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM v GROUP BY v.user_id
+"""
+
+
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "grouped_stats_events": grouped_stats_events,
@@ -4648,6 +4719,7 @@ QUERIES = {
     "duplicate_passages_documents": duplicate_passages_documents,
     "group_split_events": group_split_events,
     "clips_feature_prep": clips_feature_prep,
+    "funnel_conversions_events": funnel_conversions_events,
 }
 
 ORACLES = {
@@ -4719,4 +4791,5 @@ ORACLES = {
     "modal_event_type_user": MODAL_EVENT_TYPE_USER_SQL,
     "duplicate_passages_documents": DUPLICATE_PASSAGES_DOCUMENTS_SQL,
     "group_split_events": GROUP_SPLIT_EVENTS_SQL,
+    "funnel_conversions_events": FUNNEL_CONVERSIONS_EVENTS_SQL,
 }

@@ -143,6 +143,7 @@ class TestOracleParity:
             "modal_event_type_user",
             "duplicate_passages_documents",
             "group_split_events",
+            "funnel_conversions_events",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
