@@ -4611,6 +4611,155 @@ def funnel_conversions_events(sf_dir: str, window_sec: int = 3600):
     )
 
 
+def cohort_retention_events(sf_dir: str, broadcast_limit: int = 20_000_000):
+    """Cohort retention (the other standard product-analytics shape): users
+    bucketed by signup DAY (their first 'signup' event), counted as
+    retained in each subsequent day offset where they have ANY event.
+    Output: (cohort_day, day_offset, n_users). TWO REGIMES on the events
+    footer row count (the signup map is bounded by |users|):
+
+    * **Broadcast**: the user → signup-day map (per-batch min partials →
+      driver fold → sorted arrays via ``ray.put``) annotates every event in
+      one streaming map; distinct (user, offset) pre-dedupes per batch and
+      one groupby counts the matrix.
+    * **Bucketed**: signup days and events co-shuffle into user-hash
+      buckets; the in-bucket join + dedup is vectorized pandas.
+    """
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def signup_partial(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["event_type"], "signup")
+        t = t.filter(mask)
+        g = (
+            pa.table({"user_id": t["user_id"], "ts": t["ts"]})
+            .group_by("user_id")
+            .aggregate([("ts", "min")])
+        )
+        return g.rename_columns(["user_id", "signup_ts"])
+
+    n_events = _meta_rows(sf_dir, "events")
+
+    if n_events <= broadcast_limit:
+        su = (
+            ds.map_batches(signup_partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("user_id", as_index=False)["signup_ts"].min()
+        )
+        keys = su["user_id"].to_numpy(np.int64)
+        days = (su["signup_ts"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        order = np.argsort(keys, kind="stable")
+        lut_ref = ray.put((keys[order], days[order]))
+
+        def offsets(t: pa.Table) -> pd.DataFrame:
+            k_arr, d_arr = ray.get(lut_ref)
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            i = np.clip(np.searchsorted(k_arr, u), 0, max(len(k_arr) - 1, 0))
+            hit = (k_arr[i] == u) if len(k_arr) else np.zeros(len(u), bool)
+            ev_day = (t["ts"].to_numpy(zero_copy_only=False)
+                      .astype("datetime64[D]").astype(np.int64))[hit]
+            cohort = d_arr[i[hit]]
+            off = ev_day - cohort
+            keep = off >= 0
+            # distinct (cohort, offset, user) per batch, then count partial
+            trip = np.unique(
+                np.stack([cohort[keep], off[keep], u[hit][keep]], axis=1),
+                axis=0,
+            )
+            return pd.DataFrame(
+                {"cohort_day": trip[:, 0], "day_offset": trip[:, 1],
+                 "user_id": trip[:, 2]}
+            ).astype("int64")
+
+        from ray.data.aggregate import Count
+
+        distinct = (
+            ds.map_batches(offsets, batch_format="pyarrow")
+            .groupby(["cohort_day", "day_offset", "user_id"])
+            .aggregate(Count(alias_name="__c"))
+        )
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            g = (
+                t.select(["cohort_day", "day_offset"])
+                .group_by(["cohort_day", "day_offset"])
+                .aggregate(
+                    [("cohort_day", "count", pc.CountOptions(mode="all"))]
+                )
+            )
+            return g.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+        return (
+            distinct.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users"))
+        )
+
+    # bucketed regime: co-shuffle signup rows and events by user hash
+    nb = max(8, n_events // 250_000 + 1)
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        b = (t["user_id"].to_numpy(zero_copy_only=False) % nb).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    tagged = ds.map_batches(tag_events, batch_format="pyarrow")
+
+    def bucket_retention(g: pd.DataFrame) -> pd.DataFrame:
+        su = (
+            g[g["event_type"] == "signup"]
+            .groupby("user_id", as_index=False)["ts"].min()
+            .rename(columns={"ts": "signup_ts"})
+        )
+        m = g.merge(su, on="user_id", how="inner")
+        cohort = m["signup_ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        ev = m["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        off = ev - cohort
+        keep = off >= 0
+        df = pd.DataFrame(
+            {"cohort_day": cohort[keep], "day_offset": off[keep],
+             "user_id": m["user_id"].to_numpy(np.int64)[keep]}
+        ).drop_duplicates()
+        out = df.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+            n_users=("user_id", "nunique")
+        )
+        return out.astype("int64")
+
+    # users are co-located per bucket, so per-bucket counts are final
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        tagged.groupby("__b")
+        .map_groups(bucket_retention, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(_Sum("n_users", alias_name="n_users"))
+    )
+
+
+COHORT_RETENTION_EVENTS_SQL = """
+WITH su AS (
+    SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+    SELECT DISTINCT
+        CAST(datediff('day', DATE '1970-01-01', cohort_date) AS BIGINT)
+            AS cohort_day,
+        CAST(datediff('day', cohort_date, CAST(e.ts AS DATE)) AS BIGINT)
+            AS day_offset,
+        e.user_id
+    FROM events e JOIN su USING (user_id)
+    WHERE CAST(e.ts AS DATE) >= cohort_date
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM act GROUP BY cohort_day, day_offset
+"""
+
+
 FUNNEL_CONVERSIONS_EVENTS_SQL = """
 WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
 p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
@@ -4720,6 +4869,7 @@ QUERIES = {
     "group_split_events": group_split_events,
     "clips_feature_prep": clips_feature_prep,
     "funnel_conversions_events": funnel_conversions_events,
+    "cohort_retention_events": cohort_retention_events,
 }
 
 ORACLES = {
@@ -4792,4 +4942,5 @@ ORACLES = {
     "duplicate_passages_documents": DUPLICATE_PASSAGES_DOCUMENTS_SQL,
     "group_split_events": GROUP_SPLIT_EVENTS_SQL,
     "funnel_conversions_events": FUNNEL_CONVERSIONS_EVENTS_SQL,
+    "cohort_retention_events": COHORT_RETENTION_EVENTS_SQL,
 }

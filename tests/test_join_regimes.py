@@ -39,6 +39,7 @@ class TestJoinRegimes:
             "brand_supplier_distinct",
             "large_orders_having",
             "customer_order_distribution",
+            "cohort_retention_events",
         ],
     )
     def test_part_and_survivor_regimes_agree(self, sf_dir, fn_name):

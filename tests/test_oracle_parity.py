@@ -144,6 +144,7 @@ class TestOracleParity:
             "duplicate_passages_documents",
             "group_split_events",
             "funnel_conversions_events",
+            "cohort_retention_events",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
