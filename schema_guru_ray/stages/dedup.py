@@ -468,17 +468,25 @@ def verify_pairs_jaccard_distributed(
     threshold: float = 0.8,
     n_buckets: int = 256,
     num_partitions: Optional[int] = None,
+    semi_broadcast_limit: int = 20_000_000,
 ):
     """EXACT n-gram Jaccard verification of candidate pairs, end-to-end
     distributed (the scale path promised by :func:`verify_pairs_jaccard`):
 
     1. explode each candidate pair to two (doc_id, id_a, id_b) rows;
-    2. hash-join against the documents table — only documents that appear
-       in some candidate pair ship their text anywhere (a semi-join: at
-       100 TB this is the tiny LSH-confirmed subset, not the corpus);
-    3. group by a coarse pair-hash bucket; inside a bucket a pandas
+    2. PRUNE the documents side to candidate ids BEFORE any exchange —
+       broadcast sorted-id ``searchsorted`` filter when the candidate id
+       set fits (``semi_broadcast_limit``), Bloom-filter prune otherwise
+       (false positives just ship a little extra text; the inner join
+       drops them exactly). Without this prune the join would shuffle the
+       ENTIRE corpus text to co-locate it with a handful of pairs;
+    3. hash-join the pruned docs against the exploded pairs;
+    4. group by a coarse pair-hash bucket; inside a bucket a pandas
        groupby walks real pairs and computes exact integer
        intersection/union of the shingle sets.
+
+    ``pairs_ds`` is materialized here (2-int rows) so the id collection,
+    regime choice and bucket sizing never re-run the candidate plan.
 
     Returns rows (id_a, id_b, n_inter, n_union) for pairs with
     jaccard >= threshold, decided by integer cross-multiplication
@@ -486,10 +494,14 @@ def verify_pairs_jaccard_distributed(
     comparisons, so the result hash-matches a SQL oracle exactly."""
     from fractions import Fraction
 
-    from schema_guru_ray.stages.joins import hash_join
+    import ray
+
+    from schema_guru_ray.stages.joins import derive_num_buckets, hash_join
 
     frac = Fraction(threshold).limit_denominator(1000)
     p_num, p_den = frac.numerator, frac.denominator
+
+    pairs_ds = pairs_ds.materialize()
 
     def explode(b: pd.DataFrame) -> pa.Table:
         df = pd.DataFrame(
@@ -507,13 +519,48 @@ def verify_pairs_jaccard_distributed(
     docs_clean = docs_ds.select_columns([id_column, column]).map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
-    if num_partitions is None:
-        # the docs side dominates the join; scale partitions to it
-        # (metadata-cheap for bare parquet reads; callers with expensive
-        # lineages pass an explicit count-derived value)
-        from schema_guru_ray.stages.joins import derive_num_buckets
 
-        num_partitions = derive_num_buckets(docs_ds.count())
+    n_pairs = pairs_ds.count()  # free: materialized
+    if n_pairs <= semi_broadcast_limit // 2:
+        ids_df = pairs_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"i": pd.concat([b["id_a"], b["id_b"]]).unique()}
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        cand_ids = np.unique(ids_df["i"].to_numpy(np.int64))
+        ref = ray.put(cand_ids)
+
+        def prune(t: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            v = t[id_column].to_numpy(zero_copy_only=False)
+            i = np.clip(np.searchsorted(k, v), 0, max(len(k) - 1, 0))
+            hit = (k[i] == v) if len(k) else np.zeros(len(v), bool)
+            return t.filter(pa.array(hit))
+
+        docs_clean = docs_clean.map_batches(prune, batch_format="pyarrow")
+        if num_partitions is None:
+            num_partitions = derive_num_buckets(2 * n_pairs + len(cand_ids))
+    else:
+        from schema_guru_ray.sketches.bloom import BloomFilter, build_bloom
+
+        ids_ds = pairs_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"i": pd.concat([b["id_a"], b["id_b"]]).unique()}
+            ),
+            batch_format="pandas",
+        )
+        bloom_ref = ray.put(
+            build_bloom(ids_ds, "i", n_items_hint=2 * n_pairs).to_bytes()
+        )
+
+        def bloom_prune(b: pd.DataFrame) -> pd.DataFrame:
+            bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+            return b[np.asarray(bf.contains_many(b[id_column]))]
+
+        docs_clean = docs_clean.map_batches(bloom_prune, batch_format="pandas")
+        if num_partitions is None:
+            num_partitions = derive_num_buckets(docs_ds.count())
     joined = hash_join(sides, docs_clean, on=id_column, num_partitions=num_partitions)
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
