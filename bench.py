@@ -123,6 +123,10 @@ def run_bench() -> dict:
         "customer_order_distribution",
         "large_orders_having",
         "modal_event_type_user",
+        "funnel_conversions_events",
+        "cohort_retention_events",
+        "duplicate_passages_documents",
+        "group_split_events",
     ]
     # minhash_dedup_documents in queries() is the CHECKED-INVARIANT form: it
     # additionally computes the recall-exhaustive truth set in the same run
