@@ -145,6 +145,7 @@ class TestOracleParity:
             "group_split_events",
             "funnel_conversions_events",
             "cohort_retention_events",
+            "prepare_training_corpus",
         ],
     )
     def test_sql_parity(self, name, sf_dir, con):
