@@ -127,6 +127,7 @@ def run_bench() -> dict:
         "cohort_retention_events",
         "duplicate_passages_documents",
         "group_split_events",
+        "prepare_training_corpus",
     ]
     # minhash_dedup_documents in queries() is the CHECKED-INVARIANT form: it
     # additionally computes the recall-exhaustive truth set in the same run
