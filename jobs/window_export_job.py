@@ -106,9 +106,17 @@ def main(argv=None) -> int:
         files, args.out, window_ms=args.window_ms, hop_ms=args.hop_ms,
         num_partitions=args.partitions,
     )
+    # total from the COMMITTED _SUCCESS manifests, not the run summary —
+    # skipped (checkpoint-hit) partitions carry no metrics in the summary,
+    # so a resumed run would otherwise print windows=0
+    import json as _json
+
+    total = 0
+    for f in glob.glob(os.path.join(args.out, "partition=*", "_SUCCESS.json")):
+        with open(f) as fh:
+            total += _json.load(fh).get("metrics", {}).get("n_windows", 0)
     print(
-        f"ran={summary['ran']} skipped={summary['skipped']} "
-        f"windows={sum(p.get('metrics', {}).get('n_windows', 0) for p in summary['partitions'])}"
+        f"ran={summary['ran']} skipped={summary['skipped']} windows={total}"
     )
     ray.shutdown()
     return 0

@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from schema_guru_ray.context import SchemaContext
+from schema_guru_ray.stages.joins import sorted_lookup
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -1346,16 +1347,16 @@ def split_assign_documents(sf_dir: str):
     80/10/10 assignment: split by md5(doc_id) hex thresholds, so membership
     is a pure function of the id (stable across runs, machines, and corpus
     growth). Pure streaming map; oracle replays the same hex comparison."""
-    import hashlib
+    from schema_guru_ray.stages.sample import md5_split_assign
 
     ds = _read(sf_dir, "documents", ["doc_id"])
-    t80, t90 = "c" + "c" * 31, "e" + "6" * 31  # 0.8 and 0.9 of hex space
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
-        h = [hashlib.md5(str(i).encode()).hexdigest() for i in b["doc_id"]]
-        split = ["train" if x < t80 else ("val" if x < t90 else "test") for x in h]
         return pd.DataFrame(
-            {"doc_id": b["doc_id"].astype("int64"), "split": split}
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "split": md5_split_assign(b["doc_id"]),
+            }
         )
 
     return ds.map_batches(assign, batch_format="pandas")
@@ -2815,22 +2816,8 @@ def clips_feature_prep(sf_dir: str):
     mean, std = cmvn_stats(feats)
     normed = apply_cmvn(feats, mean, std)
 
-    def check(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-        return pd.DataFrame(
-            {
-                "s": [m.sum(axis=0).tobytes()],
-                "ss": [np.square(m).sum(axis=0).tobytes()],
-                "n": [len(m)],
-            }
-        )
-
-    rows = normed.map_batches(check, batch_format="pandas").to_pandas()
-    s = np.sum([np.frombuffer(x) for x in rows["s"]], axis=0)
-    ss = np.sum([np.frombuffer(x) for x in rows["ss"]], axis=0)
-    n = int(rows["n"].sum())
-    mu = s / n
-    sd = np.sqrt(np.maximum(ss / n - mu ** 2, 0.0))
+    # verification gather reuses the SAME sufficient-stats fold, unclamped
+    mu, sd = cmvn_stats(normed, clamp=False)
     return pd.DataFrame(
         {
             "dim": np.arange(len(mu), dtype="int64"),
@@ -3378,8 +3365,7 @@ def _revenue_by_region_broadcast(sf_dir: str, nk_to_region: dict):
     )
     okeys = orders["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     ocust = orders["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    idx = np.clip(np.searchsorted(ckeys, ocust), 0, max(len(ckeys) - 1, 0))
-    hit = (ckeys[idx] == ocust) if len(ckeys) else np.zeros(len(ocust), bool)
+    idx, hit = sorted_lookup(ckeys, ocust)
     okeys, ocodes = okeys[hit], ccodes[idx[hit]]
     order_o = np.argsort(okeys, kind="stable")
     lut_ref = ray.put((okeys[order_o], ocodes[order_o]))
@@ -3388,8 +3374,7 @@ def _revenue_by_region_broadcast(sf_dir: str, nk_to_region: dict):
     def partial(t: pa.Table) -> pa.Table:
         keys, codes = ray.get(lut_ref)
         k = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        i = np.clip(np.searchsorted(keys, k), 0, max(len(keys) - 1, 0))
-        hit = (keys[i] == k) if len(keys) else np.zeros(len(k), bool)
+        i, hit = sorted_lookup(keys, k)
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
         disc = t["l_discount"].to_numpy(zero_copy_only=False)[hit]
         rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
@@ -3908,8 +3893,7 @@ def order_priority_exists(sf_dir: str, broadcast_limit: int = 5_000_000):
         def semi(t: pa.Table) -> pa.Table:
             k = ray.get(ref)
             v = t["o_orderkey"].to_numpy(zero_copy_only=False)
-            i = np.clip(np.searchsorted(k, v), 0, max(len(k) - 1, 0))
-            hit = (k[i] == v) if len(k) else np.zeros(len(v), bool)
+            i, hit = sorted_lookup(k, v)
             return partial(t.filter(pa.array(hit)))
 
         return (
@@ -4007,8 +3991,7 @@ def customer_order_distribution(sf_dir: str, broadcast_limit: int = 5_000_000):
         def bdist(t: pa.Table) -> pd.DataFrame:
             k_arr, v_arr = ray.get(lut_ref)
             v = t["c_custkey"].to_numpy(zero_copy_only=False)
-            i = np.clip(np.searchsorted(k_arr, v), 0, max(len(k_arr) - 1, 0))
-            hit = (k_arr[i] == v) if len(k_arr) else np.zeros(len(v), bool)
+            i, hit = sorted_lookup(k_arr, v)
             k = np.where(hit, v_arr[i], 0)
             u, n = np.unique(k, return_counts=True)
             return pd.DataFrame(
@@ -4021,9 +4004,7 @@ def customer_order_distribution(sf_dir: str, broadcast_limit: int = 5_000_000):
             .aggregate(Sum("n_cust", alias_name="n_cust"))
         )
 
-    nb = derive_num_buckets(
-        _meta_rows(sf_dir, "customer") + _meta_rows(sf_dir, "customer")
-    )
+    nb = derive_num_buckets(_meta_rows(sf_dir, "customer") + counts.count())
     joined = bucketed_hash_join(cust, counts, on="c_custkey",
                                 join_type="left", num_buckets=nb)
 
@@ -4091,8 +4072,7 @@ def promo_revenue(sf_dir: str, broadcast_limit: int = 20_000_000):
         def bpartial(t: pa.Table) -> pa.Table:
             keys, flags = ray.get(lut_ref)
             k = t["l_partkey"].to_numpy(zero_copy_only=False)
-            i = np.clip(np.searchsorted(keys, k), 0, max(len(keys) - 1, 0))
-            hit = (keys[i] == k) if len(keys) else np.zeros(len(k), bool)
+            i, hit = sorted_lookup(keys, k)
             price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
             disc = t["l_discount"].to_numpy(zero_copy_only=False)[hit]
             cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
@@ -4240,8 +4220,7 @@ def large_orders_having(sf_dir: str, min_qty: int = 200,
         def attach(t: pa.Table) -> pa.Table:
             k_arr, q_arr = ray.get(lut_ref)
             v = t["o_orderkey"].to_numpy(zero_copy_only=False)
-            i = np.clip(np.searchsorted(k_arr, v), 0, max(len(k_arr) - 1, 0))
-            hit = (k_arr[i] == v) if len(k_arr) else np.zeros(len(v), bool)
+            i, hit = sorted_lookup(k_arr, v)
             t = t.filter(pa.array(hit))
             return t.append_column(
                 "sum_qty", pa.array(q_arr[i[hit]], pa.int64())
@@ -4312,8 +4291,7 @@ def brand_supplier_distinct(sf_dir: str, broadcast_limit: int = 20_000_000):
         def annotate(t: pa.Table) -> pa.Table:
             keys, cds = ray.get(lut_ref)
             k = t["l_partkey"].to_numpy(zero_copy_only=False)
-            i = np.clip(np.searchsorted(keys, k), 0, max(len(keys) - 1, 0))
-            hit = (keys[i] == k) if len(keys) else np.zeros(len(k), bool)
+            i, hit = sorted_lookup(keys, k)
             sup = t["l_suppkey"].to_numpy(zero_copy_only=False)[hit]
             bc = cds[i[hit]].astype(np.int64)
             # per-batch distinct via ONE composite int64 (suppkey is bounded
@@ -4520,19 +4498,15 @@ def group_split_events(sf_dir: str):
     ALL of a user's events land in the same split (no user straddles
     train and test). Pure streaming map, md5 computed once per distinct
     user per batch; the oracle replays the identical hex thresholds."""
-    import hashlib
+    from schema_guru_ray.stages.sample import md5_split_assign
 
     ds = _read(sf_dir, "events", ["event_id", "user_id"])
-    t80, t90 = "c" + "c" * 31, "e" + "6" * 31  # 0.8 and 0.9 of hex space
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         u = b["user_id"].astype("int64")
-        m = {
-            int(x): hashlib.md5(str(int(x)).encode()).hexdigest()
-            for x in u.unique()
-        }
-        h = u.map(m)
-        split = np.where(h < t80, "train", np.where(h < t90, "val", "test"))
+        uniq = u.unique()
+        lab = pd.Series(md5_split_assign(uniq), index=uniq)
+        split = u.map(lab).to_numpy()
         return pd.DataFrame(
             {
                 "event_id": b["event_id"].astype("int64"),
@@ -4655,7 +4629,16 @@ def prepare_training_corpus(sf_dir: str):
     grams_ref = ray.put(build_benchmark_grams(bench, 3))
 
     def decontam(b: pd.DataFrame) -> pd.DataFrame:
-        g = ray.get(grams_ref)
+        # per-worker deserialize-once cache (the gram frozenset of strings
+        # cannot be zero-copied from the object store) — same cache the
+        # contamination stage's own scorer uses
+        from schema_guru_ray.stages.contamination import _GRAM_CACHE
+
+        key = grams_ref.hex()
+        g = _GRAM_CACHE.get(key)
+        if g is None:
+            g = ray.get(grams_ref)
+            _GRAM_CACHE[key] = g
         mask = [
             (int(d) % 97 != 0) and not (doc_grams(t or "", 3) & g)
             for d, t in zip(b["doc_id"], b["text"])
@@ -4664,7 +4647,7 @@ def prepare_training_corpus(sf_dir: str):
 
     clean = survivors.map_batches(decontam, batch_format="pandas")
 
-    t80, t90 = "c" + "c" * 31, "e" + "6" * 31
+    from schema_guru_ray.stages.sample import md5_split_assign
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         scr = PiiScrubber()(b)
@@ -4680,12 +4663,7 @@ def prepare_training_corpus(sf_dir: str):
             }
         )
         out = out[(out["n_words"] >= 30) & (out["n_words"] <= 100_000)]
-        h = out["doc_id"].map(
-            lambda i: hashlib.md5(str(int(i)).encode()).hexdigest()
-        )
-        out["split"] = np.where(
-            h < t80, "train", np.where(h < t90, "val", "test")
-        )
+        out["split"] = md5_split_assign(out["doc_id"])
         return out
 
     return clean.map_batches(finish, batch_format="pandas")
@@ -4824,8 +4802,7 @@ def cohort_retention_events(sf_dir: str, broadcast_limit: int = 20_000_000):
         def offsets(t: pa.Table) -> pd.DataFrame:
             k_arr, d_arr = ray.get(lut_ref)
             u = t["user_id"].to_numpy(zero_copy_only=False)
-            i = np.clip(np.searchsorted(k_arr, u), 0, max(len(k_arr) - 1, 0))
-            hit = (k_arr[i] == u) if len(k_arr) else np.zeros(len(u), bool)
+            i, hit = sorted_lookup(k_arr, u)
             ev_day = (t["ts"].to_numpy(zero_copy_only=False)
                       .astype("datetime64[D]").astype(np.int64))[hit]
             cohort = d_arr[i[hit]]

@@ -409,12 +409,14 @@ class SpecAugmentFeaturizer:
 
 
 def cmvn_stats(feats_ds, column: str = "embedding",
-               dim: int = FEATURE_DIM) -> tuple:
+               dim: int = FEATURE_DIM, clamp: bool = True) -> tuple:
     """Corpus-level per-dimension (mean, std) over a list<float> feature
     column — the CMVN gather pass. 100-TB shape: each batch reduces to ONE
     (sum, sumsq, n) sufficient-statistic row (vectorized numpy over the
-    stacked batch); the driver folds #batches tiny rows. Zero-variance
-    dims get std=1 so apply_cmvn is always well-defined."""
+    stacked batch); the driver folds #batches tiny rows. With ``clamp``
+    (default) zero-variance dims get std=1 so apply_cmvn is always
+    well-defined; verification callers pass ``clamp=False`` for the raw
+    statistics."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(b[column].to_numpy()).astype(np.float64)
@@ -433,7 +435,8 @@ def cmvn_stats(feats_ds, column: str = "embedding",
     mean = s / max(n, 1)
     var = np.maximum(ss / max(n, 1) - mean ** 2, 0.0)
     std = np.sqrt(var)
-    std[std < 1e-12] = 1.0
+    if clamp:
+        std[std < 1e-12] = 1.0
     return mean, std
 
 

@@ -521,6 +521,18 @@ def verify_pairs_jaccard_distributed(
     )
 
     n_pairs = pairs_ds.count()  # free: materialized
+    if n_pairs == 0:
+        # no candidates → no pairs; an empty Dataset of the output schema
+        # (the prune/join below would choke on the column-less empty frame;
+        # from_arrow keeps the typed schema where from_pandas drops it)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("id_a", "id_b", "n_inter", "n_union")}
+            )
+        )
     if n_pairs <= semi_broadcast_limit // 2:
         ids_df = pairs_ds.map_batches(
             lambda b: pd.DataFrame(
@@ -532,10 +544,11 @@ def verify_pairs_jaccard_distributed(
         ref = ray.put(cand_ids)
 
         def prune(t: pa.Table) -> pa.Table:
+            from schema_guru_ray.stages.joins import sorted_lookup
+
             k = ray.get(ref)
             v = t[id_column].to_numpy(zero_copy_only=False)
-            i = np.clip(np.searchsorted(k, v), 0, max(len(k) - 1, 0))
-            hit = (k[i] == v) if len(k) else np.zeros(len(v), bool)
+            _, hit = sorted_lookup(k, v)
             return t.filter(pa.array(hit))
 
         docs_clean = docs_clean.map_batches(prune, batch_format="pyarrow")

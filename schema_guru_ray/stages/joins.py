@@ -161,6 +161,18 @@ def _dtype_spec_from_schema(sch) -> Dict[str, str]:
     return spec
 
 
+def sorted_lookup(keys: np.ndarray, probe: np.ndarray):
+    """The broadcast-regime lookup kernel shared by the two-regime
+    operators: membership + value-index against a SORTED key array.
+    Returns ``(idx, hit)`` with ``keys[idx[hit]] == probe[hit]``; safe on
+    empty ``keys`` (all-miss). Pair with an aligned value array sorted by
+    the same argsort to complete a broadcast hash-map without Python
+    dicts."""
+    idx = np.clip(np.searchsorted(keys, probe), 0, max(len(keys) - 1, 0))
+    hit = (keys[idx] == probe) if len(keys) else np.zeros(len(probe), bool)
+    return idx, hit
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "inner"):
     """Join a Dataset against a SMALL pandas side (broadcast via ray.put)."""
     import ray

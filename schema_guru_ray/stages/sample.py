@@ -126,3 +126,27 @@ def stratified_cap(ds, stratum_column: str, key_column: str, cap: int,
         .groupby("__cbucket")
         .map_groups(merge_bucket, batch_format="pandas")
     )
+
+
+# --- content-addressed train/val/test split assignment ---------------------
+
+#: md5-hex thresholds for the standard 80/10/10 split: fixed-width
+#: lowercase hex compares lexicographically == numerically, so these are
+#: exactly 0.8 and 0.9 of the hash space. The SQL oracles restate the same
+#: literals in their CASE expressions.
+SPLIT_T80 = "c" * 32
+SPLIT_T90 = "e" + "6" * 31
+
+
+def md5_split_assign(ids) -> "np.ndarray":
+    """80/10/10 split labels from md5(id) — membership is a pure function
+    of the id (stable across runs, machines, and corpus growth). Shared by
+    split_assign_documents / group_split_events / prepare_training_corpus
+    so the fractions live in exactly one place."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    h = pd.Series([hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids])
+    return np.where(h < SPLIT_T80, "train", np.where(h < SPLIT_T90, "val", "test"))

@@ -339,3 +339,26 @@ class TestJaccardProperties:
                 want = [" ".join(toks[i:i+3]) for i in range(len(toks) - 2)]
             assert word_shingles(text) == want
         check()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_pairs_empty_candidate_set(sf_dir):
+    """A corpus with zero MinHash candidates must yield an empty, correctly
+    typed pair set — not a crash (regression: the documents-side prune
+    raised KeyError on the column-less empty id frame)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_guru_ray.stages.dedup import verify_pairs_jaccard_distributed
+
+    empty_pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                      "id_b": pd.Series(dtype="int64")})
+    )
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = verify_pairs_jaccard_distributed(empty_pairs, docs)
+    assert out.count() == 0
+    # NB: to_pandas() on an EMPTY Dataset drops columns (Ray quirk) — the
+    # schema is the contract here
+    assert list(out.schema().names) == ["id_a", "id_b", "n_inter", "n_union"]
