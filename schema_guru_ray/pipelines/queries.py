@@ -2483,16 +2483,24 @@ WHERE e.ts - o.o_orderdate <= INTERVAL 8500 DAY
 """
 
 
-def range_join_clicks_after_signup(sf_dir: str):
+def range_join_clicks_after_signup(sf_dir: str, broadcast_limit: int = 5_000_000):
     """General interval/range join (stages/joins.range_join): for every
     signup event, the number of click events inside the hour that follows
     it ([ts, ts + 1h], inclusive BETWEEN). Range-partitioned by the click
     timestamp domain — each click lands in one bucket, each 1-hour signup
     window replicates to the 1-2 buckets it overlaps — then a vectorized
     searchsorted sweep per bucket. Signups with zero clicks are kept
-    (count 0): the per-signup counts aggregate distributed; the final
-    left-merge touches only result-sized tables."""
-    from schema_guru_ray.stages.joins import range_join
+    (count 0) via a TWO-REGIME zero-fill on the materialized per-signup
+    count side: ≤ ``broadcast_limit`` signups-with-clicks → sorted-array
+    lookup broadcast into a streaming map over the signup ids; larger →
+    bucketed LEFT join. Nothing signup-sized ever lands on the driver."""
+    import ray
+
+    from schema_guru_ray.stages.joins import (
+        bucketed_hash_join,
+        range_join,
+        sorted_lookup,
+    )
 
     events = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
 
@@ -2518,14 +2526,73 @@ def range_join_clicks_after_signup(sf_dir: str):
         point_columns=["event_id", "ts"],
         interval_columns=["event_id", "lo", "hi"],
     )
+    # per-signup click counts: per-batch Arrow partials, then one vectorized
+    # pandas sum per coarse reducer bucket (~250k signups each) — never one
+    # sort-aggregate group per signup id
+    nbk = max(8, _meta_rows(sf_dir, "events") // 250_000 + 1)
+
+    def per_signup(t: pa.Table) -> pa.Table:
+        g = t.select(["event_id"]).group_by("event_id").aggregate(
+            [("event_id", "count", pc.CountOptions(mode="all"))]
+        )
+        return g.rename_columns(["event_id", "n_clicks"])
+
+    def tagk(t: pa.Table) -> pa.Table:
+        b = (t["event_id"].to_numpy(zero_copy_only=False) % nbk).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("event_id", as_index=False)["n_clicks"].sum()
+        return s.astype({"event_id": "int64", "n_clicks": "int64"})
+
     counts = (
-        pairs.groupby("event_id").count().to_pandas()
-        .rename(columns={"count()": "n_clicks"})
+        pairs.map_batches(per_signup, batch_format="pyarrow")
+        .map_batches(tagk, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_bucket, batch_format="pandas")
+        .materialize()  # ≤ one row per signup that saw a click
     )
-    ids = signups.select_columns(["event_id"]).to_pandas()
-    out = ids.merge(counts, on="event_id", how="left")
-    out["n_clicks"] = out["n_clicks"].fillna(0).astype("int64")
-    return out.sort_values("event_id").reset_index(drop=True)
+    ids = signups.select_columns(["event_id"])
+
+    if counts.count() <= broadcast_limit:
+        # broadcast regime: event_id → click-count sorted lookup shipped
+        # once; signup ids stream through one vectorized zero-fill map
+        cc = counts.to_pandas()
+        keys = cc["event_id"].to_numpy(np.int64)
+        vals = cc["n_clicks"].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        lut_ref = ray.put((keys[order], vals[order]))
+
+        def bfill(t: pa.Table) -> pa.Table:
+            k_arr, v_arr = ray.get(lut_ref)
+            v = t["event_id"].to_numpy(zero_copy_only=False)
+            i, hit = sorted_lookup(k_arr, v)
+            n = np.where(hit, v_arr[i], 0)
+            return pa.table(
+                {"event_id": t["event_id"], "n_clicks": pa.array(n, pa.int64())}
+            )
+
+        return ids.map_batches(bfill, batch_format="pyarrow")
+
+    # distributed regime: bucketed LEFT join (ids ⟕ counts) + streamed
+    # zero-fill; schema hints keep ds.schema() from executing the
+    # coarse-bucket shuffle twice
+    out = bucketed_hash_join(
+        ids,
+        counts,
+        on="event_id",
+        join_type="left",
+        left_schema=pa.schema([("event_id", pa.int64())]),
+        right_schema=pa.schema(
+            [("event_id", pa.int64()), ("n_clicks", pa.int64())]
+        ),
+    )
+
+    def zfill(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(t["n_clicks"], 0).cast(pa.int64())
+        return pa.table({"event_id": t["event_id"], "n_clicks": n})
+
+    return out.map_batches(zfill, batch_format="pyarrow")
 
 
 RANGE_JOIN_CLICKS_SQL = """

@@ -40,6 +40,7 @@ class TestJoinRegimes:
             "large_orders_having",
             "customer_order_distribution",
             "cohort_retention_events",
+            "range_join_clicks_after_signup",
         ],
     )
     def test_part_and_survivor_regimes_agree(self, sf_dir, fn_name):
