@@ -40,6 +40,90 @@ def word_shingles(text: str, n: int = 3) -> List[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+# odd multipliers make the rolling n-window token-hash combine
+# position-sensitive (same constants as the repeated-passage detector)
+_SHINGLE_COMBINE = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
+     0x100000001B3, 0xC6A4A7935BD1E995],
+    dtype=np.uint64,
+)
+
+
+def shingle_hash_batch(
+    b: pd.DataFrame, column: str = "text", id_column: str = "doc_id", n: int = 3
+) -> pa.Table:
+    """Per-doc SORTED-DISTINCT uint64 shingle-hash sets, fully vectorized —
+    each document is shingled exactly ONCE here, so downstream pair
+    verification intersects int arrays instead of re-tokenizing text per
+    pair (a degree-factor duplication in the hottest dedup stage).
+
+    Set semantics match :func:`word_shingles` exactly: ``\\S+`` tokens of
+    the lowercased text (identical to ``_normalize().split(" ")`` for
+    non-empty docs), full n-windows hashed with the rolling combine; a doc
+    shorter than ``n`` tokens contributes its single whole-doc shingle
+    (hashed as the joined string — it has < n tokens so it can never need
+    to equal an n-token window hash); an empty doc contributes nothing.
+    Equal shingle strings always hash equal; distinct ones collide with
+    probability ~m²/2⁶⁵ per doc — negligible, and collisions only MERGE
+    set elements (the same trade the repeated-passage detector documents).
+
+    Returns an Arrow table ``(id_column:int64, __sh:large_binary)`` — the
+    sorted hash set packed as native-endian uint64 bytes (decode with
+    ``np.frombuffer``). Binary, not ``list<uint64>``, because the native
+    hash join rejects list-typed non-key fields; bytes pass through
+    zero-copy.
+    """
+    from itertools import chain
+
+    tok_lists = b[column].fillna("").str.lower().str.findall(r"\S+")
+    lengths = tok_lists.map(len).to_numpy()
+    flat = list(chain.from_iterable(tok_lists))
+    ids = pa.array(b[id_column].to_numpy(np.int64), pa.int64())
+
+    if flat:
+        codes, uniq = pd.factorize(pd.Series(flat, dtype="object"))
+        th = stable_hash64(pd.Series(uniq)).astype(np.uint64)[codes]
+    else:
+        th = np.zeros(0, np.uint64)
+    doc_idx = np.repeat(np.arange(len(b)), lengths)
+
+    n_win = len(flat) - n + 1
+    if n_win > 0:
+        with np.errstate(over="ignore"):
+            gh = np.zeros(n_win, np.uint64)
+            for j in range(n):
+                gh += th[j : j + n_win] * _SHINGLE_COMBINE[j]
+        valid = doc_idx[:n_win] == doc_idx[n - 1 :]
+        win_h, win_d = gh[valid], doc_idx[:n_win][valid]
+    else:
+        win_h = win_d = np.zeros(0, np.uint64)
+
+    short = np.flatnonzero((lengths > 0) & (lengths < n))
+    if len(short):
+        joined = tok_lists.iloc[short].map(" ".join)
+        short_h = stable_hash64(pd.Series(joined.to_numpy(), dtype="object"))
+        all_h = np.concatenate([win_h.astype(np.uint64), short_h.astype(np.uint64)])
+        all_d = np.concatenate([win_d.astype(np.int64), short.astype(np.int64)])
+    else:
+        all_h, all_d = win_h.astype(np.uint64), win_d.astype(np.int64)
+
+    order = np.lexsort((all_h, all_d))
+    hs, dxs = all_h[order], all_d[order]
+    keep = np.ones(len(hs), bool)
+    keep[1:] = (hs[1:] != hs[:-1]) | (dxs[1:] != dxs[:-1])
+    hs, dxs = hs[keep], dxs[keep]
+    counts = np.bincount(dxs, minlength=len(b))
+    offsets = np.zeros(len(b) + 1, np.int64)
+    np.cumsum(counts * 8, out=offsets[1:])
+    blobs = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(b),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(hs.tobytes())],
+    )
+    return pa.table({id_column: ids, "__sh": blobs})
+
+
 def jaccard(a: Iterable[str], b: Iterable[str]) -> float:
     sa, sb = set(a), set(b)
     if not sa and not sb:
@@ -480,10 +564,12 @@ def verify_pairs_jaccard_distributed(
        (false positives just ship a little extra text; the inner join
        drops them exactly). Without this prune the join would shuffle the
        ENTIRE corpus text to co-locate it with a handful of pairs;
-    3. hash-join the pruned docs against the exploded pairs;
+    3. shingle-hash each surviving doc ONCE (:func:`shingle_hash_batch` —
+       sorted-distinct uint64 sets) and hash-join the int lists against
+       the exploded pairs — text never enters the exchange;
     4. group by a coarse pair-hash bucket; inside a bucket a pandas
-       groupby walks real pairs and computes exact integer
-       intersection/union of the shingle sets.
+       groupby walks real pairs and intersects the two sorted hash
+       arrays (integer intersection/union — no per-pair re-tokenizing).
 
     ``pairs_ds`` is materialized here (2-int rows) so the id collection,
     regime choice and bucket sizing never re-run the candidate plan.
@@ -574,7 +660,14 @@ def verify_pairs_jaccard_distributed(
         docs_clean = docs_clean.map_batches(bloom_prune, batch_format="pandas")
         if num_partitions is None:
             num_partitions = derive_num_buckets(docs_ds.count())
-    joined = hash_join(sides, docs_clean, on=id_column, num_partitions=num_partitions)
+    # shingle each surviving doc ONCE (sorted-distinct uint64 hash set);
+    # the join then ships int lists, never text, and verification is an
+    # integer-array intersection per pair
+    docs_sh = docs_clean.map_batches(
+        lambda b: shingle_hash_batch(b, column=column, id_column=id_column, n=shingle_n),
+        batch_format="pandas",
+    )
+    joined = hash_join(sides, docs_sh, on=id_column, num_partitions=num_partitions)
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         key = b["id_a"].astype(np.int64) * np.int64(1_000_003) + b["id_b"].astype(np.int64)
@@ -583,13 +676,13 @@ def verify_pairs_jaccard_distributed(
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for (ia, ib), grp in g.groupby(["id_a", "id_b"], sort=False):
-            texts = dict(zip(grp[id_column], grp[column]))
-            if len(texts) < 2:
+            sets = dict(zip(grp[id_column], grp["__sh"]))
+            if len(sets) < 2:
                 continue  # one side's doc missing (shouldn't happen)
-            sa = set(word_shingles(texts[ia] or "", shingle_n))
-            sb = set(word_shingles(texts[ib] or "", shingle_n))
-            n_inter = len(sa & sb)
-            n_union = len(sa | sb)
+            sa = np.frombuffer(sets[ia] or b"", np.uint64)  # sorted distinct
+            sb = np.frombuffer(sets[ib] or b"", np.uint64)
+            n_inter = int(np.isin(sa, sb, assume_unique=True).sum())
+            n_union = len(sa) + len(sb) - n_inter
             if n_union and n_inter * p_den >= n_union * p_num:
                 rows.append((int(ia), int(ib), n_inter, n_union))
         return pd.DataFrame(
