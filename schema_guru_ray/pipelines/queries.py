@@ -4780,7 +4780,7 @@ def prepare_training_corpus(sf_dir: str):
         _confirmed_drop_ids, _exact_dedup, _remove_drops,
     )
     from schema_guru_ray.stages.contamination import (
-        build_benchmark_grams, doc_grams,
+        build_benchmark_grams, hash_gram_strings,
     )
     from schema_guru_ray.stages.text import WORD_RE, PiiScrubber
 
@@ -4792,23 +4792,20 @@ def prepare_training_corpus(sf_dir: str):
     drops = _confirmed_drop_ids(kept, 0.8)
     survivors = _remove_drops(kept, drops, drops.count(), 1_000_000)
 
-    grams_ref = ray.put(build_benchmark_grams(bench, 3))
+    bench_grams = build_benchmark_grams(bench, 3)
+    probe_ref = ray.put((hash_gram_strings(bench_grams, 3), bench_grams))
 
     def decontam(b: pd.DataFrame) -> pd.DataFrame:
-        # per-worker deserialize-once cache (the gram frozenset of strings
-        # cannot be zero-copied from the object store) — same cache the
-        # contamination stage's own scorer uses
-        from schema_guru_ray.stages.contamination import _GRAM_CACHE
+        # vectorized hash probe + exact recount for flagged docs only,
+        # over the broadcast (sorted-hash-array, frozenset) probe pair —
+        # per-worker deserialize-once via the stage's own cache
+        from schema_guru_ray.stages.contamination import (
+            _get_probe, exact_hit_counts,
+        )
 
-        key = grams_ref.hex()
-        g = _GRAM_CACHE.get(key)
-        if g is None:
-            g = ray.get(grams_ref)
-            _GRAM_CACHE[key] = g
-        mask = [
-            (int(d) % 97 != 0) and not (doc_grams(t or "", 3) & g)
-            for d, t in zip(b["doc_id"], b["text"])
-        ]
+        hash_arr, grams = _get_probe(probe_ref)
+        hits = exact_hit_counts(b["text"].fillna(""), hash_arr, grams, 3)
+        mask = (b["doc_id"].to_numpy(np.int64) % 97 != 0) & (hits == 0)
         return b[pd.Series(mask, index=b.index)]
 
     clean = survivors.map_batches(decontam, batch_format="pandas")

@@ -7,9 +7,16 @@ document that shares an n-gram with it. Shape at 100 TB:
 * the benchmark side is a fixed, small asset (MBs of eval sets) at ANY
   corpus scale — its distinct gram set is built once and broadcast via
   ``ray.put`` (read once per worker, never re-shipped per batch);
-* the corpus side streams: one stateless ``map_batches`` pass computes the
-  per-document hit count against the broadcast set — NO shuffle, no
-  materialization, output is (id, n_hits, contaminated) rows.
+* the corpus side streams: one stateless ``map_batches`` pass probes each
+  document's vectorized rolling-hash window set against the broadcast
+  SORTED uint64 benchmark-gram-hash array (``np.searchsorted`` — no
+  per-row Python in the hot loop), then recounts EXACTLY by string only
+  for the hash-flagged documents. Equal gram strings always hash equal,
+  so the hash pass has no misses; collisions only over-flag, and the
+  string recount removes them — the result is byte-exact vs the oracle
+  (the Misra-Gries bucket-then-recount shape, same trade the
+  repeated-passage detector documents). NO shuffle, no materialization;
+  output is (id, n_hits, contaminated) rows.
 
 Real deployments use 8–13-gram windows; ``n`` is a parameter (the catalog
 query uses 3 because the synthetic corpus' tiny vocabulary makes longer
@@ -24,9 +31,14 @@ normalization" discipline (JsonPathExtractor.scala:45).
 from __future__ import annotations
 
 import re
-from typing import FrozenSet, Set
+from itertools import chain
+from typing import FrozenSet, Set, Tuple
 
+import numpy as np
 import pandas as pd
+
+from schema_guru_ray.stages.dedup import SHINGLE_COMBINE
+from schema_guru_ray.stages.profile import stable_hash64
 
 TOKEN_RE = re.compile(r"\S+")
 
@@ -62,22 +74,89 @@ def build_benchmark_grams(bench_ds, n: int, column: str = "text") -> FrozenSet[s
     return frozenset(gram_ds.unique("g"))
 
 
+def hash_gram_strings(grams, n: int) -> np.ndarray:
+    """Sorted uint64 hashes of n-token gram strings, computed with the SAME
+    token-hash + rolling combine as :func:`gram_window_hashes` — so a
+    corpus window hash equals a benchmark gram hash iff (modulo 64-bit
+    collisions) the strings are equal."""
+    grams = list(grams)
+    if not grams:
+        return np.zeros(0, np.uint64)
+    toks = pd.Series(grams, dtype="object").str.split(" ")
+    lens = toks.map(len).to_numpy()
+    if not (lens == n).all():
+        raise ValueError(f"benchmark grams must have exactly {n} tokens")
+    flat = list(chain.from_iterable(toks))
+    codes, uniq = pd.factorize(pd.Series(flat, dtype="object"))
+    th = stable_hash64(pd.Series(uniq)).astype(np.uint64)[codes]
+    th = th.reshape(len(grams), n)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(grams), np.uint64)
+        for j in range(n):
+            h += th[:, j] * SHINGLE_COMBINE[j]
+    return np.sort(h)
+
+
+def gram_window_hashes(texts: pd.Series, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized corpus-side gram hashing: every full n-token window of
+    every document, as (doc_index, uint64 window hash) arrays. Documents
+    shorter than ``n`` tokens contribute nothing (matching
+    :func:`doc_grams`'s empty set)."""
+    tok_lists = texts.str.lower().str.findall(TOKEN_RE)
+    lengths = tok_lists.map(len).to_numpy()
+    flat = list(chain.from_iterable(tok_lists))
+    n_win = len(flat) - n + 1
+    if n_win <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    codes, uniq = pd.factorize(pd.Series(flat, dtype="object"))
+    th = stable_hash64(pd.Series(uniq)).astype(np.uint64)[codes]
+    doc_idx = np.repeat(np.arange(len(texts)), lengths)
+    with np.errstate(over="ignore"):
+        gh = np.zeros(n_win, np.uint64)
+        for j in range(n):
+            gh += th[j : j + n_win] * SHINGLE_COMBINE[j]
+    valid = doc_idx[:n_win] == doc_idx[n - 1 :]
+    return doc_idx[:n_win][valid], gh[valid]
+
+
+def exact_hit_counts(
+    texts: pd.Series, hash_arr: np.ndarray, grams: FrozenSet[str], n: int
+) -> np.ndarray:
+    """Distinct shared-gram count per document: vectorized hash probe
+    (searchsorted against the sorted benchmark hashes), then an exact
+    string recount ONLY for hash-flagged documents. No misses (equal
+    strings hash equal); collisions are corrected by the recount."""
+    didx, gh = gram_window_hashes(texts, n)
+    hits = np.zeros(len(texts), np.int64)
+    if len(gh) and len(hash_arr):
+        i = np.clip(np.searchsorted(hash_arr, gh), 0, len(hash_arr) - 1)
+        flagged = np.unique(didx[hash_arr[i] == gh])
+        for d in flagged:
+            hits[d] = len(doc_grams(texts.iloc[d], n) & grams)
+    return hits
+
+
 _GRAM_CACHE: dict = {}
 
 
-def _score_batch(batch: pd.DataFrame, *, grams_ref, n: int, column: str,
-                 id_column: str) -> pd.DataFrame:
-    """Stateless scoring kernel; the broadcast gram set is fetched from the
-    object store once per worker process and cached (zero-copy for the
-    ref, one deserialization per worker)."""
+def _get_probe(probe_ref):
+    """Per-worker deserialize-once cache for the broadcast
+    (sorted-hash-array, gram-frozenset) probe pair."""
     import ray
 
-    key = getattr(grams_ref, "hex", lambda: id(grams_ref))()
-    grams = _GRAM_CACHE.get(key)
-    if grams is None:
-        grams = ray.get(grams_ref)
-        _GRAM_CACHE[key] = grams
-    hits = [len(doc_grams(t, n) & grams) for t in batch[column].fillna("")]
+    key = getattr(probe_ref, "hex", lambda: id(probe_ref))()
+    probe = _GRAM_CACHE.get(key)
+    if probe is None:
+        probe = ray.get(probe_ref)
+        _GRAM_CACHE[key] = probe
+    return probe
+
+
+def _score_batch(batch: pd.DataFrame, *, probe_ref, n: int, column: str,
+                 id_column: str) -> pd.DataFrame:
+    """Stateless scoring kernel over the broadcast probe pair."""
+    hash_arr, grams = _get_probe(probe_ref)
+    hits = exact_hit_counts(batch[column].fillna(""), hash_arr, grams, n)
     out = pd.DataFrame(
         {
             id_column: batch[id_column].astype("int64"),
@@ -98,9 +177,9 @@ def flag_contaminated(corpus_ds, bench_grams: FrozenSet[str], n: int,
     """
     import ray
 
-    ref = ray.put(bench_grams)
+    ref = ray.put((hash_gram_strings(bench_grams, n), bench_grams))
     return corpus_ds.map_batches(
         _score_batch,
-        fn_kwargs=dict(grams_ref=ref, n=n, column=column, id_column=id_column),
+        fn_kwargs=dict(probe_ref=ref, n=n, column=column, id_column=id_column),
         batch_format="pandas",
     )

@@ -41,8 +41,10 @@ def word_shingles(text: str, n: int = 3) -> List[str]:
 
 
 # odd multipliers make the rolling n-window token-hash combine
-# position-sensitive (same constants as the repeated-passage detector)
-_SHINGLE_COMBINE = np.array(
+# position-sensitive (same constants as the repeated-passage detector);
+# public: the decontamination stage hashes benchmark grams with the same
+# combine so its corpus-side window hashes are probe-compatible
+SHINGLE_COMBINE = np.array(
     [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
      0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
      0x100000001B3, 0xC6A4A7935BD1E995],
@@ -93,7 +95,7 @@ def shingle_hash_batch(
         with np.errstate(over="ignore"):
             gh = np.zeros(n_win, np.uint64)
             for j in range(n):
-                gh += th[j : j + n_win] * _SHINGLE_COMBINE[j]
+                gh += th[j : j + n_win] * SHINGLE_COMBINE[j]
         valid = doc_idx[:n_win] == doc_idx[n - 1 :]
         win_h, win_d = gh[valid], doc_idx[:n_win][valid]
     else:

@@ -225,6 +225,32 @@ class TestDecontamination:
         assert list(out["contaminated"]) == [1, 0, 1]
         assert list(out["n_hits"]) == [1, 0, 1]
 
+    def test_hash_probe_matches_per_row_sets_at_scale(self):
+        """The vectorized hash probe + flagged-only recount must equal the
+        per-row string-set intersection on a corpus well past one batch
+        (the hot loop is searchsorted over window hashes, not Python)."""
+        import numpy as np
+
+        from schema_guru_ray.stages.contamination import (
+            doc_grams,
+            exact_hit_counts,
+            hash_gram_strings,
+        )
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(40)]  # tiny vocab → many real hits
+        docs = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+            for _ in range(5000)
+        ]
+        bench_docs = docs[::97]
+        grams = frozenset().union(*(doc_grams(t, 3) for t in bench_docs)) if bench_docs else frozenset()
+        hash_arr = hash_gram_strings(grams, 3)
+        got = exact_hit_counts(pd.Series(docs, dtype="object"), hash_arr, grams, 3)
+        want = np.array([len(doc_grams(t, 3) & grams) for t in docs], np.int64)
+        assert (got == want).all()
+        assert want.sum() > 0  # the scenario actually exercises hits
+
 
 class TestRepetitionScorer:
     def test_ground_truth(self):
