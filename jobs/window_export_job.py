@@ -74,11 +74,35 @@ def export_windows(input_files, out_dir: str, window_ms: int = 250,
     )
 
 
-def read_windows(out_dir: str):
-    """Dataset over every committed partition's window rows."""
+def _current_partitions(out_dir: str, window_ms: int, hop_ms: int):
+    """Committed partition dirs whose ``_SUCCESS`` carries THIS window/hop
+    config hash — after a config change a crash mid-rerun can leave
+    old-config partitions on disk, and those must be neither counted nor
+    read as current output."""
+    import json
+
+    from schema_guru_ray.state.checkpoint import config_hash
+
+    cfg = config_hash(
+        {"op": "export_windows", "window_ms": window_ms, "hop_ms": hop_ms}
+    )
+    dirs = []
+    for f in sorted(glob.glob(os.path.join(out_dir, "partition=*", "_SUCCESS.json"))):
+        with open(f) as fh:
+            meta = json.load(fh)
+        if meta.get("config_hash") == cfg:
+            dirs.append((os.path.dirname(f), meta))
+    return dirs
+
+
+def read_windows(out_dir: str, window_ms: int = 250, hop_ms: int = 100):
+    """Dataset over every committed partition's window rows, restricted to
+    partitions committed under the given window/hop config."""
     import ray.data as rd
 
-    files = sorted(glob.glob(os.path.join(out_dir, "partition=*", "*.parquet")))
+    files = []
+    for d, _ in _current_partitions(out_dir, window_ms, hop_ms):
+        files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
     return rd.read_parquet(files)
 
 
@@ -108,13 +132,11 @@ def main(argv=None) -> int:
     )
     # total from the COMMITTED _SUCCESS manifests, not the run summary —
     # skipped (checkpoint-hit) partitions carry no metrics in the summary,
-    # so a resumed run would otherwise print windows=0
-    import json as _json
-
+    # so a resumed run would otherwise print windows=0; only manifests
+    # carrying the CURRENT config hash count (stale-config leftovers don't)
     total = 0
-    for f in glob.glob(os.path.join(args.out, "partition=*", "_SUCCESS.json")):
-        with open(f) as fh:
-            total += _json.load(fh).get("metrics", {}).get("n_windows", 0)
+    for _, meta in _current_partitions(args.out, args.window_ms, args.hop_ms):
+        total += meta.get("metrics", {}).get("n_windows", 0)
     print(
         f"ran={summary['ran']} skipped={summary['skipped']} windows={total}"
     )

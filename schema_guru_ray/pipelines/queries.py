@@ -3723,7 +3723,9 @@ def rolling_revenue_customer(sf_dir: str, window_days: int = 7):
             g["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
         )
         cust = g["o_custkey"].to_numpy().astype(np.int64)
-        assert (days < (1 << 21)).all() and (cust < (1 << 42)).all()
+        # days must be non-negative too: a pre-1970 date would make the
+        # fused key non-monotone and silently corrupt the trailing windows
+        assert (days >= 0).all() and (days < (1 << 21)).all() and (cust < (1 << 42)).all()
         fused = cust * (1 << 21) + days
         cents = _int_units(g["o_totalprice"].to_numpy(), 100).to_numpy(np.int64)
         prefix = np.concatenate([[0], cents.cumsum()])

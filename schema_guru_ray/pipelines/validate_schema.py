@@ -98,6 +98,11 @@ def _candidate_mask(batch: pa.Table, c: str, sub: Dict[str, Any]):
                 m |= v < float(sub["minimum"])
             if "maximum" in sub:
                 m |= v > float(sub["maximum"])
+            if "minimum" in sub or "maximum" in sub:
+                # float64 can't order values/bounds exactly past 2^53 —
+                # such rows go to the exact per-row loop so the mask stays
+                # a superset of the true violations
+                m |= np.abs(v) >= 2.0 ** 53
     if vt == "string":
         if "minLength" in sub or "maxLength" in sub:
             ln = s.str.len()

@@ -409,16 +409,25 @@ class SpecAugmentFeaturizer:
 
 
 def cmvn_stats(feats_ds, column: str = "embedding",
-               dim: int = FEATURE_DIM, clamp: bool = True) -> tuple:
+               dim: int = FEATURE_DIM, clamp: bool = True,
+               fanin: int = 64, driver_fold_limit: int = 256) -> tuple:
     """Corpus-level per-dimension (mean, std) over a list<float> feature
     column — the CMVN gather pass. 100-TB shape: each batch reduces to ONE
     (sum, sumsq, n) sufficient-statistic row (vectorized numpy over the
-    stacked batch); the driver folds #batches tiny rows. With ``clamp``
-    (default) zero-variance dims get std=1 so apply_cmvn is always
-    well-defined; verification callers pass ``clamp=False`` for the raw
-    statistics."""
+    stacked batch); past ``driver_fold_limit`` partial rows a distributed
+    tree level (``groupby(shard % fanin)``, the fold_profiles topology)
+    merges them worker-side first, so the driver folds ≤ ``fanin`` rows
+    REGARDLESS of batch count — never O(#batches) driver pandas. With
+    ``clamp`` (default) zero-variance dims get std=1 so apply_cmvn is
+    always well-defined; verification callers pass ``clamp=False`` for the
+    raw statistics."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            # empty block (possible downstream of a decodable filter):
+            # a zero sufficient-statistic row keeps the fold schema stable
+            z = np.zeros(dim, np.float64).tobytes()
+            return pd.DataFrame({"s": [z], "ss": [z], "n": [0]})
         m = np.stack(b[column].to_numpy()).astype(np.float64)
         return pd.DataFrame(
             {
@@ -428,7 +437,27 @@ def cmvn_stats(feats_ds, column: str = "embedding",
             }
         )
 
-    rows = feats_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = feats_ds.map_batches(partial, batch_format="pandas").materialize()
+    if parts.count() > driver_fold_limit:
+        def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(
+                __shard=(np.arange(len(b)) % fanin).astype(np.int32)
+            )
+
+        def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+            s = np.sum([np.frombuffer(x) for x in g["s"]], axis=0)
+            ss = np.sum([np.frombuffer(x) for x in g["ss"]], axis=0)
+            return pd.DataFrame(
+                {"s": [s.tobytes()], "ss": [ss.tobytes()],
+                 "n": [int(g["n"].sum())]}
+            )
+
+        parts = (
+            parts.map_batches(add_shard, batch_format="pandas")
+            .groupby("__shard")
+            .map_groups(merge_shard, batch_format="pandas")
+        )
+    rows = parts.to_pandas()  # ≤ max(fanin, driver_fold_limit) rows
     s = np.sum([np.frombuffer(x) for x in rows["s"]], axis=0)
     ss = np.sum([np.frombuffer(x) for x in rows["ss"]], axis=0)
     n = int(rows["n"].sum())
@@ -450,6 +479,8 @@ def apply_cmvn(feats_ds, mean: np.ndarray, std: np.ndarray,
     ref = ray.put((np.asarray(mean), np.asarray(std)))
 
     def norm(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
         mu, sd = ray.get(ref)
         m = np.stack(b[column].to_numpy()).astype(np.float64)
         z = (m - mu[None, :]) / sd[None, :]

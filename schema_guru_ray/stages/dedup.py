@@ -341,12 +341,9 @@ def connected_components_distributed(pairs_ds, max_rounds: Optional[int] = None)
     nb = derive_num_buckets(edges.count())
 
     def label_sum(lab) -> int:
-        return int(
-            lab.map_batches(
-                lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}),
-                batch_format="pandas",
-            ).to_pandas()["s"].sum()
-        )
+        # one native Sum aggregate over the (materialized) labels blocks —
+        # not a separate map_batches + driver-pandas pass per round
+        return int(lab.sum("label") or 0)
 
     prev_sum = label_sum(labels)
     rounds = 0

@@ -102,3 +102,34 @@ class TestWindowExport:
         changed = export_windows(files, out, num_partitions=2, hop_ms=250,
                                  log=lambda *_: None)
         assert changed["ran"] == 2  # different config → full rerun
+
+    def test_stale_config_partitions_neither_read_nor_counted(self, tmp_path):
+        """A crash mid-rerun after a config change leaves old-config
+        partitions on disk; read_windows and the manifest totaling must
+        skip them."""
+        import shutil
+
+        from jobs.window_export_job import (
+            _current_partitions, export_windows, read_windows,
+        )
+
+        files, _ = _clips_files(tmp_path, n_files=2, clips_per_file=2)
+        out = str(tmp_path / "out")
+        export_windows(files, out, num_partitions=2, hop_ms=100,
+                       log=lambda *_: None)
+        old = read_windows(out, hop_ms=100).to_pandas()
+        # "crash mid-rerun": the new config committed partition 0 only —
+        # simulate by exporting under hop_ms=250 into a scratch dir and
+        # transplanting its partition 0 over the old-config one
+        scratch = str(tmp_path / "scratch")
+        export_windows(files, scratch, num_partitions=2, hop_ms=250,
+                       log=lambda *_: None)
+        shutil.rmtree(f"{out}/partition=0000")
+        shutil.move(f"{scratch}/partition=0000", f"{out}/partition=0000")
+
+        cur = _current_partitions(out, window_ms=250, hop_ms=250)
+        assert len(cur) == 1  # only the transplanted new-config partition
+        new_rows = read_windows(out, hop_ms=250).to_pandas()
+        assert 0 < len(new_rows) < len(old)
+        stale_rows = read_windows(out, hop_ms=100).to_pandas()
+        assert 0 < len(stale_rows) < len(old)  # partition 1 only
