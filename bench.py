@@ -8,10 +8,11 @@ clips/sec validation throughput) plus a representative query suite over
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "clips_per_sec": ...}
 
-``--scaling`` re-runs the benchmark in two fresh processes at
-RAY_GRAFT_CPUS=8 and 32 on the same input and reports both throughputs plus
-scaling efficiency (the in-sandbox evidence for the north rule's N vs 4N
-cluster criterion).
+``--scaling`` re-runs the headline job in fresh processes across an
+N-vs-4N CPU ladder (default pairings 2v8 and 4v16, override with
+GRAFT_SCALING_LEGS="2,8;4,16;8,32") on the same input and reports each
+pairing's throughputs plus scaling efficiency (the in-sandbox evidence for
+the north rule's N vs 4N cluster criterion).
 
 This script OWNS its Ray session (unlike __ray_entry__).
 """
@@ -67,7 +68,8 @@ def run_bench() -> dict:
 
         return pa.table({"n": [t.num_rows]})
 
-    for tbl in ("lineitem", "orders", "events", "documents", "embeddings"):
+    for tbl in ("lineitem", "orders", "events", "documents", "embeddings",
+                "customer", "supplier", "part", "nation", "region"):
         rd.read_parquet(os.path.join(sf_dir, f"{tbl}.parquet")).map_batches(
             _touch, batch_format="pyarrow"
         ).materialize()
@@ -91,44 +93,11 @@ def run_bench() -> dict:
         assert cv["n_clips"].sum() == n_clips
     headline_sec = min(headline_repeats)
 
-    # --- representative query suite ----------------------------------------
-    suite = [
-        "q1_lineitem_agg",
-        "grouped_stats_events",
-        "distinct_counts",
-        "sessionize_events",
-        "dedup_exact_documents",
-        "minhash_dedup_documents",
-        "near_dup_pairs_documents",
-        "curate_documents",
-        "ann_topk_embeddings",
-        "schema_infer_lineitem",
-        "schema_infer_events_props",
-        "token_counts_documents",
-        "join_orders_customers",
-        "window_functions_orders",
-        "heavy_hitters_tokens",
-        "asof_latest_order_before_event",
-        "windowed_events_daily",
-        "schema_roundtrip_validate_events",
-        "decontaminate_documents",
-        "cluster_assign_embeddings",
-        "repetition_documents",
-        "scrub_pii_documents",
-        "revenue_by_region",
-        "rolling_revenue_customer",
-        "promo_revenue",
-        "brand_supplier_distinct",
-        "order_priority_exists",
-        "customer_order_distribution",
-        "large_orders_having",
-        "modal_event_type_user",
-        "funnel_conversions_events",
-        "cohort_retention_events",
-        "duplicate_passages_documents",
-        "group_split_events",
-        "prepare_training_corpus",
-    ]
+    # --- query suite: the FULL catalog --------------------------------------
+    # Round-3 lesson: the two scale traps (duplicate_passages 38.6 s, cohort
+    # 9.5 s) were caught only because those queries were benched. Bench
+    # everything so no operator escapes the wall-clock test.
+    suite = list(Q.QUERIES)
     # minhash_dedup_documents in queries() is the CHECKED-INVARIANT form: it
     # additionally computes the recall-exhaustive truth set in the same run
     # (~3x the operator's work). The bench times the operator a user runs.
@@ -252,37 +221,52 @@ def run_scaling() -> dict:
     # MINIMUM wall time per leg — min is the standard estimator for
     # wall time under external contention (contention only ever ADDS time).
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
-    # Default legs 2 vs 8 (still N vs 4N): on THIS single-socket host the
-    # shared memory bus saturates as workers are added — the same pipeline
-    # on the same day measured 1.03 at 2v8, 0.762 at 4v16, 0.49 at 8v32,
-    # with an instrumented 1.9x per-CPU inflation for IDENTICAL work at
-    # 16 workers (BASELINE.md round 3 session 3). A real 4N-node cluster
-    # brings 4N memory buses, so the unsaturated pairing is the faithful
-    # in-sandbox proxy for the north rule's N-vs-4N-node criterion; the
-    # full ladder is recorded in BASELINE.md. Override with
-    # GRAFT_SCALING_LEGS="4,16" / "8,32".
-    legs = os.environ.get("GRAFT_SCALING_LEGS", "2,8").split(",")
-    lo, hi = int(legs[0]), int(legs[1])
-    lo_runs, hi_runs = [], []
-    for _ in range(repeats):
-        lo_runs.append(run(lo))
-        hi_runs.append(run(hi))
-    r_lo = min(lo_runs, key=lambda r: r["value"])
-    r_hi = min(hi_runs, key=lambda r: r["value"])
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    # Two N-vs-4N pairings by default (round-4 advice: don't judge the
+    # criterion solely on the unsaturated leg). On THIS single-socket host
+    # the shared memory bus saturates as workers are added — the same
+    # pipeline on the same day measured 1.03 at 2v8, 0.762-0.855 at 4v16,
+    # 0.49 at 8v32, with an instrumented 1.9x per-CPU inflation for
+    # IDENTICAL work at 16 workers (BASELINE.md round 3). A real 4N-node
+    # cluster brings 4N memory buses, so the unsaturated 2v8 pairing is the
+    # faithful in-sandbox proxy for the north rule's N-vs-4N-node criterion;
+    # the saturated pairings quantify the single-socket bandwidth ceiling.
+    # Override the ladder with GRAFT_SCALING_LEGS="2,8;4,16;8,32".
+    ladder_spec = os.environ.get("GRAFT_SCALING_LEGS", "2,8;4,16")
+    ladder = []
+    for pair in ladder_spec.split(";"):
+        legs = pair.split(",")
+        lo, hi = int(legs[0]), int(legs[1])
+        lo_runs, hi_runs = [], []
+        for _ in range(repeats):
+            lo_runs.append(run(lo))
+            hi_runs.append(run(hi))
+        r_lo = min(lo_runs, key=lambda r: r["value"])
+        r_hi = min(hi_runs, key=lambda r: r["value"])
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        ladder.append({
+            "cpus_lo": lo,
+            "cpus_hi": hi,
+            f"sec_{lo}": t_lo,
+            f"sec_{hi}": t_hi,
+            f"sec_{lo}_runs": [r["value"] for r in lo_runs],
+            f"sec_{hi}_runs": [r["value"] for r in hi_runs],
+            f"clips_per_sec_{lo}": r_lo["clips_per_sec"],
+            f"clips_per_sec_{hi}": r_hi["clips_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "n_clips": r_hi["n_clips"],
+        })
+    primary = ladder[0]
     return {
-        "metric": f"scaling efficiency (clips validation, {lo} vs {hi} cpus, same input)",
-        "n_clips": r_hi["n_clips"],
-        "cpus_lo": lo,
-        "cpus_hi": hi,
-        f"sec_{lo}": t_lo,
-        f"sec_{hi}": t_hi,
-        f"sec_{lo}_runs": [r["value"] for r in lo_runs],
-        f"sec_{hi}_runs": [r["value"] for r in hi_runs],
-        f"clips_per_sec_{lo}": r_lo["clips_per_sec"],
-        f"clips_per_sec_{hi}": r_hi["clips_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "metric": (
+            "scaling efficiency (clips validation, N vs 4N cpus, same input; "
+            f"ladder {ladder_spec})"
+        ),
+        "n_clips": primary["n_clips"],
+        "cpus_lo": primary["cpus_lo"],
+        "cpus_hi": primary["cpus_hi"],
+        "scaling_efficiency": primary["scaling_efficiency"],
+        "ladder": ladder,
     }
 
 

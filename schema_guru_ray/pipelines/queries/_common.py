@@ -1,0 +1,46 @@
+"""Named query/operator catalog backing ``__ray_entry__.queries()``.
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table. Numeric aggregate outputs use integer cents / explicit
+rounding so the Ray result and the DuckDB oracle hash identically despite
+floating-point summation order (driver compares row-count + schema +
+order-insensitive value hash; column names must match the SQL aliases
+EXACTLY).
+
+None of these call ray.init — the driver owns the session."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from schema_guru_ray.context import SchemaContext
+from schema_guru_ray.stages.joins import sorted_lookup
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+
+def _meta_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet FOOTER metadata — free, no plan execution.
+    Used to size join buckets for DERIVED datasets (whose ``.count()``
+    would execute the upstream plan once just to pick a bucket count,
+    then the join would execute it again)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
+def _int_units(values: np.ndarray, scale: int) -> pd.Series:
+    """NaN-safe half-up integer conversion (SQL round semantics): NULLs stay
+    NA and are skipped by pandas group sums, like SQL sum()."""
+    with np.errstate(invalid="ignore"):
+        return pd.Series(np.floor(values * scale + 0.5)).astype("Int64")

@@ -1,0 +1,423 @@
+"""Dedup + similarity (minhash/simhash/embedding/ANN/cluster) queries — part of the catalog backing __ray_entry__.queries().
+
+Split from the former single-file ``pipelines/queries.py`` (round 4); see
+the package ``__init__`` for the full QUERIES/ORACLES catalog contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from schema_guru_ray.context import SchemaContext
+from schema_guru_ray.stages.joins import sorted_lookup
+from schema_guru_ray.pipelines.queries._common import (
+    _int_units,
+    _meta_rows,
+    _read,
+)
+
+
+
+def dedup_exact_documents(sf_dir: str):
+    from schema_guru_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+DEDUP_EXACT_DOCUMENTS_SQL = """
+SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def minhash_dedup_documents(sf_dir: str, measure_recall: bool = True):
+    """Near-dup candidate pairs (MinHash+LSH, default 64-perm × 16-band
+    signer). LSH output is approximate by design (no SQL oracle), but the
+    result carries a MEASURED recall against the verified exact-jaccard
+    ≥ 0.8 pair set computed IN THE SAME RUN with the recall-exhaustive
+    21×3-band signer — the truth set near_dup_pairs_documents
+    oracle-checks — so the rows-only record is a checked invariant and
+    pytest bounds it (the ivf_topk_embeddings pattern).
+    ``measure_recall=False`` skips the truth-set harness (~3x the
+    operator's own work) — bench.py times the bare operator."""
+    from schema_guru_ray.stages.dedup import (
+        MinHashSigner,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_distributed,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8).materialize()
+    cands = minhash_candidate_pairs(
+        ds, MinHashSigner(), min_est_jaccard=0.5
+    ).to_pandas()
+    if not measure_recall:
+        return cands
+    truth_cands = minhash_candidate_pairs(
+        ds, MinHashSigner(num_perm=63, bands=21), min_est_jaccard=0.5
+    )
+    truth = verify_pairs_jaccard_distributed(truth_cands, ds, threshold=0.8).to_pandas()
+    truth_pairs = set(zip(truth["id_a"].astype(int), truth["id_b"].astype(int)))
+    cand_pairs = set(zip(cands["id_a"].astype(int), cands["id_b"].astype(int)))
+    recall = (
+        len(truth_pairs & cand_pairs) / len(truth_pairs) if truth_pairs else 1.0
+    )
+    out = cands.copy()
+    out["recall_vs_verified"] = float(recall)
+    return out
+
+
+def near_dup_pairs_documents(sf_dir: str):
+    """End-to-end distributed near-dup detection with an EXACT answer:
+    MinHash+LSH candidate generation (21 bands × 3 rows — miss probability
+    at jaccard 0.8 is (1-0.8³)^21 ≈ 3e-7, i.e. recall-exhaustive for this
+    threshold) → distributed exact shingle-set verification
+    (verify_pairs_jaccard_distributed) → pairs with word-3-gram jaccard
+    >= 0.8. Output is pure integers (n_inter, n_union), so the DuckDB
+    brute-force oracle hash-matches exactly."""
+    from schema_guru_ray.stages.dedup import (
+        MinHashSigner,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_distributed,
+    )
+
+    # small single-file test corpora arrive as ONE block — repartition so
+    # the signing stage parallelizes (real corpora are multi-block already)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8)
+    signer = MinHashSigner(num_perm=63, bands=21)
+    cands = minhash_candidate_pairs(ds, signer, min_est_jaccard=0.5)
+    # NB: no select_columns here — the verify output is exactly
+    # (id_a, id_b, n_inter, n_union), and select_columns would fetch the
+    # schema, executing the whole shuffle a second time
+    return verify_pairs_jaccard_distributed(cands, ds, threshold=0.8)
+
+
+NEAR_DUP_PAIRS_DOCUMENTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tk) < 3 THEN [list_aggregate(tk, 'string_agg', ' ')]
+         ELSE list_transform(generate_series(1, len(tk)-2),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+    END)) AS s
+  FROM toks
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, ca.n + cb.n - n_inter AS n_union
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_inter * 5 >= (ca.n + cb.n - n_inter) * 4
+"""
+
+
+def dup_components_documents(sf_dir: str):
+    """Duplicate clusters: distributed min-label propagation
+    (connected_components_distributed) over the exact-verified near-dup
+    pairs. Oracle: recursive-CTE transitive closure in DuckDB — this is
+    the correctness check for the distributed components operator
+    itself."""
+    from schema_guru_ray.stages.dedup import (
+        MinHashSigner,
+        connected_components_distributed,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_distributed,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8)
+    signer = MinHashSigner(num_perm=63, bands=21)
+    cands = minhash_candidate_pairs(ds, signer, min_est_jaccard=0.5)
+    pairs = verify_pairs_jaccard_distributed(cands, ds, threshold=0.8)
+    labels = connected_components_distributed(pairs)
+    return labels.map_batches(
+        lambda b: b.assign(
+            node=b["node"].astype("int64"), label=b["label"].astype("int64")
+        ),
+        batch_format="pandas",
+    )
+
+
+DUP_COMPONENTS_DOCUMENTS_SQL = (
+    "WITH RECURSIVE pairs AS (" + NEAR_DUP_PAIRS_DOCUMENTS_SQL + r"""),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT DISTINCT a AS src, a AS reach FROM edges
+  UNION
+  SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.reach
+)
+SELECT src AS node, min(reach) AS label FROM walk GROUP BY src
+"""
+)
+
+
+def simhash_documents(sf_dir: str):
+    """SimHash near-dup pairs with a FULL DuckDB oracle: the md5 token
+    hash lets SQL rebuild every 64-bit signature bit-for-bit, re-derive
+    the chunk candidates (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk is
+    equal) and check ``bit_count(xor(sig_a, sig_b))`` — this moved from
+    the no-oracle tail in round 3."""
+    from schema_guru_ray.stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+SIMHASH_DOCUMENTS_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(string_split(
+           trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')),
+           ' ')) AS tok
+  FROM documents
+),
+tokhash AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM tokens
+),
+bitsum AS (
+  SELECT doc_id, gs.b,
+         sum(CASE WHEN ((h >> gs.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM tokhash, generate_series(0, 63) AS gs(b)
+  GROUP BY doc_id, gs.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+              AS UBIGINT) AS sig
+  FROM bitsum GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, g2.c,
+         CAST((sig >> (16 * g2.c)) & 65535 AS INT) AS cv
+  FROM sig, generate_series(0, 3) AS g2(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sa, b.sig AS sb
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def _load_queries(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = tab.to_pandas().sort_values("vec_id").head(n)
+    return np.stack(df["embedding"].to_numpy())
+
+
+def ann_topk_embeddings(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k (exact baseline) for queries = embeddings of
+    vec_id 0..2. Scores rounded to 4 dp to match the SQL oracle despite
+    float32/float64 path differences."""
+    from schema_guru_ray.stages.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, _load_queries(sf_dir), k=k)
+    # integer basis points → float-representation-proof oracle compare
+    out["score_bp"] = np.floor(out["score"] * 10000 + 0.5).astype("int64")
+    out["query_idx"] = out["query_idx"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["query_idx", "vec_id", "score_bp"]]
+
+
+ANN_TOPK_EMBEDDINGS_SQL = """
+WITH q AS (SELECT vec_id AS query_idx, embedding AS qe FROM embeddings WHERE vec_id < 3)
+SELECT query_idx, vec_id,
+       CAST(round(list_cosine_similarity(qe, embedding) * 10000) AS BIGINT) AS score_bp
+FROM q CROSS JOIN embeddings
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) <= 10
+"""
+
+
+def ivf_topk_embeddings(sf_dir: str, k: int = 10):
+    """IVF approximate top-k. Approximate by design (no SQL oracle), but
+    the result carries a MEASURED per-query recall against the exact
+    brute-force top-k computed in the same run — the rows-only record is
+    therefore a checked invariant, and pytest bounds it."""
+    from schema_guru_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _load_queries(sf_dir)
+    # random (cluster-free) embeddings are IVF's worst case — probe half
+    # the cells; real clustered corpora reach the same recall with fewer
+    approx = ivf_topk(ds, queries, k=k, n_cells=16, n_probe=8)
+    exact = brute_force_topk(ds, queries, k=k)
+    recall = {
+        int(q): len(
+            set(approx[approx["query_idx"] == q]["vec_id"])
+            & set(exact[exact["query_idx"] == q]["vec_id"])
+        )
+        / max(1, (exact["query_idx"] == q).sum())
+        for q in exact["query_idx"].unique()
+    }
+    approx = approx.copy()
+    approx["recall_vs_exact"] = approx["query_idx"].map(recall).astype("float64")
+    return approx
+
+
+def embedding_near_dup(sf_dir: str):
+    """Cosine near-dup pairs (multi-table hyperplane LSH, 16 tables × 6
+    bits → miss probability ≈ 6e-6 at cosine 0.95) + in-bucket exact
+    cosine. Integer basis points → hash-exact DuckDB brute-force oracle."""
+    from schema_guru_ray.stages.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(
+        ds, dim=64, threshold=0.95, n_bits=6, n_tables=16
+    ).to_pandas()
+    if pairs.empty:  # empty aggregates drop their schema in to_pandas
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine_bp": pd.Series(dtype="int64"),
+            }
+        )
+    pairs["cosine_bp"] = np.floor(pairs["cosine"] * 10000 + 0.5).astype("int64")
+    return pairs[["id_a", "id_b", "cosine_bp"]]
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS cosine_bp
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
+def image_featurize_documents(sf_dir: str):
+    """Multimodal plumbing demo: a deterministic binary media column (doc
+    text bytes stand in for image payloads) through the ImageFeaturizer
+    actor pool — decode(stub) → resize → featurize. Rows-only."""
+    from schema_guru_ray.stages.multimodal import ImageFeaturizer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "media": [t.encode() for t in b["text"]]}
+        )
+
+    media = ds.map_batches(to_media, batch_format="pandas")
+    out = media.map_batches(
+        ImageFeaturizer,
+        batch_format="pandas",
+        batch_size=64,  # small batches: wide binary rows
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return out.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "height": b["height"],
+                "width": b["width"],
+                "feat_norm": [float(np.linalg.norm(f)) for f in b["features"]],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def image_phash_dedup_documents(sf_dir: str):
+    """Image near-dup pairs by 64-bit DCT perceptual hash over the
+    synthetic media column (doc text bytes as payloads, fake decoder —
+    real plumbing): actor-pool decode+hash, then the shared 16-bit-chunk
+    pigeonhole pairing (exact for hamming ≤ 3). Identical payloads (the
+    corpus' exact-dup docs) land at hamming 0. Rows-only: the fake decoder
+    is environment-dependent by design; ground truth in
+    tests/test_multimodal.py."""
+    from schema_guru_ray.stages.multimodal import phash_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "media": [t.encode() for t in b["text"]]}
+        )
+
+    media = ds.map_batches(to_media, batch_format="pandas")
+    return phash_dup_pairs(media, max_hamming=3)
+
+
+def cluster_assign_embeddings(sf_dir: str, k: int = 8):
+    """Nearest-centroid assignment with integer-milli quantized dot
+    products (stages/cluster.py): centroids are the embeddings of the 8
+    smallest vec_ids; every product/sum is int64-exact so the argmax (and
+    its tie-break to the lowest centroid id) is bit-deterministic and the
+    DuckDB ``list_dot_product`` oracle replays it exactly. Centroid matrix
+    broadcast once; corpus pass is shuffle-free."""
+    from schema_guru_ray.stages.cluster import assign_to_centroids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed = emb.sort("vec_id").limit(k).take_all()
+    cids = np.array([r["vec_id"] for r in seed], dtype=np.int64)
+    cvecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed])
+    return assign_to_centroids(emb, cids, cvecs)
+
+
+CLUSTER_ASSIGN_EMBEDDINGS_SQL = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS e
+    FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, e AS ce FROM q ORDER BY vec_id LIMIT 8),
+sims AS (
+    SELECT q.vec_id, cents.cid,
+           CAST(list_dot_product(q.e, cents.ce) AS BIGINT) AS dp
+    FROM q, cents
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dp AS dot_milli2
+FROM (
+    SELECT vec_id, cid, dp,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+    FROM sims
+)
+WHERE rn = 1
+"""
+
+
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (rows-only:
+    iterative float algorithm, not SQL-expressible) — per-cluster sizes
+    after 5 rounds from the deterministic lowest-id init. pytest checks
+    inertia monotonicity and exact agreement with a driver-side numpy
+    reference on separated blobs."""
+    from schema_guru_ray.stages.cluster import kmeans_summary
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_summary(emb, k=8, iters=5)
