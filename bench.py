@@ -107,13 +107,21 @@ def run_bench() -> dict:
     bench_fns = {n: Q.QUERIES[n] for n in suite}
     bench_fns["minhash_dedup_documents"] = _minhash_op
 
+    errors: dict = {}
+
     def _one_pass() -> dict:
         t = {}
         for name in suite:
+            if name in errors:
+                continue  # already failed once; don't re-pay the timeout
             t0 = time.perf_counter()
-            res = bench_fns[name](sf_dir)
-            if hasattr(res, "materialize"):
-                res.materialize()
+            try:
+                res = bench_fns[name](sf_dir)
+                if hasattr(res, "materialize"):
+                    res.materialize()
+            except Exception as exc:  # record loudly, keep the artifact
+                errors[name] = repr(exc)[:400]
+                continue
             t[name] = round(time.perf_counter() - t0, 3)
         return t
 
@@ -127,7 +135,8 @@ def run_bench() -> dict:
     # separately for transparency.
     passes = [_one_pass() for _ in range(int(os.environ.get("GRAFT_BENCH_PASSES", "3")))]
     cold, warms = passes[0], passes[1:]
-    best = {n: min(p[n] for p in passes) for n in suite}
+    best = {n: min(p[n] for p in passes if n in p)
+            for n in suite if any(n in p for p in passes)}
     timings = {"clips_validation": round(headline_sec, 3), **best}
 
     out = {
@@ -138,6 +147,7 @@ def run_bench() -> dict:
         "queries_cold": cold,
         "queries_warm": warms[-1] if warms else cold,
         "headline_repeats": headline_repeats,
+        "query_errors": errors,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "n_clips": n_clips,

@@ -346,10 +346,16 @@ def curate_clips_summary(sf_dir: str):
 
 
 def clips_content_dedup(sf_dir: str):
-    """Content-based audio near-dup pairs: same-signal clips found via
-    feature-vector LSH regardless of clip_id (rows-only)."""
+    """Content-based audio dedup via the SCALE PATH: 256-bit content
+    signatures → linear per-cluster collapse to the minimum hashed id →
+    one row per DROPPED clip (rows-only). The all-pairs LSH form
+    (``content_dedup_pairs``) stays in the library for bounded candidate
+    sets, but is inherently quadratic in near-identical clusters — the
+    round-4 full-catalog bench measured it at 258 s over 60k clips
+    (7.6/18/59 s at 5k/10k/20k) where this collapse is a single linear
+    pass + one scalar-row groupby."""
     from schema_guru_ray.sources.clips import ensure_clips, read_clips
-    from schema_guru_ray.stages.audio_features import content_dedup_pairs
+    from schema_guru_ray.stages.audio_features import content_dedup_drop_hashes
 
     path = ensure_clips(sf_dir)
-    return content_dedup_pairs(read_clips(path))
+    return content_dedup_drop_hashes(read_clips(path))

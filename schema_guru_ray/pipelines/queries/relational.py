@@ -501,9 +501,17 @@ def corr_stats_lineitem(sf_dir: str):
     associative-monoid shape of A11 applied to second moments. Pearson r /
     covariance derive client-side from the exact integers, so the oracle
     compares bit-exact sums instead of float-rounded r."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    # Σy² overflows int64 once ~10^5 rows of 10^7-cent prices are summed
+    # (caught by the round-4 full-catalog bench at sf0.1: 6×10^19 > 2^63),
+    # and DuckDB silently survives only because sum(BIGINT) promotes to
+    # HUGEINT. Mirror that: int64 per-batch partials sized UNDER the bound
+    # (32768 rows × (1.04e7)² ≈ 3.6e18 < 2^63 with 2.5x margin), then an
+    # exact Python-int tree merge whose outputs ride as decimal strings —
+    # overflow-free at any row count; the oracle casts its HUGEINTs to
+    # VARCHAR so the surfaces hash identically.
+    _SUMS = ["sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
 
     def partial(t: pa.Table) -> pd.DataFrame:
         x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -513,42 +521,47 @@ def corr_stats_lineitem(sf_dir: str):
         return pd.DataFrame(
             {
                 "n": [np.int64(len(x))],
-                "sum_x": [x.sum()],
-                "sum_y": [y.sum()],
-                "sum_xy": [(x * y).sum()],
-                "sum_x2": [(x * x).sum()],
-                "sum_y2": [(y * y).sum()],
+                "sum_x": [str(x.sum())],
+                "sum_y": [str(y.sum())],
+                "sum_xy": [str((x * y).sum())],
+                "sum_x2": [str((x * x).sum())],
+                "sum_y2": [str((y * y).sum())],
             }
         )
 
+    def merge_exact(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        out = {"n": [np.int64(df["n"].sum())], "k": [np.int64(0)]}
+        for c in _SUMS:
+            out[c] = [str(sum(int(v) for v in df[c]))]
+        return pd.DataFrame(out)
+
     return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
-        .map_batches(lambda b: b.assign(k=0), batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        # tree level: fold 4096 per-batch partial rows per task (exact
+        # Python ints), so the single final group sees few rows
+        .map_batches(merge_exact, batch_format="pandas", batch_size=4096)
         .groupby("k")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_x", alias_name="sum_x"),
-            Sum("sum_y", alias_name="sum_y"),
-            Sum("sum_xy", alias_name="sum_xy"),
-            Sum("sum_x2", alias_name="sum_x2"),
-            Sum("sum_y2", alias_name="sum_y2"),
+        .map_groups(merge_exact, batch_format="pandas")
+        .map_batches(
+            lambda t: t.drop_columns(["k"]), batch_format="pyarrow"
         )
-        .map_batches(lambda t: t.drop_columns(["k"]), batch_format="pyarrow")
     )
 
 
 CORR_STATS_LINEITEM_SQL = """
 SELECT CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS sum_x,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR)
            AS sum_y,
        CAST(sum(CAST(l_quantity AS BIGINT)
-                * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                * CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR)
            AS sum_xy,
        CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-            AS BIGINT) AS sum_x2,
+            AS VARCHAR) AS sum_x2,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                * CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR)
            AS sum_y2
 FROM lineitem
 """

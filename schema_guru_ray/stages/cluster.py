@@ -113,17 +113,58 @@ def _merge_cluster(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _seed_partial(batch: pd.DataFrame, *, k: int, column: str,
+                  id_column: str) -> pd.DataFrame:
+    """Per-batch k-smallest-id candidates — the partial of the seed
+    selection, so the deterministic lowest-id init never needs a global
+    sort (sorting 10^12 rows to pick k vectors is the trap)."""
+    ids = batch[id_column].to_numpy()
+    if len(ids) == 0:
+        return pd.DataFrame({id_column: pd.Series([], dtype="int64"),
+                             column: pd.Series([], dtype="object")})
+    kk = min(k, len(ids))
+    idx = np.argpartition(ids, kk - 1)[:kk]
+    return pd.DataFrame({id_column: ids[idx].astype("int64"),
+                         column: list(batch[column].to_numpy()[idx])})
+
+
+def _seed_centroids(ds, k: int, column: str, id_column: str) -> np.ndarray:
+    """k smallest-id vectors via two partial-reduce map levels (per-batch
+    k-candidates, then a re-reduce over ~4096-candidate blocks) — the
+    driver sees ≤ k rows per surviving block, never a sorted corpus."""
+    partials = ds.map_batches(
+        _seed_partial, fn_kwargs=dict(k=k, column=column, id_column=id_column),
+        batch_format="pandas",
+    ).map_batches(
+        _seed_partial, fn_kwargs=dict(k=k, column=column, id_column=id_column),
+        batch_format="pandas", batch_size=4096,
+    )
+    cand = partials.to_pandas()  # ≤ k rows per 4096-candidate block: tiny
+    cand = cand.nsmallest(k, id_column).sort_values(id_column)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in cand[column]])
+
+
 def kmeans(ds, k: int = 8, iters: int = 5, column: str = "embedding",
-           id_column: str = "vec_id") -> Tuple[np.ndarray, List[float]]:
+           id_column: str = "vec_id", materialize_input: bool = True,
+           ) -> Tuple[np.ndarray, List[float]]:
     """Distributed Lloyd k-means (squared-Euclidean). Deterministic init:
-    the vectors of the ``k`` smallest ids. Returns the final k × d centroid
-    matrix and the per-iteration inertia history (SSE against the
-    iteration's INPUT centroids — non-increasing by Lloyd's argument up to
-    float noise). Empty clusters keep their previous centroid."""
+    the vectors of the ``k`` smallest ids (partial-reduce, no global sort).
+    Returns the final k × d centroid matrix and the per-iteration inertia
+    history (SSE against the iteration's INPUT centroids — non-increasing
+    by Lloyd's argument up to float noise). Empty clusters keep their
+    previous centroid.
+
+    ``materialize_input`` caches the (pruned) input blocks in the object
+    store once so the ``iters`` passes don't re-execute the read each
+    round — the standard trade for iterative algorithms (Ray spills if the
+    cached columns exceed memory); pass False to keep a fully lazy input."""
     import ray
 
-    seed_rows = ds.sort(id_column).limit(k).take_all()
-    C = np.stack([np.asarray(r[column], dtype=np.float64) for r in seed_rows])
+    from ray.data.dataset import MaterializedDataset
+
+    if materialize_input and not isinstance(ds, MaterializedDataset):
+        ds = ds.materialize()
+    C = _seed_centroids(ds, k, column, id_column)
     history: List[float] = []
     for _ in range(iters):
         ref = ray.put(C)
@@ -152,7 +193,10 @@ def kmeans_summary(ds, k: int = 8, iters: int = 5, column: str = "embedding",
     cluster with its member count, plus the final inertia (micro-units,
     integer) repeated per row for a stable scalar surface."""
     import ray
+    from ray.data.dataset import MaterializedDataset
 
+    if not isinstance(ds, MaterializedDataset):
+        ds = ds.materialize()  # shared by the Lloyd rounds AND the sizes pass
     C, history = kmeans(ds, k=k, iters=iters, column=column, id_column=id_column)
     ref = ray.put(C)
     partials = ds.map_batches(
