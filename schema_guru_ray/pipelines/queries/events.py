@@ -19,6 +19,7 @@ from schema_guru_ray.stages.joins import sorted_lookup
 from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
+    _pa,
     _read,
 )
 
@@ -571,7 +572,7 @@ def users_active_both_halves(sf_dir: str):
     mx = pd.Timestamp(agg["max(ts)"]).value // 1000
     mid = (mn + mx) // 2
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64()).to_numpy()
         df = pd.DataFrame(
             {
@@ -580,8 +581,8 @@ def users_active_both_halves(sf_dir: str):
                 "s": (us >= mid).astype("int64"),
             }
         )
-        return df.groupby("user_id", as_index=False).agg(
-            f=("f", "max"), s=("s", "max")
+        return _pa(
+            df.groupby("user_id", as_index=False).agg(f=("f", "max"), s=("s", "max"))
         )
 
     both = (

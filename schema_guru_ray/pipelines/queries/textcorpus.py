@@ -19,6 +19,7 @@ from schema_guru_ray.stages.joins import sorted_lookup
 from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
+    _pa,
     _read,
 )
 
@@ -73,10 +74,10 @@ def pack_documents(sf_dir: str, seq_len: int = 512):
     nb = derive_num_buckets(max_id + 1)
     width = (max_id // nb) + 1
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
+    def tag(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["bucket"] = (df["doc_id"] // width).astype(np.int32)
-        return df
+        return _pa(df)
 
     tagged = counts.map_batches(tag, batch_format="pandas")
     totals = (
@@ -139,10 +140,10 @@ def token_frequencies_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    def partial(b: pd.DataFrame) -> pa.Table:
         toks = b["text"].fillna("").str.lower().str.findall(r"[\w']+").explode()
         counts = toks.value_counts()
-        return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
+        return _pa(pd.DataFrame({"token": counts.index, "n": counts.to_numpy()}))
 
     return (
         ds.map_batches(partial, batch_format="pandas")
@@ -181,10 +182,10 @@ def vocab_documents(sf_dir: str, min_freq: int = 5):
 
     ds = _read(sf_dir, "documents", ["text"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    def partial(b: pd.DataFrame) -> pa.Table:
         toks = b["text"].fillna("").str.lower().str.findall(r"[\w']+").explode()
         counts = toks.value_counts()
-        return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
+        return _pa(pd.DataFrame({"token": counts.index, "n": counts.to_numpy()}))
 
     freq = (
         ds.map_batches(partial, batch_format="pandas")
@@ -197,7 +198,7 @@ def vocab_documents(sf_dir: str, min_freq: int = 5):
         b["negfreq"] = -b["freq"].astype("int64")
         first = b["token"].str.slice(0, 1).map(lambda s: ord(s) if s else 0)
         b["band"] = first.clip(0, 255).astype("int64")
-        return b[["token", "freq", "negfreq", "band"]]
+        return _pa(b[["token", "freq", "negfreq", "band"]])
 
     banded = freq.map_batches(band, batch_format="pandas")
     counts = (
@@ -403,7 +404,7 @@ def bigram_frequencies_documents(sf_dir: str, min_count: int = 5):
             lambda ws: [f"{a} {b_}" for a, b_ in zip(ws, ws[1:])]
         ).explode().dropna()
         counts = bigrams.value_counts()
-        return pd.DataFrame({"bigram": counts.index, "n": counts.to_numpy()})
+        return _pa(pd.DataFrame({"bigram": counts.index, "n": counts.to_numpy()}))
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")

@@ -147,11 +147,15 @@ class ExactDedupHasher:
         self.id_column = id_column
         self._md5 = hashlib.md5
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         fp = batch[self.column].fillna("").map(
             lambda s: self._md5(_normalize(s).encode()).hexdigest()
         )
-        return pd.DataFrame({self.id_column: batch[self.id_column], "fp_md5": fp})
+        # Arrow block out: this is the family's biggest-volume shuffle
+        # (one row per corpus doc) and Ray's sort shuffle on pandas
+        # blocks is ~5x slower (round-4 bench root cause).
+        return pa.table({self.id_column: pa.array(batch[self.id_column]),
+                         "fp_md5": pa.array(fp, pa.string())})
 
 
 def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
@@ -287,9 +291,10 @@ def minhash_candidate_pairs(ds, signer: MinHashSigner, min_est_jaccard: float = 
                     if a > b:
                         a, b = b, a
                     rows.append((a, b, est))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"]).astype(
+        df = pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"]).astype(
             {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
         )
+        return pa.Table.from_pandas(df, preserve_index=False)  # Arrow into the pair shuffle
 
     pairs = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     from ray.data.aggregate import Max
@@ -518,9 +523,10 @@ def hamming_pairs_from_chunked_hashes(hashed, id_column: str = "doc_id",
                     if a > b_:
                         a, b_ = b_, a
                     rows.append((a, b_, d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
+        df = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
             {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
         )
+        return pa.Table.from_pandas(df, preserve_index=False)  # Arrow into the pair shuffle
 
     pairs = exploded.groupby("bucket").map_groups(bucket_fn, batch_format="pandas")
     from ray.data.aggregate import Min
@@ -825,15 +831,16 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
                         )
                     )
         if not frames:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
-                    "cosine": pd.Series(dtype="float64"),
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
                 }
             )
         out = pd.concat(frames, ignore_index=True)
-        return out.astype({"id_a": "int64", "id_b": "int64"})
+        out = out.astype({"id_a": "int64", "id_b": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)  # Arrow into the pair shuffle
 
     pairs = hashed.groupby("coarse").map_groups(coarse_pairs, batch_format="pandas")
     from ray.data.aggregate import Max

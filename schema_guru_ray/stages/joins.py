@@ -453,7 +453,7 @@ def hopping_window_agg(ds, ts_col: str, window_sec: int, hop_sec: int,
             n=("value_milli", "size"), sum_value_milli=("value_milli", "sum")
         )
         g["sum_value_milli"] = g["sum_value_milli"].astype("int64")
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)  # Arrow into the shuffle
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby([*keys, "window_start"]).aggregate(
@@ -483,7 +483,7 @@ def tumbling_window_agg(ds, ts_col: str, window_sec: int,
             n=("value_milli", "size"), sum_value_milli=("value_milli", "sum")
         )
         g["sum_value_milli"] = g["sum_value_milli"].astype("int64")
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)  # Arrow into the shuffle
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby([*keys, "window_start"]).aggregate(
