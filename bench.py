@@ -42,6 +42,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # the contract is ONE JSON line on stdout: worker prints echoed by
+        # log_to_driver once leaked '(_sample_block pid=...)' lines ahead
+        # of the JSON and broke a strict parser
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -164,7 +168,8 @@ def run_headline(clips_path: str) -> dict:
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -66,29 +66,45 @@ def filter_valid_clips(clips_ds, vcfg: ValidationConfig):
     )
 
 
-def exact_dedup_clips(ds, rows_per_bucket: int = 65536):
+def exact_dedup_clips(ds, rows_per_bucket: int = 1024):
     """One row per clip_id: tag with hash(clip_id) bucket, groupby bucket,
     vectorized drop_duplicates inside each bucket — per-bucket memory is
-    bounded by ``rows_per_bucket`` × row width as the corpus grows."""
+    bounded by ``rows_per_bucket`` × row width as the corpus grows.
+
+    ``rows_per_bucket`` is sized for WIDE rows: these carry the audio
+    payload (~0.1-1 MB each at production), so 1024 rows ≈ 0.1-1 GB per
+    reduce group. It also sets downstream parallelism — the bucket blocks
+    are what the signer/resample decode pools consume, and the old 65536
+    default collapsed a 60k-clip corpus into 8 fat blocks that ran the
+    next decode stage 8-wide on a 16-actor pool (measured 2x wall time on
+    the signer; round-4 finding)."""
     from schema_guru_ray.stages.joins import derive_num_buckets
     from schema_guru_ray.stages.profile import stable_hash64
 
     nb = derive_num_buckets(ds.count(), rows_per_bucket=rows_per_bucket)
 
-    def tag(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__bucket"] = (stable_hash64(b["clip_id"]) % np.uint64(nb)).astype(np.int64)
-        return b
-
-    def keep_one(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("clip_id").drop_duplicates("clip_id").drop(
-            columns="__bucket"
+    # Arrow end-to-end: these rows carry the audio ``bytes`` through the
+    # chain's ONE corpus-wide shuffle, and pandas blocks would (a) copy
+    # every payload into object arrays and (b) hit Ray's slow pandas sort
+    # path (measured ~5x on row-identical plans, round-4 bench root cause).
+    def tag(t: pa.Table) -> pa.Table:
+        h = stable_hash64(pd.Series(t["clip_id"].to_pandas()))
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(nb)).astype(np.int64), pa.int64())
         )
 
+    def keep_one(t: pa.Table) -> pa.Table:
+        ids = t["clip_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = sorted_ids[1:] != sorted_ids[:-1]
+        return t.take(order[first]).drop_columns(["__bucket"])
+
     return (
-        ds.map_batches(tag, batch_format="pandas")
+        ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(keep_one, batch_format="pandas")
+        .map_groups(keep_one, batch_format="pyarrow")
     )
 
 
@@ -116,14 +132,23 @@ def _remove_by_hash(ds, drops, n_drop: int, limit: int):
         return ds
 
     if n_drop <= limit:
-        ref = ray.put(frozenset(int(h) for h in drops.to_pandas()["drop_h"]))
+        # broadcast a SORTED int64 array (np.isin probe), and filter the
+        # Arrow block directly — pandas here would copy every audio payload
+        # into object arrays just to drop a few rows
+        drop_arr = np.sort(
+            drops.to_pandas()["drop_h"].to_numpy(dtype=np.int64)
+        )
+        ref = ray.put(drop_arr)
 
-        def drop_filter(b: pd.DataFrame) -> pd.DataFrame:
-            dset = ray.get(ref)
-            h = stable_hash64(b["clip_id"]).astype(np.int64)
-            return b[~pd.Series(h).isin(dset).to_numpy()]
+        def drop_filter(t: pa.Table) -> pa.Table:
+            darr = ray.get(ref)
+            h = stable_hash64(pd.Series(t["clip_id"].to_pandas())).astype(np.int64)
+            idx = np.searchsorted(darr, h)
+            idx[idx == len(darr)] = 0
+            hit = darr[idx] == h if len(darr) else np.zeros(len(h), bool)
+            return t.filter(pa.array(~hit))
 
-        return ds.map_batches(drop_filter, batch_format="pandas")
+        return ds.map_batches(drop_filter, batch_format="pyarrow")
 
     # Scale regime: ARROW-NATIVE bucketed anti join. The generic
     # bucketed_anti_join round-trips groups through pandas, which degrades
