@@ -3,20 +3,23 @@ curation composition (pipelines/curate.py), built from the stages the
 north star demands (BASELINE.json: validation + dedup + transform over
 audio clip + transcript pairs):
 
-    1. validate-and-filter — single-pass decode + SNR/transcript/
-       referential checks (stages/audio.ClipValidator semantics), keeping
-       only passing rows WITH their bytes. Deliberately NOT a
-       verdict-join: the keep set is O(corpus) at 10^12 clips, so no
-       broadcast or join can carry it — the ok-mask must ride in the same
-       task that decoded the clip.
+    1. validate-and-sign — ONE decode per clip yields both the SNR/
+       transcript/referential verdict (stages/audio.ClipValidator
+       semantics) AND the 256-bit content signature; passing rows keep
+       their bytes plus sig/vec_id. Deliberately NOT a verdict-join: the
+       keep set is O(corpus) at 10^12 clips, so no broadcast or join can
+       carry it — the ok-mask must ride in the same task that decoded the
+       clip. The signature rides the same pcm for the same reason: the
+       unfused chain paid a SECOND full decode pass in the signer
+       (round-4 fusion, ~1.4x on the whole chain).
     2. exact dedup by clip_id — hash-bucket shuffle, keep one row per id
        (generator duplicates are byte-identical; D4 of SURVEY.md §2.7).
        The chain's ONE corpus-wide shuffle; materialized afterwards as
        the natural checkpoint boundary (same call the text chain makes).
-    3. content near-dup removal — log-mel features → hyperplane-LSH
-       cosine pairs ACROSS different clip_ids → drop the higher hashed id
-       of each confirmed pair. Drop ids are corpus-tiny; broadcast regime
-       with the bucketed-anti-join escape hatch above
+    3. content near-dup removal — scalar signature-cluster collapse over
+       the precomputed (vec_id, sig) columns: keep each cluster's minimum
+       hashed id, drop the rest. Drop ids are corpus-tiny; broadcast
+       regime with the bucketed-anti-join escape hatch above
        ``drop_broadcast_limit`` (the curate.py two-regime rule).
     4. resample + loudness-normalize the survivors to a uniform training
        format (stages/audio_transform.resample_clips).
@@ -66,6 +69,100 @@ def filter_valid_clips(clips_ds, vcfg: ValidationConfig):
     )
 
 
+class _ValidateAndSign:
+    """Fused chain stage: ONE decode per clip serves both the validation
+    verdict and the content signature. The unfused chain paid two full
+    decode passes (validate, then ContentSigner re-decoding every
+    survivor) — at 10^12 clips the decode IS the corpus-scale cost, so
+    stage fusion over the same pcm is the single biggest lever. Passing
+    rows come out with their original columns plus ``sig`` (256-bit
+    hyperplane hash, hex — bit-identical to ContentSigner's) and
+    ``vec_id`` (= stable_hash64(clip_id), the dedup drop key)."""
+
+    def __init__(self, snr_threshold_db: float = 30.0,
+                 check_transcript: bool = True, strict_codecs: bool = False):
+        from schema_guru_ray.stages.audio import ClipValidator
+        from schema_guru_ray.stages.audio_features import (
+            FEATURE_DIM, _sign_planes,
+        )
+
+        self.validator = ClipValidator(
+            snr_threshold_db=snr_threshold_db,
+            check_transcript=check_transcript,
+            strict_codecs=strict_codecs,
+        )
+        self.planes = _sign_planes(FEATURE_DIM, 256)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from schema_guru_ray.stages.audio_features import clip_features
+        from schema_guru_ray.stages.profile import stable_hash64
+
+        ids = batch["clip_id"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        durs = batch["dur_ms"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        transcripts = batch["transcript"].to_pylist()
+        keep = np.zeros(len(ids), dtype=bool)
+        sigs = []
+        for i in range(len(ids)):
+            _, _, viols, pcm, sr = self.validator._validate_row_full(
+                ids[i], bufs[i], srs[i], durs[i], codecs[i], transcripts[i]
+            )
+            if viols:
+                continue
+            keep[i] = True
+            f = clip_features(pcm, sr).astype(np.float64)
+            sigs.append(np.packbits((self.planes @ f) > 0).tobytes().hex())
+        out = batch.filter(pa.array(keep))
+        kept_ids = pd.Series(np.asarray(ids, dtype=object)[keep])
+        vec_id = (
+            stable_hash64(kept_ids).astype(np.int64)
+            if len(kept_ids) else np.array([], dtype=np.int64)
+        )
+        return out.append_column(
+            "sig", pa.array(sigs, pa.string())
+        ).append_column("vec_id", pa.array(vec_id, pa.int64()))
+
+
+_FUSED_CACHE: dict = {}
+
+
+def _validate_sign_task(batch: pa.Table, *, snr_threshold_db: float,
+                        check_transcript: bool, strict_codecs: bool) -> pa.Table:
+    """Stateless-task wrapper around :class:`_ValidateAndSign`, cached per
+    WORKER PROCESS by config — the same pattern as
+    ``stages/audio.validate_batch_task``, which measured ~4x faster
+    end-to-end than the actor-pool form (warm workers persist; no
+    per-execution actor spin-up)."""
+    key = (snr_threshold_db, check_transcript, strict_codecs)
+    k = _FUSED_CACHE.get(key)
+    if k is None:
+        k = _ValidateAndSign(
+            snr_threshold_db=snr_threshold_db,
+            check_transcript=check_transcript,
+            strict_codecs=strict_codecs,
+        )
+        _FUSED_CACHE[key] = k
+    return k(batch)
+
+
+def filter_valid_and_sign(clips_ds, vcfg: ValidationConfig):
+    """The chain's stage-1: :func:`filter_valid_clips` fused with content
+    signing over the same decode (see :class:`_ValidateAndSign`)."""
+    import functools
+
+    fn = functools.partial(
+        _validate_sign_task,
+        snr_threshold_db=vcfg.snr_threshold_db,
+        check_transcript=vcfg.check_transcript,
+        strict_codecs=vcfg.strict_codecs,
+    )
+    return clips_ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=vcfg.validator_batch_size
+    )
+
+
 def exact_dedup_clips(ds, rows_per_bucket: int = 1024):
     """One row per clip_id: tag with hash(clip_id) bucket, groupby bucket,
     vectorized drop_duplicates inside each bucket — per-bucket memory is
@@ -109,27 +206,39 @@ def exact_dedup_clips(ds, rows_per_bucket: int = 1024):
 
 
 def _near_dup_drop_hashes(deduped, cfg: ClipCurationConfig):
-    """Content-dedup drop set via 64-bit signature cluster-collapse
-    (stages/audio_features.content_dedup_drop_hashes): each same-content
-    cluster keeps its minimum hashed id, the rest drop. LINEAR in corpus
-    size — the all-pairs LSH operator is inherently quadratic inside
-    near-identical clusters (measured 7.6/18/59 s at 5k/10k/20k clips)
-    and belongs on bounded candidate sets, not the corpus-wide chain."""
-    from schema_guru_ray.stages.audio_features import content_dedup_drop_hashes
+    """Content-dedup drop set via 64-bit signature cluster-collapse: each
+    same-content cluster keeps its minimum hashed id, the rest drop.
+    LINEAR in corpus size — the all-pairs LSH operator is inherently
+    quadratic inside near-identical clusters (measured 7.6/18/59 s at
+    5k/10k/20k clips) and belongs on bounded candidate sets, not the
+    corpus-wide chain.
 
+    If the rows already carry ``sig``/``vec_id`` (the fused
+    validate-and-sign stage), this is a pure scalar collapse over a
+    2-column projection — no decode; otherwise it falls back to
+    ``content_dedup_drop_hashes`` (signer pass + collapse)."""
+    from schema_guru_ray.stages.audio_features import (
+        collapse_drop_hashes, content_dedup_drop_hashes,
+    )
+
+    if "sig" in deduped.schema().names:
+        return collapse_drop_hashes(deduped.select_columns(["vec_id", "sig"]))
     return content_dedup_drop_hashes(deduped)
 
 
 def _remove_by_hash(ds, drops, n_drop: int, limit: int):
     """Two-regime removal of clips whose hashed id is in ``drops``:
     broadcast frozenset below ``limit``, exact bucketed anti-join above
-    (the drop set never lands on the driver in the scale regime)."""
+    (the drop set never lands on the driver in the scale regime). Rows
+    with a precomputed ``vec_id`` column skip the rehash."""
     import ray
 
     from schema_guru_ray.stages.profile import stable_hash64
 
     if n_drop == 0:
         return ds
+
+    has_vec = "vec_id" in ds.schema().names
 
     if n_drop <= limit:
         # broadcast a SORTED int64 array (np.isin probe), and filter the
@@ -142,7 +251,12 @@ def _remove_by_hash(ds, drops, n_drop: int, limit: int):
 
         def drop_filter(t: pa.Table) -> pa.Table:
             darr = ray.get(ref)
-            h = stable_hash64(pd.Series(t["clip_id"].to_pandas())).astype(np.int64)
+            if has_vec:
+                h = t["vec_id"].to_numpy(zero_copy_only=False)
+            else:
+                h = stable_hash64(
+                    pd.Series(t["clip_id"].to_pandas())
+                ).astype(np.int64)
             idx = np.searchsorted(darr, h)
             idx[idx == len(darr)] = 0
             hit = darr[idx] == h if len(darr) else np.zeros(len(h), bool)
@@ -162,6 +276,8 @@ def _remove_by_hash(ds, drops, n_drop: int, limit: int):
     nb = derive_num_buckets(ds.count() + n_drop)
 
     def with_hash(t: pa.Table) -> pa.Table:
+        if has_vec:
+            return t.append_column("__h", t["vec_id"].cast(pa.int64()))
         h = stable_hash64(pd.Series(t["clip_id"].to_pylist())).astype(np.int64)
         return t.append_column("__h", pa.array(h, pa.int64()))
 
@@ -197,7 +313,10 @@ def curate_clips(clips_ds, cfg: ClipCurationConfig = ClipCurationConfig()):
     # starves the map via the all-to-all's resource reservation (the
     # codec_verdicts finding, pipelines/validate.py) — measured >10min vs
     # ~1min at sf0.1 with the split plans. Also makes n_valid free.
-    valid = filter_valid_clips(clips_ds, cfg.validation).materialize()
+    # fused stage 1: ONE decode yields both the verdict and the content
+    # signature (sig/vec_id ride the rows from here) — the unfused chain
+    # re-decoded every survivor in the signer, a second full corpus pass
+    valid = filter_valid_and_sign(clips_ds, cfg.validation).materialize()
     n_valid = valid.count()
     deduped = exact_dedup_clips(valid).materialize()  # checkpoint boundary
     n_dedup = deduped.count()
@@ -206,6 +325,8 @@ def curate_clips(clips_ds, cfg: ClipCurationConfig = ClipCurationConfig()):
     n_drop = drops.count()
     survivors = _remove_by_hash(
         deduped, drops, n_drop, cfg.drop_broadcast_limit
+    ).map_batches(
+        lambda t: t.drop_columns(["sig", "vec_id"]), batch_format="pyarrow"
     ).materialize()
     n_surv = survivors.count()
 
@@ -265,7 +386,12 @@ def curate_clips_checkpointed(input_files, out_dir: str,
     cfg_valid = config_hash({"stage": "valid", "v": vars(cfg.validation)})
 
     def run_valid(files, tmp_dir):
-        out = filter_valid_clips(rd.read_parquet(files), cfg.validation).materialize()
+        # fused decode: verdict + content signature in one pass; the sig /
+        # vec_id columns persist into the checkpoint so the drops stage is
+        # a column-pruned scalar read, not a re-decode of the corpus
+        out = filter_valid_and_sign(
+            rd.read_parquet(files), cfg.validation
+        ).materialize()
         out.write_parquet(tmp_dir)
         return {"n_valid": out.count()}
 
@@ -292,7 +418,12 @@ def curate_clips_checkpointed(input_files, out_dir: str,
     cfg_drops = config_hash({"stage": "drops", "dedup_cfg": cfg_dedup})
 
     def run_drops(files, tmp_dir):
-        drops = _near_dup_drop_hashes(rd.read_parquet(files), cfg).materialize()
+        # 2-column pruned read of the dedup checkpoint (sig/vec_id were
+        # computed by the fused valid stage) — pure scalar collapse
+        sigs = rd.read_parquet(files, columns=["vec_id", "sig"])
+        from schema_guru_ray.stages.audio_features import collapse_drop_hashes
+
+        drops = collapse_drop_hashes(sigs).materialize()
         drops.write_parquet(tmp_dir)
         return {"n_drops": drops.count()}
 
@@ -315,6 +446,12 @@ def curate_clips_checkpointed(input_files, out_dir: str,
             part = _remove_by_hash(
                 part, drops, drops.count(), cfg.drop_broadcast_limit
             )
+        part = part.map_batches(
+            lambda t: t.drop_columns(
+                [c for c in ("sig", "vec_id") if c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
         out = resample_clips(
             part, sr_out=cfg.sr_out, target_dbfs=cfg.target_dbfs
         ).materialize()

@@ -99,6 +99,24 @@ class ClipValidator:
         codec: str,
         transcript: Optional[str],
     ) -> Tuple[bool, float, List[str]]:
+        d, s, v, _, _ = self._validate_row_full(
+            clip_id, buf, sr_col, dur_col, codec, transcript
+        )
+        return d, s, v
+
+    def _validate_row_full(
+        self,
+        clip_id: str,
+        buf: Optional[bytes],
+        sr_col: int,
+        dur_col: int,
+        codec: str,
+        transcript: Optional[str],
+    ) -> Tuple[bool, float, List[str], Optional[np.ndarray], Optional[int]]:
+        """Like :meth:`_validate_row` but also returns the decoded
+        ``(pcm, sr)`` so fused stages (validate + content-sign in the
+        curation chain) can reuse the decode instead of paying a second
+        full decode pass over the corpus."""
         violations: List[str] = []
         decodable = False
         snr = float("nan")
@@ -134,7 +152,7 @@ class ClipValidator:
                     violations.append("speech_rate_out_of_range")
         if sr_col not in self.valid_srs:
             violations.append("sr_out_of_range")
-        return decodable, snr, violations
+        return decodable, snr, violations, pcm, sr_wav
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         clip_ids = batch["clip_id"].to_pylist()

@@ -307,28 +307,40 @@ def content_dedup_drop_hashes(clips_ds, batch_size: int = 256):
         ContentSigner, batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 16), num_cpus=1,
     ).materialize()  # keep the decode pool out of the groupby's plan
+    return collapse_drop_hashes(sigs)
 
-    # coarse sig-hash buckets, NOT groupby(sig): mostly-unique signatures
-    # would mean one pandas dispatch per distinct signal (≈ per clip at
-    # 10^12 scale); inside a bucket one vectorized transform("min")
-    # collapses every cluster at once
+
+def collapse_drop_hashes(sigs_ds):
+    """Collapse a (vec_id:int64, sig:string) signature Dataset to drop ids:
+    per signature cluster keep the minimum ``vec_id``, emit the rest as
+    ``drop_h``. Split out of :func:`content_dedup_drop_hashes` so a chain
+    that already computed signatures (the curation chain fuses signing into
+    its validation decode pass) pays only this scalar collapse — no second
+    decode of the corpus.
+
+    Coarse sig-hash buckets, NOT groupby(sig): mostly-unique signatures
+    would mean one pandas dispatch per distinct signal (≈ per clip at
+    10^12 scale); inside a bucket one vectorized transform("min")
+    collapses every cluster at once."""
     from schema_guru_ray.stages.joins import derive_num_buckets
     from schema_guru_ray.stages.profile import stable_hash64
 
-    nb = derive_num_buckets(sigs.count())
+    nb = derive_num_buckets(sigs_ds.count())
 
-    def tag(b: pd.DataFrame) -> pd.DataFrame:
+    def tag(b: pd.DataFrame) -> pa.Table:
         b = b.copy()
         b["__b"] = (stable_hash64(b["sig"]) % np.uint64(nb)).astype(np.int32)
-        return b
+        return pa.Table.from_pandas(
+            b[["vec_id", "sig", "__b"]], preserve_index=False
+        )
 
-    def drop_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def drop_bucket(g: pd.DataFrame) -> pa.Table:
         keep = g.groupby("sig")["vec_id"].transform("min")
         rest = g.loc[g["vec_id"] != keep, "vec_id"]
-        return pd.DataFrame({"drop_h": rest.astype("int64")})
+        return pa.table({"drop_h": pa.array(rest.astype("int64"))})
 
     return (
-        sigs.map_batches(tag, batch_format="pandas")
+        sigs_ds.map_batches(tag, batch_format="pandas")
         .groupby("__b")
         .map_groups(drop_bucket, batch_format="pandas")
     )
