@@ -18,6 +18,7 @@ after featurization so only 48 floats per clip flow on.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -30,8 +31,13 @@ N_MELS = 24
 FEATURE_DIM = 2 * N_MELS
 
 
+@functools.lru_cache(maxsize=64)
 def _mel_filterbank(n_fft: int, sr: int, n_mels: int = N_MELS) -> np.ndarray:
-    """Triangular filters spaced on the mel scale (2595*log10(1+f/700))."""
+    """Triangular filters spaced on the mel scale (2595*log10(1+f/700)).
+    Cached per (n_fft, sr): clips share a handful of sample rates, and
+    rebuilding the (n_mels, n_bins) matrix via the Python loop below once
+    PER CLIP dominated the feature kernels (round-4 profile: ~2x on the
+    whole feature pass)."""
     def hz_to_mel(f):
         return 2595.0 * np.log10(1.0 + f / 700.0)
 
@@ -63,12 +69,17 @@ def _log_energies(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
         x = np.pad(x, (0, frame - x.size))
     n_frames = 1 + (x.size - frame) // hop
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = x[idx] * np.hanning(frame)[None, :]
+    frames = x[idx] * _hann(frame)[None, :]
     spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
     fb = _mel_filterbank(frame, sr)
     # floor well above the synthetic noise floor so near-silent bands
     # saturate instead of amplifying noise in log space
     return np.log(spec @ fb.T + 1e-3)
+
+
+@functools.lru_cache(maxsize=64)
+def _hann(frame: int) -> np.ndarray:
+    return np.hanning(frame)
 
 
 def clip_features(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
@@ -83,8 +94,10 @@ def clip_features(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
 N_MFCC = 13
 
 
+@functools.lru_cache(maxsize=16)
 def _dct_matrix(n_out: int, n_in: int) -> np.ndarray:
-    """Orthonormal DCT-II basis (the standard MFCC cepstral transform)."""
+    """Orthonormal DCT-II basis (the standard MFCC cepstral transform);
+    cached — it was rebuilt per clip."""
     k = np.arange(n_out)[:, None]
     n = np.arange(n_in)[None, :]
     M = np.cos(np.pi * k * (2 * n + 1) / (2.0 * n_in)) * np.sqrt(2.0 / n_in)
