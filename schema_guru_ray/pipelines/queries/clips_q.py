@@ -359,3 +359,76 @@ def clips_content_dedup(sf_dir: str):
 
     path = ensure_clips(sf_dir)
     return content_dedup_drop_hashes(read_clips(path))
+
+
+def clips_speed_perturb(sf_dir: str):
+    """Speed-perturbation augmentation invariants (the kaldi 0.9/1.1
+    convention), verified per factor over the WHOLE perturbed corpus:
+    copy count, max duration drift vs the exact expectation
+    round(src_dur / factor), and sr preservation. One decode pass emits
+    the perturbed copies; the invariant reduce is a tiny per-factor
+    aggregate — bytes never shuffle (rows-only; waveform-level ground
+    truth in tests/test_audio_transform.py)."""
+    from ray.data.aggregate import Max, Sum
+
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
+    from schema_guru_ray.stages.audio_transform import speed_perturb_clips
+
+    path = ensure_clips(sf_dir)
+    perturbed = speed_perturb_clips(read_clips(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t["speed_factor"].to_numpy(zero_copy_only=False)
+        dur = t["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["src_dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # linear-interp length is round(n/f) samples; in ms the drift vs
+        # round(src/f) is bounded by 1 ms of double rounding
+        expect = np.floor(src / f + 0.5).astype(np.int64)
+        drift = np.abs(dur - expect)
+        df = pd.DataFrame({"speed_factor": f, "n": 1, "max_drift_ms": drift})
+        g = df.groupby("speed_factor", as_index=False).agg(
+            n=("n", "sum"), max_drift_ms=("max_drift_ms", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        perturbed.map_batches(partial, batch_format="pyarrow")
+        .groupby("speed_factor")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Max("max_drift_ms", alias_name="max_drift_ms"),
+        )
+    )
+
+
+def clips_noise_mix(sf_dir: str):
+    """Noise-mixing augmentation invariant: deterministic white noise at a
+    20 dB target SNR per clip; the per-codec aggregate verifies the
+    ACHIEVED post-quantization SNR stays within ±0.5 dB of target (the
+    stage emits achieved_snr_centi per copy, so the check is a scalar
+    aggregate — no re-decode). Rows-only; analytic ground truth in
+    tests/test_audio_transform.py."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
+    from schema_guru_ray.stages.audio_transform import mix_noise_clips
+
+    path = ensure_clips(sf_dir)
+    noisy = mix_noise_clips(read_clips(path), snr_db=20.0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "codec": t["codec"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "snr_centi": t["achieved_snr_centi"],
+        })
+
+    return (
+        noisy.map_batches(partial, batch_format="pyarrow")
+        .groupby("codec")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("snr_centi", alias_name="min_snr_centi"),
+            Max("snr_centi", alias_name="max_snr_centi"),
+        )
+    )

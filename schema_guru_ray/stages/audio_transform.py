@@ -312,3 +312,137 @@ def resample_clips(clips_ds, sr_out: int = 16000,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 16), num_cpus=1,
     )
+
+
+# --- training-data augmentation: speed perturbation + noise mixing --------
+
+
+def speed_perturb_pcm(pcm: np.ndarray, sr: int, factor: float) -> np.ndarray:
+    """Speed-perturb by ``factor`` (sox/kaldi convention: 1.1 = 10% faster,
+    duration × 1/factor): resample the waveform to round(n/factor) samples
+    and keep the original sample-rate label. Linear-interp core shared with
+    :func:`resample_pcm`."""
+    if factor == 1.0:
+        return pcm.copy()
+    return resample_pcm(pcm, sr_in=sr, sr_out=int(round(sr / factor)))
+
+
+class SpeedPerturber:
+    """map_batches kernel: each decodable clip → one perturbed copy per
+    factor, clip_id suffixed ``#sp<factor>`` (the kaldi 3-way convention
+    0.9/1.0/1.1 — pass ``(0.9, 1.1)`` and union with the originals for the
+    classic triple). Output keeps the clips-table shape so validation /
+    featurization / export run on it unchanged. Undecodable clips are
+    skipped (they carry no usable signal to perturb). Deterministic:
+    same input row + factor → same output bytes, so shard export resumes
+    byte-identically."""
+
+    def __init__(self, factors: Tuple[float, ...] = (0.9, 1.1)):
+        self.factors = tuple(factors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {n: [] for n in batch.column_names}
+        extra_sp, extra_src = [], []
+        for i in range(batch.num_rows):
+            buf = batch["bytes"][i].as_py()
+            try:
+                pcm, sr = decode_wav(buf)
+            except (WavDecodeError, TypeError):
+                continue
+            for f in self.factors:
+                y = speed_perturb_pcm(pcm, sr, f)
+                for n in batch.column_names:
+                    if n == "clip_id":
+                        rows[n].append(f"{batch[n][i].as_py()}#sp{f}")
+                    elif n == "bytes":
+                        rows[n].append(encode_wav(y, sr))
+                    elif n == "dur_ms":
+                        rows[n].append(int(round(len(y) * 1000.0 / sr)))
+                    else:
+                        rows[n].append(batch[n][i].as_py())
+                extra_sp.append(f)
+                extra_src.append(batch["dur_ms"][i].as_py())
+        out = pa.table({
+            n: pa.array(rows[n], batch.schema.field(n).type)
+            for n in batch.column_names
+        })
+        return out.append_column(
+            "speed_factor", pa.array(extra_sp, pa.float64())
+        ).append_column("src_dur_ms", pa.array(extra_src, pa.int32()))
+
+
+def speed_perturb_clips(clips_ds, factors: Tuple[float, ...] = (0.9, 1.1),
+                        batch_size: int = 128):
+    """clips Dataset → perturbed-copies Dataset (clips shape +
+    ``speed_factor``). Streaming map; bytes never shuffle."""
+    return clips_ds.map_batches(
+        SpeedPerturber, fn_constructor_kwargs={"factors": tuple(factors)},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 16), num_cpus=1,
+    )
+
+
+class NoiseMixer:
+    """map_batches kernel: mix deterministic white noise into each
+    decodable clip at a target SNR (the standard noisy-copy augmentation).
+    The noise is seeded from md5(clip_id) — same clip, same noise, exact
+    resume — scaled so signal-power / noise-power hits ``snr_db`` before
+    int16 quantization. Output keeps the clips-table shape plus
+    ``achieved_snr_centi`` (int64, measured against the actually-added
+    noise AFTER quantization/clipping) so a downstream invariant check is
+    a scalar aggregate, not a re-decode."""
+
+    def __init__(self, snr_db: float = 20.0):
+        self.snr_db = float(snr_db)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        rows = {n: [] for n in batch.column_names}
+        achieved = []
+        ratio = 10.0 ** (self.snr_db / 10.0)
+        for i in range(batch.num_rows):
+            buf = batch["bytes"][i].as_py()
+            cid = batch["clip_id"][i].as_py()
+            try:
+                pcm, sr = decode_wav(buf)
+            except (WavDecodeError, TypeError):
+                continue
+            x = pcm.astype(np.float64)
+            p_sig = float(np.mean(x * x))
+            if p_sig <= 0.0:
+                continue  # all-silent: SNR undefined, skip like undecodable
+            rng = np.random.default_rng(
+                int.from_bytes(hashlib.md5(cid.encode()).digest()[:8], "big")
+            )
+            noise = rng.standard_normal(len(x))
+            noise *= np.sqrt(p_sig / ratio) / np.sqrt(float(np.mean(noise * noise)))
+            mixed = np.clip(np.rint(x + noise), -32768, 32767).astype(np.int16)
+            added = mixed.astype(np.float64) - x  # the noise that SURVIVED
+            p_noise = float(np.mean(added * added))
+            snr_out = 10.0 * np.log10(p_sig / max(p_noise, 1e-12))
+            for n in batch.column_names:
+                if n == "clip_id":
+                    rows[n].append(f"{cid}#n{self.snr_db:g}")
+                elif n == "bytes":
+                    rows[n].append(encode_wav(mixed, sr))
+                else:
+                    rows[n].append(batch[n][i].as_py())
+            achieved.append(int(round(snr_out * 100)))
+        out = pa.table({
+            n: pa.array(rows[n], batch.schema.field(n).type)
+            for n in batch.column_names
+        })
+        return out.append_column(
+            "achieved_snr_centi", pa.array(achieved, pa.int64())
+        )
+
+
+def mix_noise_clips(clips_ds, snr_db: float = 20.0, batch_size: int = 128):
+    """clips Dataset → noisy-copies Dataset (clips shape +
+    ``achieved_snr_centi``). Streaming map; bytes never shuffle."""
+    return clips_ds.map_batches(
+        NoiseMixer, fn_constructor_kwargs={"snr_db": snr_db},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 16), num_cpus=1,
+    )

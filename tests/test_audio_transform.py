@@ -208,3 +208,83 @@ class TestStages:
 
         starts, _ = window_layout(int(SR * 0.1), SR, 250, 100)
         assert len(starts) == 0
+
+
+class TestAugmentation:
+    """Speed perturbation + noise mixing: analytic ground truth on
+    synthesized tones, determinism, and the invariant queries' plumbing."""
+
+    def test_speed_perturb_length_and_content(self):
+        from schema_guru_ray.stages.audio_transform import speed_perturb_pcm
+
+        x = tone(1.0)
+        for f in (0.9, 1.1):
+            y = speed_perturb_pcm(x, SR, f)
+            assert len(y) == int(round(len(x) / f))
+            # independent expectation: linear interp at the output stride
+            ref = np.interp(
+                np.arange(len(y), dtype=np.float64) * (SR / int(round(SR / f))),
+                np.arange(len(x), dtype=np.float64), x.astype(np.float64),
+            )
+            assert np.abs(y.astype(np.float64) - ref).max() <= 1.0
+        assert np.array_equal(speed_perturb_pcm(x, SR, 1.0), x)
+
+    def test_noise_mix_hits_target_snr_and_is_deterministic(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from schema_guru_ray.stages.audio_transform import NoiseMixer
+
+        x = tone(1.0, amp=0.25)
+        tab = pa.table({
+            "clip_id": ["clip-a", "clip-b"],
+            "bytes": [encode_wav(x, SR), encode_wav(tone(0.5, 220.0), SR)],
+            "sr_hz": pa.array([SR, SR], pa.int32()),
+            "dur_ms": pa.array([1000, 500], pa.int32()),
+            "codec": ["pcm_s16le", "pcm_s16le"],
+            "transcript": ["t", "t"],
+        })
+        m = NoiseMixer(snr_db=20.0)
+        out1, out2 = m(tab), m(tab)
+        assert out1["bytes"].to_pylist() == out2["bytes"].to_pylist()  # deterministic
+        ach = np.array(out1["achieved_snr_centi"].to_pylist()) / 100.0
+        assert np.abs(ach - 20.0).max() < 0.5
+        # measured independently from the emitted bytes
+        y, _ = decode_wav(out1["bytes"][0].as_py())
+        added = y.astype(np.float64) - x.astype(np.float64)
+        snr = 10 * np.log10((x.astype(np.float64) ** 2).mean() / (added ** 2).mean())
+        assert abs(snr - 20.0) < 0.5
+        # distinct clips get distinct noise
+        z, _ = decode_wav(out1["bytes"][1].as_py())
+        assert not np.array_equal(y[: len(z)], z)
+
+    def test_invariant_queries(self, ray_session):
+        from schema_guru_ray.pipelines.queries import QUERIES
+        from schema_guru_ray.sources.clips import ensure_clips
+        import pyarrow.parquet as pq
+
+        sf = "/root/testdata/sf0.001"
+        n_dec = None
+        # ground truth: decodable count from the generator's own table
+        tab = pq.read_table(ensure_clips(sf))
+        from schema_guru_ray.audio.wav import WavDecodeError
+
+        def dec_ok(b):
+            try:
+                decode_wav(b)
+                return True
+            except (WavDecodeError, TypeError):
+                return False
+
+        n_dec = sum(dec_ok(b) for b in tab["bytes"].to_pylist())
+
+        sp = QUERIES["clips_speed_perturb"](sf).to_pandas().sort_values("speed_factor")
+        assert list(sp["speed_factor"]) == [0.9, 1.1]
+        assert (sp["n"] == n_dec).all()
+        assert (sp["max_drift_ms"] <= 1).all()
+
+        nm = QUERIES["clips_noise_mix"](sf).to_pandas()
+        assert nm["n"].sum() <= n_dec  # all-silent clips are skipped
+        assert nm["n"].sum() > 0
+        assert (nm["min_snr_centi"] >= 1950).all()
+        assert (nm["max_snr_centi"] <= 2050).all()
