@@ -178,6 +178,8 @@ class TestOracleParity:
             "curate_clips_summary",
             "clips_windows",
             "clips_feature_prep",
+            "clips_speed_perturb",
+            "clips_noise_mix",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
