@@ -294,15 +294,15 @@ def shuffle_positions_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 
-    def key(b: pd.DataFrame) -> pd.DataFrame:
+    def key(b: pd.DataFrame) -> pa.Table:
         h = [hashlib.md5(str(i).encode()).hexdigest() for i in b["doc_id"]]
-        return pd.DataFrame(
+        return _pa(pd.DataFrame(
             {
                 "doc_id": b["doc_id"].astype("int64"),
                 "h": h,
                 "shard": [x[:2] for x in h],
             }
-        )
+        ))
 
     keyed = ds.map_batches(key, batch_format="pandas")
     counts = (

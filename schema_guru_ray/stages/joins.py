@@ -530,7 +530,7 @@ def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
     suffixed ``_p`` on collision. Timestamps compare exactly (int64 us);
     other numerics as float64.
     """
-    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Count, Max, Min
 
     p_cols = list(point_columns or points.schema().names)
     if point_col not in p_cols:
@@ -551,14 +551,19 @@ def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
     out_schema = _output_schema(out_cols, ivs.schema(), pts.schema(),
                                 rename_right=pmap)
 
-    # domain bounds of the point side: one tiny aggregate pass
-    bounds = pts.aggregate(Min(point_col), Max(point_col))
+    # domain bounds AND row count of the point side in ONE aggregate pass —
+    # separate .count() calls would re-execute the (possibly filtered/
+    # derived) input plan once per call just to size the buckets
+    bounds = pts.aggregate(Min(point_col), Max(point_col), Count())
     # pandas inference turns python datetimes back into datetime64
     dlo, dhi = _range_values(
         pd.Series([bounds[f"min({point_col})"], bounds[f"max({point_col})"]]).to_numpy()
     )
     if num_buckets is None:
-        num_buckets = derive_num_buckets(pts.count() + ivs.count())
+        # intervals replicate O(1) per row (width >> interval length is the
+        # operator's documented assumption), so the point count is the right
+        # sizing proxy — 2x covers the interval side without executing it
+        num_buckets = derive_num_buckets(2 * int(bounds["count()"]))
     width = max((dhi - dlo) / num_buckets, 1e-9)
 
     def _bucket_of(v: np.ndarray) -> np.ndarray:
