@@ -421,3 +421,99 @@ def kmeans_embeddings(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return kmeans_summary(emb, k=8, iters=5)
+
+
+def cross_source_leakage_documents(sf_dir: str, broadcast_limit: int = 5_000_000):
+    """Cross-source contamination matrix — the training-data governance
+    report behind "did corpus A leak into corpus B?": exact-verified
+    near-dup pairs (the oracled MinHash→LSH→shingle-verify chain of
+    ``near_dup_pairs_documents``) bucketed by the UNORDERED pair of their
+    documents' ``source`` fields, with within-source duplication on the
+    diagonal. Two-regime source lookup: ≤ ``broadcast_limit`` docs →
+    plain-pyarrow footer read + sorted-array broadcast (docs-side never
+    re-shuffles; a Ray read of a small dimension costs ~2 s of task
+    overhead); larger → bucketed hash joins on each pair side. Output is
+    (source_a, source_b, n_pairs) — strings + exact ints, so the oracle
+    (same shingle CTE + two joins + least/greatest) hashes identically."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.pipelines.queries._common import _pa
+
+    pairs = near_dup_pairs_documents(sf_dir)
+    n_docs = _meta_rows(sf_dir, "documents")
+
+    if n_docs <= broadcast_limit:
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+        )
+        ids = tab["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ref = ray.put((ids[order],
+                       tab["source"].to_numpy(zero_copy_only=False)[order]))
+
+        def tag_sources(t: pa.Table) -> pa.Table:
+            keys, srcs = ray.get(ref)
+            a = t["id_a"].to_numpy(zero_copy_only=False)
+            b = t["id_b"].to_numpy(zero_copy_only=False)
+            ia, ha = sorted_lookup(keys, a)
+            ib, hb = sorted_lookup(keys, b)
+            assert bool(ha.all()) and bool(hb.all())  # pairs came FROM docs
+            sa, sb = srcs[ia], srcs[ib]
+            lo = np.minimum(sa, sb)
+            hi = np.maximum(sa, sb)
+            df = pd.DataFrame({"source_a": lo, "source_b": hi, "n": 1})
+            return _pa(df.groupby(["source_a", "source_b"], as_index=False)
+                       .agg(n=("n", "sum")))
+
+        counted = pairs.map_batches(tag_sources, batch_format="pyarrow")
+    else:
+        from schema_guru_ray.stages.joins import bucketed_hash_join
+
+        docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+        def _as(side: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({side: t["doc_id"],
+                                 f"src_{side}": t["source"]})
+            return fn
+
+        j = bucketed_hash_join(
+            pairs, docs.map_batches(_as("id_a"), batch_format="pyarrow"),
+            on="id_a",
+        )
+        j = bucketed_hash_join(
+            j, docs.map_batches(_as("id_b"), batch_format="pyarrow"),
+            on="id_b",
+        )
+
+        def canon(t: pa.Table) -> pa.Table:
+            sa = t["src_id_a"].to_numpy(zero_copy_only=False)
+            sb = t["src_id_b"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({"source_a": np.minimum(sa, sb),
+                               "source_b": np.maximum(sa, sb), "n": 1})
+            return _pa(df.groupby(["source_a", "source_b"], as_index=False)
+                       .agg(n=("n", "sum")))
+
+        counted = j.map_batches(canon, batch_format="pyarrow")
+
+    return (
+        counted.groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )
+
+
+CROSS_SOURCE_LEAKAGE_DOCUMENTS_SQL = (
+    "WITH pairs AS (" + NEAR_DUP_PAIRS_DOCUMENTS_SQL + """)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.id_a
+JOIN documents db ON db.doc_id = pairs.id_b
+GROUP BY 1, 2
+"""
+)

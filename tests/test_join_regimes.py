@@ -41,6 +41,7 @@ class TestJoinRegimes:
             "customer_order_distribution",
             "cohort_retention_events",
             "range_join_clicks_after_signup",
+            "cross_source_leakage_documents",
         ],
     )
     def test_part_and_survivor_regimes_agree(self, sf_dir, fn_name):

@@ -95,6 +95,7 @@ class TestOracleParity:
             "stratified_cap_events",
             "curate_documents",
             "near_dup_pairs_documents",
+            "cross_source_leakage_documents",
             "dup_components_documents",
             "ann_topk_embeddings",
             "embedding_near_dup",
