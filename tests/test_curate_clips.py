@@ -127,3 +127,24 @@ class TestCurateClipsCheckpointed:
         assert m["valid"]["ran"] == 0 and m["dedup"]["ran"] == 0
         assert m["drops"]["ran"] == 0 and m["final"]["ran"] == 1
         assert sorted(res2["result"].to_pandas()["clip_id"]) == got_ids
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrepareAudioTrainingSet:
+    def test_counts_and_window_arithmetic(self):
+        """The flagship composition's report must satisfy the exact window
+        arithmetic: per factor, n_windows == sum over its clips of
+        floor((dur-250)/100)+1 (dur >= 250), and the 0.9/1.1 legs carry the
+        same clip count as the originals (speed perturbation is per
+        decodable survivor)."""
+        from schema_guru_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["prepare_audio_training_set"]("/root/testdata/sf0.001")
+        assert list(out["speed_factor"]) == [0.9, 1.0, 1.1]
+        n = out.set_index("speed_factor")["n_clips"]
+        assert n[0.9] == n[1.0] == n[1.1] > 0
+        # every window is exactly 250 ms
+        w = out.set_index("speed_factor")
+        assert (w["window_ms"] == w["n_windows"] * 250).all()
+        # slower speech (0.9) is longer → at least as many windows
+        assert w.loc[0.9, "n_windows"] >= w.loc[1.1, "n_windows"]

@@ -181,6 +181,7 @@ class TestOracleParity:
             "clips_feature_prep",
             "clips_speed_perturb",
             "clips_noise_mix",
+            "prepare_audio_training_set",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
