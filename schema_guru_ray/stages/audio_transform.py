@@ -341,10 +341,11 @@ class SpeedPerturber:
         self.factors = tuple(factors)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {n: batch[n].to_pylist() for n in batch.column_names}
         rows = {n: [] for n in batch.column_names}
         extra_sp, extra_src = [], []
         for i in range(batch.num_rows):
-            buf = batch["bytes"][i].as_py()
+            buf = cols["bytes"][i]
             try:
                 pcm, sr = decode_wav(buf)
             except (WavDecodeError, TypeError):
@@ -353,15 +354,15 @@ class SpeedPerturber:
                 y = speed_perturb_pcm(pcm, sr, f)
                 for n in batch.column_names:
                     if n == "clip_id":
-                        rows[n].append(f"{batch[n][i].as_py()}#sp{f}")
+                        rows[n].append(f"{cols[n][i]}#sp{f}")
                     elif n == "bytes":
                         rows[n].append(encode_wav(y, sr))
                     elif n == "dur_ms":
                         rows[n].append(int(round(len(y) * 1000.0 / sr)))
                     else:
-                        rows[n].append(batch[n][i].as_py())
+                        rows[n].append(cols[n][i])
                 extra_sp.append(f)
-                extra_src.append(batch["dur_ms"][i].as_py())
+                extra_src.append(cols["dur_ms"][i])
         out = pa.table({
             n: pa.array(rows[n], batch.schema.field(n).type)
             for n in batch.column_names
@@ -398,12 +399,13 @@ class NoiseMixer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
+        cols = {n: batch[n].to_pylist() for n in batch.column_names}
         rows = {n: [] for n in batch.column_names}
         achieved = []
         ratio = 10.0 ** (self.snr_db / 10.0)
         for i in range(batch.num_rows):
-            buf = batch["bytes"][i].as_py()
-            cid = batch["clip_id"][i].as_py()
+            buf = cols["bytes"][i]
+            cid = cols["clip_id"][i]
             try:
                 pcm, sr = decode_wav(buf)
             except (WavDecodeError, TypeError):
@@ -427,7 +429,7 @@ class NoiseMixer:
                 elif n == "bytes":
                     rows[n].append(encode_wav(mixed, sr))
                 else:
-                    rows[n].append(batch[n][i].as_py())
+                    rows[n].append(cols[n][i])
             achieved.append(int(round(snr_out * 100)))
         out = pa.table({
             n: pa.array(rows[n], batch.schema.field(n).type)
