@@ -481,13 +481,21 @@ def cross_source_leakage_documents(sf_dir: str, broadcast_limit: int = 5_000_000
                                  f"src_{side}": t["source"]})
             return fn
 
+        # explicit schema hints: both left plans contain all-to-alls (the
+        # verify shuffle, then the first join) — ds.schema() on such a plan
+        # executes the whole shuffle once extra just for type inference
+        pairs_schema = pa.schema([
+            ("id_a", pa.int64()), ("id_b", pa.int64()),
+            ("n_inter", pa.int64()), ("n_union", pa.int64()),
+        ])
         j = bucketed_hash_join(
             pairs, docs.map_batches(_as("id_a"), batch_format="pyarrow"),
-            on="id_a",
+            on="id_a", left_schema=pairs_schema,
         )
         j = bucketed_hash_join(
             j, docs.map_batches(_as("id_b"), batch_format="pyarrow"),
             on="id_b",
+            left_schema=pairs_schema.append(pa.field("src_id_a", pa.string())),
         )
 
         def canon(t: pa.Table) -> pa.Table:
