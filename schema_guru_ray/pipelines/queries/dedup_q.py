@@ -525,3 +525,118 @@ JOIN documents db ON db.doc_id = pairs.id_b
 GROUP BY 1, 2
 """
 )
+
+
+def label_centroid_confusion(sf_dir: str):
+    """Embedding label-quality audit: per-label centroid in EXACT
+    milli-integer space (the cluster_assign convention), every vector
+    re-assigned to its nearest label centroid by exact integer squared
+    distance (ties → smallest label), reported as a (label,
+    assigned_label, n) confusion matrix — off-diagonal mass = labels
+    whose vectors sit closer to another label's centroid, the standard
+    label-noise screen before training on a labeled embedding set.
+
+    Exactness contract with the oracle: milli-int vectors (round half
+    up), centroid = floor(S/n + 0.5) per dim (one float64 division —
+    deterministic; exact while per-label milli sums stay under 2^53,
+    i.e. ~10^9 rows per label per dim — beyond that move sums to the
+    decimal-string tree merge the corr operator uses), squared distance
+    expanded as v·v - 2 v·c + c·c in int64 (≤ ~6e8 per term at milli
+    scale). 100-TB shape: pass 1 reduces to (#labels × dim) integer
+    sums via per-batch partials; centroids broadcast via ray.put; pass
+    2 is a streaming map emitting ≤ #labels² count partials per batch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from schema_guru_ray.pipelines.queries._common import _pa
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def sum_partial(t: pa.Table) -> pd.DataFrame:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.floor(
+            np.stack(t["embedding"].to_pandas().to_numpy()) * 1000.0 + 0.5
+        ).astype(np.int64)
+        rows = []
+        for l in np.unique(lab):
+            m = lab == l
+            rows.append({"label": int(l), "n": int(m.sum()),
+                         "sums": V[m].sum(axis=0).tobytes()})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(sum_partial, batch_format="pyarrow").to_pandas()
+    # driver fold: #labels × #blocks tiny rows
+    agg: dict = {}
+    for _, r in parts.iterrows():
+        s = np.frombuffer(r["sums"], dtype=np.int64)
+        if r["label"] in agg:
+            n0, s0 = agg[r["label"]]
+            agg[r["label"]] = (n0 + r["n"], s0 + s)
+        else:
+            agg[r["label"]] = (r["n"], s.copy())
+    labels = np.array(sorted(agg), dtype=np.int64)
+    C = np.stack([
+        np.floor(agg[l][1] / agg[l][0] + 0.5).astype(np.int64) for l in labels
+    ])
+    ref = ray.put((labels, C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, cents = ray.get(ref)
+        V = np.floor(
+            np.stack(t["embedding"].to_pandas().to_numpy()) * 1000.0 + 0.5
+        ).astype(np.int64)
+        # exact int64: |v|^2 - 2 v.c + |c|^2 per (vector, centroid)
+        d2 = (
+            (V * V).sum(axis=1)[:, None]
+            - 2 * (V @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        # argmin with smallest-label tie-break: labs is sorted, argmin
+        # returns the first (= smallest label) among equals
+        assigned = labs[np.argmin(d2, axis=1)]
+        df = pd.DataFrame({
+            "label": t["label"].to_numpy(zero_copy_only=False).astype("int64"),
+            "assigned_label": assigned.astype("int64"),
+            "n": 1,
+        })
+        return _pa(df.groupby(["label", "assigned_label"], as_index=False)
+                   .agg(n=("n", "sum")))
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["label", "assigned_label"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+LABEL_CENTROID_CONFUSION_SQL = """
+WITH v AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           list_transform(embedding,
+                          x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS e
+    FROM embeddings
+),
+dims AS (SELECT CAST(range AS BIGINT) AS d FROM range(64)),
+flat AS (SELECT label, d, e[d + 1] AS x FROM v, dims),
+cent AS (
+    SELECT label AS cl, d,
+           CAST(floor(sum(x) * 1.0 / count(*) + 0.5) AS BIGINT) AS c
+    FROM flat GROUP BY 1, 2
+),
+cvec AS (SELECT cl, list(c ORDER BY d) AS ce FROM cent GROUP BY cl),
+dist AS (
+    SELECT v.vec_id, v.label, cvec.cl,
+           CAST(list_dot_product(e, e) - 2 * list_dot_product(e, ce)
+                + list_dot_product(ce, ce) AS BIGINT) AS d2
+    FROM v, cvec
+),
+assigned AS (
+    SELECT vec_id, label, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+    FROM dist
+)
+SELECT label, CAST(cl AS BIGINT) AS assigned_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM assigned WHERE rn = 1
+GROUP BY 1, 2
+"""

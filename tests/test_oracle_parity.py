@@ -96,6 +96,7 @@ class TestOracleParity:
             "curate_documents",
             "near_dup_pairs_documents",
             "cross_source_leakage_documents",
+            "label_centroid_confusion",
             "dup_components_documents",
             "ann_topk_embeddings",
             "embedding_near_dup",
