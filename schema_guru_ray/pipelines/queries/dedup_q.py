@@ -379,12 +379,13 @@ def cluster_assign_embeddings(sf_dir: str, k: int = 8):
     its tie-break to the lowest centroid id) is bit-deterministic and the
     DuckDB ``list_dot_product`` oracle replays it exactly. Centroid matrix
     broadcast once; corpus pass is shuffle-free."""
-    from schema_guru_ray.stages.cluster import assign_to_centroids
+    from schema_guru_ray.stages.cluster import _seed_centroids, assign_to_centroids
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    seed = emb.sort("vec_id").limit(k).take_all()
-    cids = np.array([r["vec_id"] for r in seed], dtype=np.int64)
-    cvecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed])
+    # k-smallest-id seeds via the partial-reduce seeder — NOT a global
+    # sort (sorting the corpus to pick k rows is the kmeans seed trap
+    # fixed in round 4; same fix here)
+    cids, cvecs = _seed_centroids(emb, k, "embedding", "vec_id", return_ids=True)
     return assign_to_centroids(emb, cids, cvecs)
 
 

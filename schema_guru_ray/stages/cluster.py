@@ -128,10 +128,12 @@ def _seed_partial(batch: pd.DataFrame, *, k: int, column: str,
                          column: list(batch[column].to_numpy()[idx])})
 
 
-def _seed_centroids(ds, k: int, column: str, id_column: str) -> np.ndarray:
+def _seed_centroids(ds, k: int, column: str, id_column: str,
+                    return_ids: bool = False):
     """k smallest-id vectors via two partial-reduce map levels (per-batch
     k-candidates, then a re-reduce over ~4096-candidate blocks) — the
-    driver sees ≤ k rows per surviving block, never a sorted corpus."""
+    driver sees ≤ k rows per surviving block, never a sorted corpus.
+    With ``return_ids`` also returns the seeds' ids (ascending)."""
     partials = ds.map_batches(
         _seed_partial, fn_kwargs=dict(k=k, column=column, id_column=id_column),
         batch_format="pandas",
@@ -141,7 +143,10 @@ def _seed_centroids(ds, k: int, column: str, id_column: str) -> np.ndarray:
     )
     cand = partials.to_pandas()  # ≤ k rows per 4096-candidate block: tiny
     cand = cand.nsmallest(k, id_column).sort_values(id_column)
-    return np.stack([np.asarray(v, dtype=np.float64) for v in cand[column]])
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cand[column]])
+    if return_ids:
+        return cand[id_column].to_numpy(dtype=np.int64), C
+    return C
 
 
 def kmeans(ds, k: int = 8, iters: int = 5, column: str = "embedding",
