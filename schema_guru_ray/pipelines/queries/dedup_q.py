@@ -554,6 +554,10 @@ def label_centroid_confusion(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def sum_partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:  # np.stack raises on an empty block
+            return pd.DataFrame({"label": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "sums": pd.Series(dtype="object")})
         lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         V = np.floor(
             np.stack(t["embedding"].to_pandas().to_numpy()) * 1000.0 + 0.5
@@ -582,6 +586,10 @@ def label_centroid_confusion(sf_dir: str):
     ref = ray.put((labels, C))
 
     def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "assigned_label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         labs, cents = ray.get(ref)
         V = np.floor(
             np.stack(t["embedding"].to_pandas().to_numpy()) * 1000.0 + 0.5
