@@ -451,66 +451,45 @@ def prepare_audio_training_set(sf_dir: str):
     duration invariants are pytest ground truth; count relations
     (n windows = Σ floor((dur-250)/100)+1) are asserted in-test."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
     from schema_guru_ray.pipelines.curate_clips import curate_clips
     from schema_guru_ray.sources.clips import ensure_clips
-    from schema_guru_ray.stages.audio_transform import (
-        speed_perturb_clips, window_clips,
-    )
+    from schema_guru_ray.stages.audio_transform import perturb_window_clips
 
     path = ensure_clips(sf_dir)
     curated, _ = curate_clips(rd.read_parquet(path))
 
-    def tag_orig(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "speed_factor", pa.array([1.0] * t.num_rows, pa.float64())
-        ).append_column("src_dur_ms", t["dur_ms"].cast(pa.int32()))
-
-    originals = curated.map_batches(tag_orig, batch_format="pyarrow")
-    perturbed = speed_perturb_clips(curated, factors=(0.9, 1.1))
-    full = originals.union(perturbed)
-
-    # windows carry (clip_id, win_idx, ...); the factor is recoverable from
-    # the clip_id suffix, so the report never joins — pure string kernel
-    windows = window_clips(full, window_ms=250, hop_ms=100)
+    # fused augment+window: ONE decode per survivor yields every factor's
+    # window rows (the staged speed_perturb_clips → window_clips path pays
+    # decode+encode+decode per copy; tests pin row-exact equivalence).
+    # Bytes never leave the stage — only ~40-byte layout rows flow on.
+    windows = perturb_window_clips(
+        curated, factors=(1.0, 0.9, 1.1), window_ms=250, hop_ms=100
+    )
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = t["clip_id"].to_pandas()
-        sp = ids.str.extract(r"#sp([0-9.]+)$", expand=False).fillna("1.0")
+        sp = t["speed_factor"].to_numpy(zero_copy_only=False)
         dur = (
             t["end_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
             - t["start_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        df = pd.DataFrame({"speed_factor": sp.astype(float), "n_windows": 1,
-                           "window_ms": dur})
+        first = t["win_idx"].to_numpy(zero_copy_only=False) == 0
+        df = pd.DataFrame({"speed_factor": sp, "n_windows": 1,
+                           "window_ms": dur,
+                           "n_clips": first.astype(np.int64)})
         g = df.groupby("speed_factor", as_index=False).agg(
-            n_windows=("n_windows", "sum"), window_ms=("window_ms", "sum")
+            n_windows=("n_windows", "sum"), window_ms=("window_ms", "sum"),
+            n_clips=("n_clips", "sum"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def clip_partial(t: pa.Table) -> pa.Table:
-        sp = t["speed_factor"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"speed_factor": sp, "n_clips": 1})
-        g = df.groupby("speed_factor", as_index=False).agg(
-            n_clips=("n_clips", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    win_counts = (
+    out = (
         windows.map_batches(partial, batch_format="pyarrow")
         .groupby("speed_factor")
-        .aggregate(Sum("n_windows", alias_name="n_windows"),
+        .aggregate(Sum("n_clips", alias_name="n_clips"),
+                   Sum("n_windows", alias_name="n_windows"),
                    Sum("window_ms", alias_name="window_ms"))
         .to_pandas()
     )
-    clip_counts = (
-        full.map_batches(clip_partial, batch_format="pyarrow")
-        .groupby("speed_factor")
-        .aggregate(Sum("n_clips", alias_name="n_clips"))
-        .to_pandas()
-    )
-    out = clip_counts.merge(win_counts, on="speed_factor", how="left")
-    out["n_windows"] = out["n_windows"].fillna(0).astype("int64")
-    out["window_ms"] = out["window_ms"].fillna(0).astype("int64")
     return out.sort_values("speed_factor").reset_index(drop=True)

