@@ -383,7 +383,13 @@ def curate_clips_checkpointed(input_files, out_dir: str,
         )
 
     valid_dir = os.path.join(out_dir, "valid")
-    cfg_valid = config_hash({"stage": "valid", "v": vars(cfg.validation)})
+    # "op" versions the stage's OUTPUT SCHEMA, not just its parameters:
+    # the fused validate-and-sign stage added sig/vec_id columns that the
+    # drops stage reads back, so checkpoints written by the pre-fusion
+    # code must invalidate (config-change semantics) instead of resuming
+    # into a missing-column read.
+    cfg_valid = config_hash({"stage": "valid", "op": "validate_and_sign_v2",
+                             "v": vars(cfg.validation)})
 
     def run_valid(files, tmp_dir):
         # fused decode: verdict + content signature in one pass; the sig /

@@ -146,6 +146,7 @@ def range_join_clicks_after_signup(sf_dir: str, broadcast_limit: int = 5_000_000
 
     from schema_guru_ray.stages.joins import (
         bucketed_hash_join,
+        derive_num_buckets,
         range_join,
         sorted_lookup,
     )
@@ -173,6 +174,9 @@ def range_join_clicks_after_signup(sf_dir: str, broadcast_limit: int = 5_000_000
         clicks, intervals, point_col="ts", lo_col="lo", hi_col="hi",
         point_columns=["event_id", "ts"],
         interval_columns=["event_id", "lo", "hi"],
+        # clicks + signups ≤ all events: footer row count sizes the buckets
+        # without executing either filtered side's count()
+        num_buckets=derive_num_buckets(_meta_rows(sf_dir, "events")),
     )
     # per-signup click counts: per-batch Arrow partials, then one vectorized
     # pandas sum per coarse reducer bucket (~250k signups each) — never one
@@ -214,8 +218,11 @@ def range_join_clicks_after_signup(sf_dir: str, broadcast_limit: int = 5_000_000
         def bfill(t: pa.Table) -> pa.Table:
             k_arr, v_arr = ray.get(lut_ref)
             v = t["event_id"].to_numpy(zero_copy_only=False)
-            i, hit = sorted_lookup(k_arr, v)
-            n = np.where(hit, v_arr[i], 0)
+            if len(k_arr) == 0:  # zero clicks anywhere → all-zero fill
+                n = np.zeros(len(v), np.int64)
+            else:
+                i, hit = sorted_lookup(k_arr, v)
+                n = np.where(hit, v_arr[i], 0)
             return pa.table(
                 {"event_id": t["event_id"], "n_clicks": pa.array(n, pa.int64())}
             )

@@ -362,7 +362,11 @@ class SpeedPerturber:
                     else:
                         rows[n].append(cols[n][i])
                 extra_sp.append(f)
-                extra_src.append(cols["dur_ms"][i])
+                # source duration from the DECODED waveform, not the
+                # metadata column: dur-inconsistent clips (the generator
+                # plants them at ~1e-3) would otherwise break the
+                # round(src/f) +/- 1 ms drift invariant by up to 500 ms
+                extra_src.append(int(round(len(pcm) * 1000.0 / sr)))
         out = pa.table({
             n: pa.array(rows[n], batch.schema.field(n).type)
             for n in batch.column_names

@@ -37,7 +37,7 @@ from typing import FrozenSet, Set, Tuple
 import numpy as np
 import pandas as pd
 
-from schema_guru_ray.stages.dedup import SHINGLE_COMBINE
+from schema_guru_ray.stages.dedup import shingle_combine
 from schema_guru_ray.stages.profile import stable_hash64
 
 TOKEN_RE = re.compile(r"\S+")
@@ -90,10 +90,11 @@ def hash_gram_strings(grams, n: int) -> np.ndarray:
     codes, uniq = pd.factorize(pd.Series(flat, dtype="object"))
     th = stable_hash64(pd.Series(uniq)).astype(np.uint64)[codes]
     th = th.reshape(len(grams), n)
+    _SC = shingle_combine(n)  # supports n > 8 (8-13-gram deployments)
     with np.errstate(over="ignore"):
         h = np.zeros(len(grams), np.uint64)
         for j in range(n):
-            h += th[:, j] * SHINGLE_COMBINE[j]
+            h += th[:, j] * _SC[j]
     return np.sort(h)
 
 
@@ -111,10 +112,13 @@ def gram_window_hashes(texts: pd.Series, n: int) -> Tuple[np.ndarray, np.ndarray
     codes, uniq = pd.factorize(pd.Series(flat, dtype="object"))
     th = stable_hash64(pd.Series(uniq)).astype(np.uint64)[codes]
     doc_idx = np.repeat(np.arange(len(texts)), lengths)
+    # NB: near-duplicate of dedup.shingle_hash_batch's window fold, kept
+    # separate because the tokenizers differ (TOKEN_RE here vs \S+ there)
+    _SC = shingle_combine(n)
     with np.errstate(over="ignore"):
         gh = np.zeros(n_win, np.uint64)
         for j in range(n):
-            gh += th[j : j + n_win] * SHINGLE_COMBINE[j]
+            gh += th[j : j + n_win] * _SC[j]
     valid = doc_idx[:n_win] == doc_idx[n - 1 :]
     return doc_idx[:n_win][valid], gh[valid]
 

@@ -15,6 +15,7 @@ upstream.
 from __future__ import annotations
 
 import hashlib
+import functools
 import itertools
 import re
 from typing import Dict, Iterable, List, Optional, Set, Tuple
@@ -50,6 +51,22 @@ SHINGLE_COMBINE = np.array(
      0x100000001B3, 0xC6A4A7935BD1E995],
     dtype=np.uint64,
 )
+
+
+@functools.lru_cache(maxsize=8)
+def shingle_combine(n: int) -> np.ndarray:
+    """Position multipliers for an n-token window combine. The first 8 are
+    the fixed public constants above (hash-stable with every existing
+    oracle/test); larger windows (real deployments use 8-13-gram
+    decontamination) extend deterministically with seeded odd constants —
+    indexing SHINGLE_COMBINE directly capped n at 8 with an IndexError
+    (round-4 review finding)."""
+    if n <= len(SHINGLE_COMBINE):
+        return SHINGLE_COMBINE[:n]
+    rng = np.random.default_rng(0x51C0_11DE)
+    extra = rng.integers(1 << 1, 1 << 63, size=n - len(SHINGLE_COMBINE),
+                         dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    return np.concatenate([SHINGLE_COMBINE, extra])
 
 
 def shingle_hash_batch(
@@ -91,11 +108,12 @@ def shingle_hash_batch(
     doc_idx = np.repeat(np.arange(len(b)), lengths)
 
     n_win = len(flat) - n + 1
+    _SC = shingle_combine(n)
     if n_win > 0:
         with np.errstate(over="ignore"):
             gh = np.zeros(n_win, np.uint64)
             for j in range(n):
-                gh += th[j : j + n_win] * SHINGLE_COMBINE[j]
+                gh += th[j : j + n_win] * _SC[j]
         valid = doc_idx[:n_win] == doc_idx[n - 1 :]
         win_h, win_d = gh[valid], doc_idx[:n_win][valid]
     else:

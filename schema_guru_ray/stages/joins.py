@@ -560,10 +560,14 @@ def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
         pd.Series([bounds[f"min({point_col})"], bounds[f"max({point_col})"]]).to_numpy()
     )
     if num_buckets is None:
-        # intervals replicate O(1) per row (width >> interval length is the
-        # operator's documented assumption), so the point count is the right
-        # sizing proxy — 2x covers the interval side without executing it
-        num_buckets = derive_num_buckets(2 * int(bounds["count()"]))
+        # per-bucket memory is bounded by BOTH sides, so size from both:
+        # the point count rides the bounds aggregate for free; the interval
+        # side costs one count() execution (callers with a known interval
+        # count should pass num_buckets to skip it). Sizing from points
+        # alone loses the bound when intervals >> points — the documented
+        # width >> interval-length assumption bounds per-interval
+        # REPLICATION, not the interval/point row ratio.
+        num_buckets = derive_num_buckets(int(bounds["count()"]) + ivs.count())
     width = max((dhi - dlo) / num_buckets, 1e-9)
 
     def _bucket_of(v: np.ndarray) -> np.ndarray:

@@ -288,3 +288,48 @@ class TestAugmentation:
         assert nm["n"].sum() > 0
         assert (nm["min_snr_centi"] >= 1950).all()
         assert (nm["max_snr_centi"] <= 2050).all()
+
+    def test_speed_perturb_drift_with_corrupt_dur_metadata(self, ray_session):
+        """src_dur_ms must come from the DECODED waveform: a clip whose
+        dur_ms metadata is wrong by 500 ms still satisfies the
+        round(src/f) ± 1 ms invariant (round-4 review regression)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from schema_guru_ray.stages.audio_transform import speed_perturb_clips
+
+        x = tone(1.0)
+        tab = pa.table({
+            "clip_id": ["bad-dur"],
+            "bytes": [encode_wav(x, SR)],
+            "sr_hz": pa.array([SR], pa.int32()),
+            "dur_ms": pa.array([1500], pa.int32()),  # actually 1000 ms
+            "codec": ["pcm_s16le"],
+            "transcript": ["t"],
+        })
+        out = speed_perturb_clips(rd.from_arrow(tab)).to_pandas()
+        assert (out["src_dur_ms"] == 1000).all()
+        exp = np.floor(out["src_dur_ms"] / out["speed_factor"] + 0.5)
+        assert (np.abs(out["dur_ms"] - exp) <= 1).all()
+
+    def test_shingle_combine_supports_wide_windows(self):
+        """n-gram kernels must support n > 8 (8-13-gram decontamination
+        deployments) — indexing the fixed 8-constant array crashed."""
+        import pandas as pd
+
+        from schema_guru_ray.stages.contamination import (
+            gram_window_hashes, hash_gram_strings,
+        )
+        from schema_guru_ray.stages.dedup import shingle_combine
+
+        assert len(hash_gram_strings(["a b c d e f g h i j k l m"], 13)) == 1
+        d, g = gram_window_hashes(
+            pd.Series(["one two three four five six seven eight nine ten"]), 9
+        )
+        assert len(g) == 2
+        # first 8 constants unchanged (hash stability with every oracle)
+        from schema_guru_ray.stages.dedup import SHINGLE_COMBINE
+
+        assert np.array_equal(shingle_combine(8), SHINGLE_COMBINE)
+        assert len(shingle_combine(13)) == 13
+        assert (shingle_combine(13)[8:] % 2 == 1).all()  # odd multipliers
