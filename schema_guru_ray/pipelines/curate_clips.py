@@ -163,7 +163,8 @@ def filter_valid_and_sign(clips_ds, vcfg: ValidationConfig):
     )
 
 
-def exact_dedup_clips(ds, rows_per_bucket: int = 1024):
+def exact_dedup_clips(ds, rows_per_bucket: int = 1024,
+                      n_rows: int | None = None):
     """One row per clip_id: tag with hash(clip_id) bucket, groupby bucket,
     vectorized drop_duplicates inside each bucket — per-bucket memory is
     bounded by ``rows_per_bucket`` × row width as the corpus grows.
@@ -174,11 +175,19 @@ def exact_dedup_clips(ds, rows_per_bucket: int = 1024):
     are what the signer/resample decode pools consume, and the old 65536
     default collapsed a 60k-clip corpus into 8 fat blocks that ran the
     next decode stage 8-wide on a 16-actor pool (measured 2x wall time on
-    the signer; round-4 finding)."""
+    the signer; round-4 finding).
+
+    ``n_rows``: pass the known row count (e.g. parquet FOOTER metadata for a
+    fresh-read input) so sizing the buckets never executes the upstream
+    plan; defaults to ``ds.count()`` (cheap on the already-materialized
+    chain input, metadata-only on a bare read)."""
     from schema_guru_ray.stages.joins import derive_num_buckets
     from schema_guru_ray.stages.profile import stable_hash64
 
-    nb = derive_num_buckets(ds.count(), rows_per_bucket=rows_per_bucket)
+    nb = derive_num_buckets(
+        ds.count() if n_rows is None else n_rows,
+        rows_per_bucket=rows_per_bucket,
+    )
 
     # Arrow end-to-end: these rows carry the audio ``bytes`` through the
     # chain's ONE corpus-wide shuffle, and pandas blocks would (a) copy
@@ -410,7 +419,12 @@ def curate_clips_checkpointed(input_files, out_dir: str,
     cfg_dedup = config_hash({"stage": "dedup", "valid_cfg": cfg_valid})
 
     def run_dedup(files, tmp_dir):
-        out = exact_dedup_clips(rd.read_parquet(files)).materialize()
+        # bucket count from parquet FOOTER metadata (the _meta_rows
+        # pattern) — no plan-executing count() ahead of the shuffle
+        import pyarrow.parquet as pq
+
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        out = exact_dedup_clips(rd.read_parquet(files), n_rows=n).materialize()
         out.write_parquet(tmp_dir)
         return {"n_dedup": out.count()}
 

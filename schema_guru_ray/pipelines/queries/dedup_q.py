@@ -528,7 +528,82 @@ GROUP BY 1, 2
 )
 
 
-def label_centroid_confusion(sf_dir: str):
+def _fold_label_sums(parts, fanin: int = 64, driver_fold_limit: int = 256):
+    """Exactly reduce (label:int64, n:int64, sums:binary int64-vector) partial
+    rows to per-label totals with a BOUNDED driver fold — the ``cmvn_stats``
+    fanin topology (stages/audio_features.py) keyed by label.
+
+    Past ``driver_fold_limit`` partial rows, a worker-side tree level
+    (``groupby(label % fanin)``) merges each shard's labels and emits ONE
+    packed row per shard (label ids / counts / sum-matrix as int64 buffers),
+    so the driver reads ≤ ``fanin`` rows REGARDLESS of block count AND label
+    count — never O(#blocks × #labels) driver pandas. Shards own disjoint
+    label sets, so the driver fold is pure vectorized concatenation (no
+    per-row merging). Returns (labels sorted asc, counts, sums[len(labels),
+    dim], n_driver_rows) — all int64-exact.
+    """
+    parts = parts.materialize()
+    packed = parts.count() > driver_fold_limit
+    if packed:
+        def add_shard(t: pa.Table) -> pa.Table:
+            shard = pc.cast(
+                pc.bit_wise_and(t["label"], fanin - 1), pa.int32()
+            ) if (fanin & (fanin - 1)) == 0 else pa.array(
+                (t["label"].to_numpy(zero_copy_only=False) % fanin)
+                .astype(np.int32))
+            return t.append_column("__shard", shard)
+
+        def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+            labs = g["label"].to_numpy().astype(np.int64)
+            n = g["n"].to_numpy().astype(np.int64)
+            S = np.stack([np.frombuffer(x, np.int64) for x in g["sums"]])
+            uniq, inv = np.unique(labs, return_inverse=True)
+            acc = np.zeros((len(uniq), S.shape[1]), dtype=np.int64)
+            np.add.at(acc, inv, S)
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt, inv, n)
+            return pd.DataFrame({
+                "labels": [uniq.tobytes()],
+                "ns": [cnt.tobytes()],
+                "sums": [acc.tobytes()],
+                "dim": [np.int64(S.shape[1])],
+            })
+
+        rows = (
+            parts.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("__shard")
+            .map_groups(merge_shard, batch_format="pandas")
+            .to_pandas()
+        )  # ≤ fanin rows, disjoint label sets
+        n_driver = len(rows)
+        labels = np.concatenate(
+            [np.frombuffer(x, np.int64) for x in rows["labels"]])
+        counts = np.concatenate(
+            [np.frombuffer(x, np.int64) for x in rows["ns"]])
+        dim = int(rows["dim"].iloc[0]) if n_driver else 0
+        sums = np.concatenate([
+            np.frombuffer(x, np.int64).reshape(-1, dim) for x in rows["sums"]
+        ]) if n_driver else np.zeros((0, 0), np.int64)
+    else:
+        rows = parts.to_pandas()  # ≤ driver_fold_limit rows
+        n_driver = len(rows)
+        labs = rows["label"].to_numpy().astype(np.int64)
+        n = rows["n"].to_numpy().astype(np.int64)
+        S = (np.stack([np.frombuffer(x, np.int64) for x in rows["sums"]])
+             if n_driver else np.zeros((0, 0), np.int64))
+        uniq, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(uniq), S.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, S)
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts, inv, n)
+        labels = uniq
+    order = np.argsort(labels)
+    return labels[order], counts[order], sums[order], n_driver
+
+
+def label_centroid_confusion(sf_dir: str, fanin: int = 64,
+                             driver_fold_limit: int = 256,
+                             _batch_size: int | None = None):
     """Embedding label-quality audit: per-label centroid in EXACT
     milli-integer space (the cluster_assign convention), every vector
     re-assigned to its nearest label centroid by exact integer squared
@@ -544,7 +619,9 @@ def label_centroid_confusion(sf_dir: str):
     decimal-string tree merge the corr operator uses), squared distance
     expanded as v·v - 2 v·c + c·c in int64 (≤ ~6e8 per term at milli
     scale). 100-TB shape: pass 1 reduces to (#labels × dim) integer
-    sums via per-batch partials; centroids broadcast via ray.put; pass
+    sums via per-batch partials folded through ``_fold_label_sums``
+    (worker-side fanin tree — the driver reads ≤ ``fanin`` packed rows
+    regardless of block count); centroids broadcast via ray.put; pass
     2 is a streaming map emitting ≤ #labels² count partials per batch."""
     import ray
     from ray.data.aggregate import Sum
@@ -553,36 +630,33 @@ def label_centroid_confusion(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
-    def sum_partial(t: pa.Table) -> pd.DataFrame:
+    def sum_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:  # np.stack raises on an empty block
-            return pd.DataFrame({"label": pd.Series(dtype="int64"),
-                                 "n": pd.Series(dtype="int64"),
-                                 "sums": pd.Series(dtype="object")})
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sums": pa.array([], pa.binary())})
         lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         V = np.floor(
             np.stack(t["embedding"].to_pandas().to_numpy()) * 1000.0 + 0.5
         ).astype(np.int64)
-        rows = []
-        for l in np.unique(lab):
-            m = lab == l
-            rows.append({"label": int(l), "n": int(m.sum()),
-                         "sums": V[m].sum(axis=0).tobytes()})
-        return pd.DataFrame(rows)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((len(uniq), V.shape[1]), dtype=np.int64)
+        np.add.at(acc, inv, V)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sums": pa.array([row.tobytes() for row in acc], pa.binary()),
+        })
 
-    parts = ds.map_batches(sum_partial, batch_format="pyarrow").to_pandas()
-    # driver fold: #labels × #blocks tiny rows
-    agg: dict = {}
-    for _, r in parts.iterrows():
-        s = np.frombuffer(r["sums"], dtype=np.int64)
-        if r["label"] in agg:
-            n0, s0 = agg[r["label"]]
-            agg[r["label"]] = (n0 + r["n"], s0 + s)
-        else:
-            agg[r["label"]] = (r["n"], s.copy())
-    labels = np.array(sorted(agg), dtype=np.int64)
-    C = np.stack([
-        np.floor(agg[l][1] / agg[l][0] + 0.5).astype(np.int64) for l in labels
-    ])
+    parts = ds.map_batches(
+        sum_partial, batch_format="pyarrow",
+        **({"batch_size": _batch_size} if _batch_size else {}),
+    )
+    labels, counts, sums, n_driver = _fold_label_sums(
+        parts, fanin=fanin, driver_fold_limit=driver_fold_limit)
+    label_centroid_confusion.last_fold_driver_rows = n_driver
+    C = np.floor(sums / counts[:, None] + 0.5).astype(np.int64)
     ref = ray.put((labels, C))
 
     def assign(t: pa.Table) -> pa.Table:

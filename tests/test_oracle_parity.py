@@ -204,6 +204,21 @@ class TestOracleParity:
         # and every oracle belongs to a query checked as SQL parity
         assert set(e.oracle_sql()) == sql_names
 
+    def test_driver_window_fully_oracled(self):
+        """The correctness driver samples the FIRST 50 queries() entries;
+        every one of them must carry a DuckDB oracle (ordering contract in
+        queries/__init__.py). Round-5 rotation keeps the dedup family
+        (embedding_near_dup / simhash / components / tfidf) in-window."""
+        import __ray_entry__ as e
+
+        window = list(e.queries())[:50]
+        oracled = set(e.oracle_sql())
+        assert [q for q in window if q not in oracled] == []
+        for q in ("embedding_near_dup", "simhash_documents",
+                  "dup_components_documents", "tfidf_top_terms_documents",
+                  "prepare_training_corpus", "curate_documents"):
+            assert q in window, q
+
     def test_entry_smoke(self):
         import __ray_entry__ as e
 
