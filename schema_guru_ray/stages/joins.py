@@ -29,6 +29,7 @@ buckets.
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Dict, Optional, Sequence
 
@@ -37,6 +38,12 @@ import pandas as pd
 import pyarrow as pa
 
 from schema_guru_ray.stages.profile import stable_hash64
+
+logger = logging.getLogger(__name__)
+
+# last regime decision per operator, for tests/telemetry: {"op": ...,
+# "hot_keys": [...], "salt": S} — written whenever a skew probe runs.
+last_regime: Dict[str, object] = {}
 
 # rows per pandas bucket group that a worker comfortably materializes; the
 # bucketed fallbacks derive their bucket count from this so per-group memory
@@ -128,6 +135,116 @@ def _tag_fn(side: str, key: str, num_buckets: int):
     return fn
 
 
+def detect_hot_keys(ds, key: str, threshold: int,
+                    capacity: int = 512) -> pd.DataFrame:
+    """One bounded-memory pass over ``ds[key]`` → DataFrame ``(key, est)``
+    of every key whose row count MAY exceed ``threshold`` (a guaranteed
+    SUPERSET of the true hot set — Misra-Gries undercounts by at most the
+    total decrement, so any key with ``true >= threshold`` survives the
+    ``est >= threshold - total_dec`` cut; false positives merely salt a
+    key that didn't need it). Per batch: value_counts → a capacity-bounded
+    Misra-Gries sketch whose counters ship as rows; the driver's merge is
+    one vectorized groupby-sum (summing MG counter sets without re-trimming
+    is itself a valid MG state, per Agarwal et al. "Mergeable Summaries").
+    Driver traffic is O(#blocks × capacity), never O(rows)."""
+    from schema_guru_ray.sketches.heavy import MisraGries
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[key].value_counts()
+        mg = MisraGries(capacity).add_counts(zip(vc.index, vc.to_numpy()))
+        ks = list(mg.counters)
+        out = pd.DataFrame({
+            key: pd.Series(ks, dtype=b[key].dtype),
+            "__est": pd.Series([mg.counters[k] for k in ks], dtype="int64"),
+            "__dec": pd.Series(
+                [mg.decremented] + [0] * (len(ks) - 1) if ks else [], dtype="int64"
+            ),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return parts.reindex(columns=[key, "est"])
+    total_dec = int(parts["__dec"].sum())
+    est = parts.groupby(key, as_index=False, sort=False)["__est"].sum()
+    hot = est[est["__est"] >= max(threshold - total_dec, 1)]
+    return hot.rename(columns={"__est": "est"}).reset_index(drop=True)
+
+
+def _tag_fn_salted(side: str, key: str, num_buckets: int,
+                   hot_sorted: np.ndarray, spread_here: np.ndarray, salt: int):
+    """Skew-aware tag stage. Cold rows bucket by hash as usual. A hot key
+    ``hot_sorted[i]`` owns ``salt`` private sub-buckets starting at
+    ``num_buckets + i*salt``; the side with ``spread_here[i]`` SPREADS its
+    rows round-robin across them (the salt value never affects the join
+    output — only which worker computes each match), the other side
+    REPLICATES its rows to all ``salt`` of them so every spread row still
+    sees the full opposite set for its key."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        kv = t[key].to_pandas()
+        bucket = (stable_hash64(kv) % np.uint64(num_buckets)).astype(np.int64)
+        idx, hit = sorted_lookup(hot_sorted, np.asarray(kv))
+        spread = hit & spread_here[idx]
+        repl = hit & ~spread_here[idx]
+        sub_base = np.int64(num_buckets) + idx.astype(np.int64) * salt
+        rows = np.flatnonzero(spread)
+        if len(rows):
+            bucket[rows] = sub_base[rows] + np.arange(len(rows)) % salt
+        rrows = np.flatnonzero(repl)
+        if not len(rrows):
+            t = t.append_column("__bucket", pa.array(bucket.astype(np.int32)))
+            t = t.append_column("__side", pa.array([side] * len(t), pa.string()))
+            return t.replace_schema_metadata(None)
+        keep = np.flatnonzero(~repl)
+        rep_idx = np.concatenate([keep, np.repeat(rrows, salt)])
+        rep_bucket = np.concatenate([
+            bucket[keep],
+            np.repeat(sub_base[rrows], salt)
+            + np.tile(np.arange(salt, dtype=np.int64), len(rrows)),
+        ])
+        out = t.take(pa.array(rep_idx))
+        out = out.append_column("__bucket", pa.array(rep_bucket.astype(np.int32)))
+        out = out.append_column("__side", pa.array([side] * len(out), pa.string()))
+        return out.replace_schema_metadata(None)
+
+    return fn
+
+
+def _skew_plan(left, right, on: str, threshold: int, join_type: str,
+               op_name: str):
+    """Probe both sides for heavy hitters and decide the salting plan.
+    Returns ``None`` (no hot keys — take the plain path) or
+    ``(hot_sorted, spread_left)``: for each hot key, ``spread_left[i]``
+    says the LEFT side spreads (right replicates). Left/outer-flavored
+    joins must always spread the left side — replicating left rows would
+    duplicate the null-extended output of unmatched replicas — so only
+    ``inner`` picks per key by estimated count (spread the bigger side,
+    replicate the smaller)."""
+    lhot = detect_hot_keys(left, on, threshold)
+    rhot = detect_hot_keys(right, on, threshold)
+    if lhot.empty and rhot.empty:
+        last_regime.update({"op": op_name, "hot_keys": [], "salt": 0})
+        return None
+    lmap = dict(zip(lhot[on], lhot["est"])) if not lhot.empty else {}
+    rmap = dict(zip(rhot[on], rhot["est"])) if not rhot.empty else {}
+    keys = sorted(set(lmap) | set(rmap))
+    if join_type == "inner":
+        spread_left = np.array(
+            [lmap.get(k, 0) >= rmap.get(k, 0) for k in keys], dtype=bool
+        )
+    else:
+        spread_left = np.ones(len(keys), dtype=bool)
+    hot_sorted = np.asarray(keys)
+    logger.info(
+        "%s: skew regime engaged — %d hot key(s) over threshold %d: %s",
+        op_name, len(keys), threshold, keys[:8],
+    )
+    last_regime.update({"op": op_name, "hot_keys": list(keys),
+                        "spread_left": spread_left.tolist()})
+    return hot_sorted, spread_left
+
+
 def _empty_typed_frame(columns, schemas: Dict[str, str]) -> pd.DataFrame:
     """Empty frame with stable dtypes so empty buckets unify with full ones."""
     return pd.DataFrame(
@@ -199,11 +316,26 @@ def hash_join(left, right, on: str, num_partitions: int = 16,
 def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
                        join_type: str = "inner",
                        left_schema: Optional[pa.Schema] = None,
-                       right_schema: Optional[pa.Schema] = None):
+                       right_schema: Optional[pa.Schema] = None,
+                       hot_key_threshold: Optional[int] = None,
+                       hot_salt: int = 16):
     """Portable explicit hash join: tag both sides with ``bucket =
     hash(key) % B``, union, group by bucket, pandas-merge the two sides
     inside each bucket. ``num_buckets=None`` scales B to the input row
-    count. Salt hot keys by raising B.
+    count.
+
+    ``hot_key_threshold``: opt-in skew escape hatch. A single hot key
+    lands in ONE bucket by construction, no matter how large B is — at a
+    90%-one-key corpus the whole table materializes in one pandas group.
+    When a threshold is given, a bounded Misra-Gries probe
+    (:func:`detect_hot_keys`, one extra pass per side) finds every key
+    that may exceed it; each hot key then gets ``hot_salt`` private
+    sub-buckets — the heavier side's rows SPREAD round-robin across them,
+    the lighter side's rows REPLICATE to all of them (left joins always
+    spread the left side, since replicating left rows would duplicate
+    null-extended output). Per-bucket memory for a hot key drops from
+    O(hot_rows) to O(hot_rows/salt + other_side_rows). The decision is
+    logged and recorded in :data:`last_regime`.
 
     ``left_schema``/``right_schema``: pass the known output schema of a
     DERIVED side whose plan contains an all-to-all (groupby/sort/another
@@ -224,8 +356,24 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
     if num_buckets is None:
         num_buckets = derive_num_buckets(left.count() + right.count())
 
-    lt = left.map_batches(_tag_fn("l", on, num_buckets), batch_format="pyarrow")
-    rt = right.map_batches(_tag_fn("r", on, num_buckets), batch_format="pyarrow")
+    plan = (
+        _skew_plan(left, right, on, hot_key_threshold, join_type,
+                   "bucketed_hash_join")
+        if hot_key_threshold is not None
+        else None
+    )
+    if plan is None:
+        ltag = _tag_fn("l", on, num_buckets)
+        rtag = _tag_fn("r", on, num_buckets)
+    else:
+        hot_sorted, spread_left = plan
+        last_regime["salt"] = hot_salt
+        ltag = _tag_fn_salted("l", on, num_buckets, hot_sorted, spread_left,
+                              hot_salt)
+        rtag = _tag_fn_salted("r", on, num_buckets, hot_sorted, ~spread_left,
+                              hot_salt)
+    lt = left.map_batches(ltag, batch_format="pyarrow")
+    rt = right.map_batches(rtag, batch_format="pyarrow")
     both = lt.union(rt)  # arrow null-fill: missing columns stay typed
 
     out_cols = left_cols + [rmap.get(c, c) for c in right_cols
@@ -293,13 +441,21 @@ def bucketed_anti_join(left, keys_ds, on: str, key_column: Optional[str] = None,
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
               num_buckets: Optional[int] = None, direction: str = "backward",
               right_columns: Optional[Sequence[str]] = None,
-              tolerance_sec: Optional[int] = None):
+              tolerance_sec: Optional[int] = None,
+              hot_key_threshold: Optional[int] = None, hot_salt: int = 16):
     """As-of join: for each left row, the latest right row of the same key
     with right_ts <= left_ts (direction='backward'). Inner semantics (left
     rows without a match are dropped). ``num_buckets=None`` scales the
     bucket count to the input row count. ``tolerance_sec`` bounds the
     match window (interval-join semantics: right_ts within
-    [left_ts - tolerance, left_ts]); matches outside it are dropped."""
+    [left_ts - tolerance, left_ts]); matches outside it are dropped.
+
+    ``hot_key_threshold``: same opt-in skew escape hatch as
+    :func:`bucketed_hash_join`, with one fixed choice — the LEFT side
+    always spreads and the right replicates, because every left row must
+    see the FULL right history of its key for the as-of lookup (a spread
+    right side would leave some buckets missing the true latest match).
+    The merge_asof inside a salted bucket therefore stays exact."""
     lschema = left.schema()
     left_cols = list(lschema.names)
     right_cols = [key, right_ts] + [
@@ -318,8 +474,23 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     if num_buckets is None:
         num_buckets = derive_num_buckets(left.count() + right.count())
 
-    lt = left.map_batches(_tag_fn("l", key, num_buckets), batch_format="pyarrow")
-    rt = right_sel.map_batches(_tag_fn("r", key, num_buckets), batch_format="pyarrow")
+    plan = (
+        _skew_plan(left, right_sel, key, hot_key_threshold, "left", "asof_join")
+        if hot_key_threshold is not None
+        else None
+    )
+    if plan is None:
+        ltag = _tag_fn("l", key, num_buckets)
+        rtag = _tag_fn("r", key, num_buckets)
+    else:
+        hot_sorted, spread_left = plan  # all-True: asof spreads left only
+        last_regime["salt"] = hot_salt
+        ltag = _tag_fn_salted("l", key, num_buckets, hot_sorted, spread_left,
+                              hot_salt)
+        rtag = _tag_fn_salted("r", key, num_buckets, hot_sorted, ~spread_left,
+                              hot_salt)
+    lt = left.map_batches(ltag, batch_format="pyarrow")
+    rt = right_sel.map_batches(rtag, batch_format="pyarrow")
     both = lt.union(rt)  # arrow null-fill: missing columns stay typed
 
     out_cols = left_cols + [c for c in r_out if c not in left_cols]
