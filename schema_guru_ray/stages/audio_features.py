@@ -55,14 +55,22 @@ def _mel_filterbank(n_fft: int, sr: int, n_mels: int = N_MELS) -> np.ndarray:
             fb[m - 1, lo:c] = (np.arange(lo, c) - lo) / (c - lo)
         if hi > c:
             fb[m - 1, c:hi] = (hi - np.arange(c, hi)) / (hi - c)
-    return fb
+    # float32: the filterbank matmul is the front end's hot kernel and the
+    # log-energy pipeline runs float32 end-to-end (round-5: the 16-worker
+    # CPU-second inflation was partly float64 memory-bus traffic)
+    return fb.astype(np.float32)
 
 
 def _log_energies(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
                   hop_ms: float = 10.0) -> np.ndarray:
-    """(n_frames, N_MELS) log filterbank energies — the shared front end
-    for pooled features and MFCCs."""
-    x = pcm.astype(np.float64) / 32768.0
+    """(n_frames, N_MELS) float32 log filterbank energies — the shared
+    front end for pooled features and MFCCs. The per-sample pipeline
+    (frame gather, Hann, rFFT, filterbank matmul, log) runs float32 —
+    halving the memory-bus traffic of the heaviest decode-side kernel —
+    while every POOLING sum downstream uses a float64 accumulator. Log
+    energies are O(1)-magnitude, so float32 keeps ~7 significant digits
+    against the ±0.5 dB / sign-threshold tolerances of every consumer."""
+    x = pcm.astype(np.float32) / np.float32(32768.0)
     frame = max(16, int(sr * frame_ms / 1000.0))
     hop = max(8, int(sr * hop_ms / 1000.0))
     if x.size < frame:
@@ -70,25 +78,26 @@ def _log_energies(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
     n_frames = 1 + (x.size - frame) // hop
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = x[idx] * _hann(frame)[None, :]
-    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # complex64 → float32
     fb = _mel_filterbank(frame, sr)
     # floor well above the synthetic noise floor so near-silent bands
     # saturate instead of amplifying noise in log space
-    return np.log(spec @ fb.T + 1e-3)
+    return np.log(spec @ fb.T + np.float32(1e-3))
 
 
 @functools.lru_cache(maxsize=64)
 def _hann(frame: int) -> np.ndarray:
-    return np.hanning(frame)
+    return np.hanning(frame).astype(np.float32)
 
 
 def clip_features(pcm: np.ndarray, sr: int, frame_ms: float = 25.0,
                   hop_ms: float = 10.0) -> np.ndarray:
     """(2*N_MELS,) float32 feature vector: mean+std of log filterbank
-    energies over time."""
+    energies over time (float64 accumulators over the float32 matrix)."""
     energies = _log_energies(pcm, sr, frame_ms, hop_ms)
-    feat = np.concatenate([energies.mean(axis=0), energies.std(axis=0)])
-    return feat.astype(np.float32)
+    mean = energies.mean(axis=0, dtype=np.float64)
+    std = energies.std(axis=0, dtype=np.float64)
+    return np.concatenate([mean, std]).astype(np.float32)
 
 
 N_MFCC = 13
@@ -111,7 +120,9 @@ def clip_mfcc(pcm: np.ndarray, sr: int, n_mfcc: int = N_MFCC,
     energies, mean+std pooled over time."""
     energies = _log_energies(pcm, sr, frame_ms, hop_ms)
     cep = energies @ _dct_matrix(n_mfcc, energies.shape[1]).T
-    return np.concatenate([cep.mean(axis=0), cep.std(axis=0)]).astype(np.float32)
+    return np.concatenate(
+        [cep.mean(axis=0, dtype=np.float64), cep.std(axis=0, dtype=np.float64)]
+    ).astype(np.float32)
 
 
 class AudioFeaturizer:
@@ -206,11 +217,13 @@ def integrity_signals(pcm: np.ndarray, sr: int,
         return dict(n_samples=0, clip_ppm=0, silence_ppm=1000000,
                     dc_milli=0, peak_dbfs_centi=-9600)
     clipped = int(np.count_nonzero((pcm >= 32767) | (pcm <= -32767)))
-    x = pcm.astype(np.float64) / 32768.0
+    # float32 samples (int16 values are exactly representable), float64
+    # accumulators for every mean — the integer-scaled outputs stay exact
+    x = pcm.astype(np.float32) / np.float32(32768.0)
     frame = max(1, int(sr * frame_ms / 1000.0))
     n_frames = max(1, n // frame)
     trimmed = x[: n_frames * frame].reshape(n_frames, frame)
-    rms = np.sqrt((trimmed * trimmed).mean(axis=1))
+    rms = np.sqrt((trimmed * trimmed).mean(axis=1, dtype=np.float64))
     silent = int(np.count_nonzero(rms < SILENCE_RMS))
     peak = float(np.abs(x).max())
     peak_db = 20.0 * np.log10(max(peak, 10 ** (-96 / 20)))
@@ -222,7 +235,7 @@ def integrity_signals(pcm: np.ndarray, sr: int,
         n_samples=n,
         clip_ppm=ppm(clipped, n),
         silence_ppm=ppm(silent, n_frames),
-        dc_milli=int(np.floor(x.mean() * 1000 + 0.5)),
+        dc_milli=int(np.floor(x.mean(dtype=np.float64) * 1000 + 0.5)),
         peak_dbfs_centi=int(np.floor(peak_db * 100 + 0.5)),
     )
 
@@ -413,7 +426,10 @@ class SpecAugmentFeaturizer:
                 e = _log_energies(pcm, sr, self.frame_ms, self.hop_ms)
                 e = spec_augment(e, cid, **self.mask_kw)
                 feats.append(
-                    np.concatenate([e.mean(axis=0), e.std(axis=0)]).astype(np.float32)
+                    np.concatenate(
+                        [e.mean(axis=0, dtype=np.float64),
+                         e.std(axis=0, dtype=np.float64)]
+                    ).astype(np.float32)
                 )
                 ok.append(True)
                 n_frames.append(e.shape[0])

@@ -36,12 +36,13 @@ def frame_rms_db(pcm: np.ndarray, sr: int, frame_ms: float = 20.0) -> np.ndarray
     pad to a frame multiple, reshape to (n_frames, frame), one mean per
     row. Silence floors at -120 dB."""
     frame = max(1, int(sr * frame_ms / 1000.0))
-    x = pcm.astype(np.float64) / 32768.0
+    # float32 samples (int16/2^15 is exact), float64 mean accumulator
+    x = pcm.astype(np.float32) / np.float32(32768.0)
     n_frames = max(1, -(-len(x) // frame))
     pad = n_frames * frame - len(x)
     if pad:
-        x = np.concatenate([x, np.zeros(pad)])
-    power = np.square(x).reshape(n_frames, frame).mean(axis=1)
+        x = np.concatenate([x, np.zeros(pad, dtype=np.float32)])
+    power = np.square(x).reshape(n_frames, frame).mean(axis=1, dtype=np.float64)
     return 10.0 * np.log10(np.maximum(power, 1e-12))
 
 
@@ -83,8 +84,8 @@ def energy_segments(
             continue
         start_ms = int(round(s * frame * 1000.0 / sr))
         end_ms = int(round(min(e * frame, n_samples) * 1000.0 / sr))
-        seg = pcm[s * frame : min(e * frame, n_samples)].astype(np.float64) / 32768.0
-        rms = 10.0 * np.log10(max(float(np.square(seg).mean()), 1e-12))
+        seg = pcm[s * frame : min(e * frame, n_samples)].astype(np.float32) / np.float32(32768.0)
+        rms = 10.0 * np.log10(max(float(np.square(seg).mean(dtype=np.float64)), 1e-12))
         out.append((start_ms, end_ms, rms))
     return out
 
@@ -192,8 +193,8 @@ class WindowChunker:
             starts, win = window_layout(len(pcm), sr, self.window_ms, self.hop_ms)
             if not len(starts):
                 continue
-            x = pcm.astype(np.float64) / 32768.0
-            cs = np.concatenate([[0.0], np.square(x).cumsum()])
+            x = pcm.astype(np.float32) / np.float32(32768.0)
+            cs = np.concatenate([[0.0], np.square(x).cumsum(dtype=np.float64)])
             power = (cs[starts + win] - cs[starts]) / win
             db = 10.0 * np.log10(np.maximum(power, 1e-12))
             ids.extend([cid] * len(starts))
@@ -243,24 +244,32 @@ def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     n_out = int(round(len(pcm) * sr_out / sr_in))
     if n_out <= 0 or len(pcm) == 0:
         return np.zeros(0, dtype=np.int16)
+    # float64 sample POSITIONS (float32 cannot index past 2^24 samples
+    # exactly), float32 gather + lerp (int16 values are exact in float32;
+    # the lerp's rounding error ≪ the int16 quantization step)
     t_out = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
-    y = np.interp(t_out, np.arange(len(pcm), dtype=np.float64),
-                  pcm.astype(np.float64))
+    i0 = np.minimum(t_out.astype(np.int64), len(pcm) - 1)
+    i1 = np.minimum(i0 + 1, len(pcm) - 1)
+    frac = (t_out - i0).astype(np.float32)
+    x = pcm.astype(np.float32)
+    y = x[i0] + (x[i1] - x[i0]) * frac
     return np.clip(np.rint(y), -32768, 32767).astype(np.int16)
 
 
 def normalize_rms(pcm: np.ndarray, target_dbfs: float = -20.0) -> np.ndarray:
     """Scale to the target RMS level (dBFS re full-scale int16), with peak
     clamp at full scale. Silent input returns unchanged."""
-    x = pcm.astype(np.float64) / 32768.0
-    rms = float(np.sqrt(np.square(x).mean())) if len(x) else 0.0
+    x = pcm.astype(np.float32) / np.float32(32768.0)
+    rms = float(np.sqrt(np.square(x).mean(dtype=np.float64))) if len(x) else 0.0
     if rms <= 1e-9:
         return pcm.copy()
     gain = (10.0 ** (target_dbfs / 20.0)) / rms
     peak = float(np.abs(x).max())
     if peak * gain > 1.0:  # never clip: cap gain at full-scale peak
         gain = 1.0 / peak
-    return np.clip(np.rint(x * gain * 32768.0), -32768, 32767).astype(np.int16)
+    return np.clip(
+        np.rint(x * np.float32(gain * 32768.0)), -32768, 32767
+    ).astype(np.int16)
 
 
 class AudioResampler:
@@ -414,18 +423,21 @@ class NoiseMixer:
                 pcm, sr = decode_wav(buf)
             except (WavDecodeError, TypeError):
                 continue
-            x = pcm.astype(np.float64)
-            p_sig = float(np.mean(x * x))
+            x = pcm.astype(np.float32)  # int16 values are exact in float32
+            p_sig = float(np.mean(x * x, dtype=np.float64))
             if p_sig <= 0.0:
                 continue  # all-silent: SNR undefined, skip like undecodable
             rng = np.random.default_rng(
                 int.from_bytes(hashlib.md5(cid.encode()).digest()[:8], "big")
             )
-            noise = rng.standard_normal(len(x))
-            noise *= np.sqrt(p_sig / ratio) / np.sqrt(float(np.mean(noise * noise)))
+            noise = rng.standard_normal(len(x), dtype=np.float32)
+            noise *= np.float32(
+                np.sqrt(p_sig / ratio)
+                / np.sqrt(float(np.mean(noise * noise, dtype=np.float64)))
+            )
             mixed = np.clip(np.rint(x + noise), -32768, 32767).astype(np.int16)
-            added = mixed.astype(np.float64) - x  # the noise that SURVIVED
-            p_noise = float(np.mean(added * added))
+            added = mixed.astype(np.float32) - x  # the noise that SURVIVED
+            p_noise = float(np.mean(added * added, dtype=np.float64))
             snr_out = 10.0 * np.log10(p_sig / max(p_noise, 1e-12))
             for n in batch.column_names:
                 if n == "clip_id":
@@ -485,8 +497,8 @@ class PerturbWindowChunker:
                 starts, win = window_layout(len(y), sr, self.window_ms, self.hop_ms)
                 if not len(starts):
                     continue
-                x = y.astype(np.float64) / 32768.0
-                cs = np.concatenate([[0.0], np.square(x).cumsum()])
+                x = y.astype(np.float32) / np.float32(32768.0)
+                cs = np.concatenate([[0.0], np.square(x).cumsum(dtype=np.float64)])
                 power = (cs[starts + win] - cs[starts]) / win
                 db = 10.0 * np.log10(np.maximum(power, 1e-12))
                 out_id = cid if f == 1.0 else f"{cid}#sp{f}"

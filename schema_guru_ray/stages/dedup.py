@@ -417,6 +417,46 @@ def connected_components_distributed(pairs_ds, max_rounds: Optional[int] = None)
     return labels
 
 
+# Regime crossover for connected components, measured on this host
+# (jobs/components_crossover.py, round 5): driver union-find beats the
+# distributed pointer-jumping loop at EVERY size its memory allows — the
+# loop pays ~2 bucketed joins + a groupby per round of fixed Ray overhead
+# (seconds), while pulling P pair rows and union-finding them is ~1 s per
+# million pairs. The limit is therefore a MEMORY bound, not a speed
+# crossover: 5M pairs ≈ 80 MB of driver pandas + a dict of ~2×nodes —
+# comfortably inside a driver heap; past it, labels must stay distributed.
+DRIVER_PAIR_LIMIT = 5_000_000
+
+
+def connected_components_auto(pairs_ds, driver_pair_limit: int = DRIVER_PAIR_LIMIT):
+    """Connected components over a PAIRS Dataset with the measured regime
+    choice: when the pair set fits the driver bound, pull it once and run
+    union-find (path-halving, min-root — same labels as the distributed
+    fixpoint); otherwise run the O(log diameter) distributed propagation.
+    Returns a Dataset of (node:int64, label:int64) in both regimes. The
+    input is materialized (both regimes consume it fully anyway), so the
+    sizing ``count()`` is free."""
+    import ray.data as rd
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs > driver_pair_limit:
+        return connected_components_distributed(pairs_ds)
+    df = pairs_ds.to_pandas()
+    if df.empty:
+        return rd.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "label": pd.Series(dtype="int64")})
+        )
+    roots = connected_components(
+        zip(df["id_a"].astype("int64"), df["id_b"].astype("int64"))
+    )
+    out = pd.DataFrame(
+        {"node": list(roots.keys()), "label": list(roots.values())}
+    ).astype({"node": "int64", "label": "int64"}).sort_values("node")
+    return rd.from_pandas(out.reset_index(drop=True))
+
+
 def connected_components(pairs: Iterable[Tuple[int, int]]) -> Dict[int, int]:
     """Union-find over confirmed duplicate pairs → {id: cluster_root}.
     Driver-side by design: the confirmed-pair set is tiny relative to the

@@ -180,12 +180,21 @@ class TestStages:
         # the tone of clip 'a' (200-600 ms) sit at the sine's RMS level
         pcm = np.concatenate([silence(0.2), tone(0.4), silence(0.2)])
         starts, w = window_layout(len(pcm), SR, 250, 100)
-        x = pcm.astype(np.float64) / 32768.0
+        # direct per-window RMS in the kernel's own arithmetic (float32
+        # samples, float64 mean accumulator — round 5) must match the
+        # cumsum path to float rounding; pure float64 agrees to ~1e-6 dB
+        x32 = pcm.astype(np.float32) / np.float32(32768.0)
+        x64 = pcm.astype(np.float64) / 32768.0
         for _, r in a.iterrows():
             s = starts[int(r["win_idx"])]
-            seg = x[s : s + w]
-            direct = 10.0 * np.log10(max(float(np.square(seg).mean()), 1e-12))
-            assert abs(direct - r["rms_db"]) < 1e-9
+            direct = 10.0 * np.log10(
+                max(float(np.square(x32[s : s + w]).mean(dtype=np.float64)), 1e-12)
+            )
+            assert abs(direct - r["rms_db"]) < 1e-7
+            direct64 = 10.0 * np.log10(
+                max(float(np.square(x64[s : s + w]).mean()), 1e-12)
+            )
+            assert abs(direct64 - r["rms_db"]) < 1e-5
         full_tone = a[(a["start_ms"] >= 200) & (a["end_ms"] <= 600)]
         assert len(full_tone) >= 1
         assert ((full_tone["rms_db"] > -17) & (full_tone["rms_db"] < -13)).all()
