@@ -187,7 +187,12 @@ def run_headline(clips_path: str) -> dict:
     warm = rd.read_parquet(clips_path).map_batches(_touch, batch_format="pyarrow")
     n_clips = int(warm.groupby("n").count().to_pandas()["n"].sum())  # touches all bytes
 
-    vcfg = ValidationConfig()
+    # GRAFT_VALIDATOR_MODE=actors runs the explicit actor-pool validator
+    # (the real-codec configuration) instead of the warm-worker tasks mode
+    # — used by the tasks-vs-actors scaling-ladder comparison (BASELINE.md)
+    vcfg = ValidationConfig(
+        validator_mode=os.environ.get("GRAFT_VALIDATOR_MODE", "tasks")
+    )
     t0 = time.perf_counter()
     cv = codec_verdicts(validate_clips(rd.read_parquet(clips_path), vcfg), vcfg)
     sec = time.perf_counter() - t0

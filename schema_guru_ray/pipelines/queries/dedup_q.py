@@ -128,14 +128,17 @@ WHERE n_inter * 5 >= (ca.n + cb.n - n_inter) * 4
 
 
 def dup_components_documents(sf_dir: str):
-    """Duplicate clusters: distributed min-label propagation
-    (connected_components_distributed) over the exact-verified near-dup
-    pairs. Oracle: recursive-CTE transitive closure in DuckDB — this is
-    the correctness check for the distributed components operator
-    itself."""
+    """Duplicate clusters over the exact-verified near-dup pairs, regime
+    chosen by the measured crossover (connected_components_auto): driver
+    union-find while the pair set fits the memory bound — it beats the
+    distributed loop at EVERY feasible size (jobs/components_crossover.py;
+    the loop pays ~2 joins + a groupby of fixed overhead per pointer-jump
+    round) — else the O(log diameter) distributed propagation. Oracle:
+    recursive-CTE transitive closure in DuckDB — both regimes emit the
+    identical min-of-component labels."""
     from schema_guru_ray.stages.dedup import (
         MinHashSigner,
-        connected_components_distributed,
+        connected_components_auto,
         minhash_candidate_pairs,
         verify_pairs_jaccard_distributed,
     )
@@ -144,7 +147,7 @@ def dup_components_documents(sf_dir: str):
     signer = MinHashSigner(num_perm=63, bands=21)
     cands = minhash_candidate_pairs(ds, signer, min_est_jaccard=0.5)
     pairs = verify_pairs_jaccard_distributed(cands, ds, threshold=0.8)
-    labels = connected_components_distributed(pairs)
+    labels = connected_components_auto(pairs)
     return labels.map_batches(
         lambda b: b.assign(
             node=b["node"].astype("int64"), label=b["label"].astype("int64")

@@ -4,11 +4,13 @@ Enforces the north-star per-row invariants (BASELINE.json) over the clips
 table:
 
 * decode: ``bytes`` must decode as PCM16 WAV (strict parser) — codec routing
-  goes through a decoder registry; non-PCM codecs are STUBS (the container
-  has no flac/opus/mp3 libraries) that either fall back to the WAV parser
-  (synthetic fixtures carry WAV bytes regardless of the ``codec`` label) or,
-  in ``strict_codecs`` mode, raise NotImplementedError — the Ray-side
-  plumbing (actor signature, batch flow, output layout) is real either way;
+  goes through a decoder registry. ``pcm_mulaw``/``pcm_alaw`` are REAL
+  decode paths (pure-numpy G.711, ``audio/g711.py``); flac/opus/mp3 are
+  STUBS (the container has no codec libraries) that either fall back to the
+  WAV parser (synthetic fixtures carry WAV bytes regardless of the ``codec``
+  label) or, in ``strict_codecs`` mode, raise NotImplementedError — the
+  Ray-side plumbing (actor signature, batch flow, output layout) is real
+  either way;
 * allclose: decoded PCM vs the deterministic reference signal re-synthesized
   from ``clip_id`` must reach SNR >= 30 dB;
 * transcript equality vs the reference transcript;
@@ -81,9 +83,16 @@ class ClipValidator:
         # transcripts are duration-independent word salad and would
         # misfire (real deployments pass e.g. (1.0, 50.0))
         self.rate_bounds_cps = rate_bounds_cps
-        # decoder registry — per-actor state, built once (SURVEY.md §2.3)
+        # decoder registry — per-actor state, built once (SURVEY.md §2.3).
+        # pcm_mulaw/pcm_alaw are REAL decode paths (pure-numpy G.711,
+        # audio/g711.py) proving the registry's extension surface; only the
+        # codecs whose libraries this container genuinely lacks stay stubs.
+        from schema_guru_ray.audio.g711 import decode_wav_g711
+
         self.decoders: Dict[str, Callable[[bytes], Tuple[np.ndarray, int]]] = {
-            "pcm_s16le": _decode_pcm_s16le
+            "pcm_s16le": _decode_pcm_s16le,
+            "pcm_mulaw": decode_wav_g711,
+            "pcm_alaw": decode_wav_g711,
         }
         for codec in ("flac", "opus", "mp3"):
             self.decoders[codec] = (
