@@ -55,6 +55,52 @@ FROM orders JOIN customer ON c_custkey = o_custkey
 """
 
 
+_TYPE_WEIGHTS = {"view": 1, "click": 2, "signup": 3, "purchase": 4, "error": 5}
+
+
+def skew_salted_type_join(sf_dir: str):
+    """Hot-key SKEW regime end-to-end: events joined to a 5-row weight dim
+    on ``event_type`` — every key holds ~20% of the table, the textbook
+    case where a plain bucketed hash join materializes 1/5th of the corpus
+    in one pandas group. ``hot_key_threshold=100`` engages the
+    Misra-Gries probe + per-key salting (spread events, replicate the
+    dim row) at EVERY test scale (sf0.001's ~200 rows/type upward), so
+    both the pytest parity gate and the driver's oracle comparison run
+    through the salted path. Oracle: plain SQL join against VALUES."""
+    import ray.data as rd
+
+    from schema_guru_ray.stages.joins import bucketed_hash_join
+
+    events = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def milli(t: pa.Table) -> pa.Table:
+        v = _int_units(t["value"].to_numpy(zero_copy_only=False), 1000)
+        return t.drop_columns(["value"]).append_column(
+            "value_milli", pa.Array.from_pandas(v)
+        )
+
+    events = events.map_batches(milli, batch_format="pyarrow")
+    dim = rd.from_pandas(
+        pd.DataFrame(
+            {"event_type": list(_TYPE_WEIGHTS), "type_weight": list(_TYPE_WEIGHTS.values())}
+        ).astype({"type_weight": "int64"})
+    )
+    out = bucketed_hash_join(
+        events, dim, on="event_type", hot_key_threshold=100, hot_salt=8
+    )
+    return out.select_columns(["event_id", "event_type", "value_milli", "type_weight"])
+
+
+SKEW_SALTED_TYPE_JOIN_SQL = """
+SELECT event_id, event_type,
+       CAST(round(value * 1000) AS BIGINT) AS value_milli, type_weight
+FROM events
+JOIN (VALUES ('view', CAST(1 AS BIGINT)), ('click', 2), ('signup', 3),
+             ('purchase', 4), ('error', 5)) AS w(event_type, type_weight)
+USING (event_type)
+"""
+
+
 def asof_latest_order_before_event(sf_dir: str):
     """As-of join: for each event, the latest order of the same key placed
     at or before the event time (bucketed pd.merge_asof; DuckDB ASOF JOIN

@@ -103,6 +103,7 @@ class TestOracleParity:
             "join_orders_customers",
             "asof_latest_order_before_event",
             "asof_orders_bounded",
+            "skew_salted_type_join",
             "range_join_clicks_after_signup",
             "windowed_events_daily",
             "hopping_events_daily_6h",
