@@ -98,12 +98,17 @@ def duplicate_clip_ids(verdicts):
     materialized first so the decode-heavy validate map never shares a
     streaming plan with the groupby's all-to-all (whose resource
     reservation would starve it — see codec_verdicts)."""
+    from schema_guru_ray.stages.joins import bucketed_aggregate, derive_num_buckets
+
     ids = verdicts.select_columns(["clip_id"]).materialize()
-    counts = ids.groupby("clip_id").count()
+    # clip_id is a groups≈rows key: bucketed vectorized count, not the
+    # native per-group aggregate (round-5 trap — see bucketed_aggregate)
+    counts = bucketed_aggregate(
+        ids, "clip_id", {"n_copies": ("clip_id", "size")},
+        n_buckets=derive_num_buckets(ids.count()),
+    )
     return counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)).rename_columns(
-            ["clip_id", "n_copies"]
-        ),
+        lambda t: t.filter(pc.greater(t["n_copies"], 1)),
         batch_format="pyarrow",
     )
 

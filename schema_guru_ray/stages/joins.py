@@ -538,6 +538,46 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def bucketed_aggregate(ds, keys, aggs: Dict[str, Tuple[str, str]],
+                       n_buckets: int = 64):
+    """Per-key aggregation for HIGH-CARDINALITY keys: coarse hash buckets
+    (one Ray dispatch per bucket) + ONE vectorized pandas groupby inside
+    each bucket.
+
+    Ray's native ``groupby(key).aggregate(...)`` pays per-GROUP overhead in
+    its reduce — measured round 5 on a 400k-row / 226k-group min: native
+    aggregate 297 s on pandas blocks, 16.5 s on Arrow blocks, this
+    operator 0.2 s. Use the native aggregate for low-cardinality keys
+    (codec, event_type, bucket ids); use this whenever groups ≈ rows
+    (per-node labels, per-pair maxes, per-document stats).
+
+    ``aggs``: ``{out_col: (in_col, fn)}`` with pandas-groupby fn names
+    ("min"/"max"/"sum"/"count"/"first"...). Keys may be one column or a
+    list. Blocks stay Arrow through the shuffle; a single hot KEY still
+    lands in one bucket (keys here are near-unique by premise — if one key
+    dominates, aggregate partials first)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = stable_hash64(t[key_list[0]].to_pandas())
+        for k in key_list[1:]:
+            h = h ^ stable_hash64(t[k].to_pandas())
+        b = (h % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("__gb", pa.array(b)).replace_schema_metadata(None)
+
+    def agg_bucket(g: pd.DataFrame) -> pa.Table:
+        gb = g.groupby(key_list, as_index=False, sort=False).agg(
+            **{out: (col, fn) for out, (col, fn) in aggs.items()}
+        )
+        return pa.Table.from_pandas(gb, preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(agg_bucket, batch_format="pandas")
+    )
+
+
 def grouped_topk(ds, group_col: str, order_col: str, k: int,
                  descending: bool = True, tie_col: Optional[str] = None,
                  rank_alias: Optional[str] = None, n_buckets: int = 64):
