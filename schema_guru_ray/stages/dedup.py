@@ -395,13 +395,25 @@ def connected_components_distributed(pairs_ds, max_rounds: Optional[int] = None)
 
         return fn
 
+    # explicit schema hints for the in-loop joins: ds.schema() on the lazy
+    # map plans costs a limit-1 probe execution PER ROUND per side — dozens
+    # of driver round-trips over the loop's lifetime for types we know
+    i64 = pa.int64()
+    sch_edges = pa.schema([("node", i64), ("peer", i64)])
+    sch_labels = pa.schema([("node", i64), ("label", i64)])
+    sch_as_mid = pa.schema([("node", i64), ("mid", i64)])
+    sch_mid_labels = pa.schema([("mid", i64), ("jump", i64)])
+
     prev_sum = label_sum(labels)
     rounds = 0
     converged = False
     while max_rounds is None or rounds < max_rounds:
         rounds += 1
         # (a) propagate: node's label → its peers
-        joined = bucketed_hash_join(edges, labels, on="node", num_buckets=nb)
+        joined = bucketed_hash_join(
+            edges, labels, on="node", num_buckets=nb,
+            left_schema=sch_edges, right_schema=sch_labels,
+        )
         prop = joined.map_batches(
             _pa_cols(node="peer", label="label"), batch_format="pyarrow"
         )
@@ -412,7 +424,10 @@ def connected_components_distributed(pairs_ds, max_rounds: Optional[int] = None)
         mid_labels = labels.map_batches(
             _pa_cols(mid="node", jump="label"), batch_format="pyarrow"
         )
-        jumped = bucketed_hash_join(as_mid, mid_labels, on="mid", num_buckets=nb)
+        jumped = bucketed_hash_join(
+            as_mid, mid_labels, on="mid", num_buckets=nb,
+            left_schema=sch_as_mid, right_schema=sch_mid_labels,
+        )
         jump = jumped.map_batches(
             _pa_cols(node="node", label="jump"), batch_format="pyarrow"
         )
@@ -442,13 +457,21 @@ def connected_components_distributed(pairs_ds, max_rounds: Optional[int] = None)
 
 
 # Regime crossover for connected components, measured on this host
-# (jobs/components_crossover.py, round 5): driver union-find beats the
-# distributed pointer-jumping loop at EVERY size its memory allows — the
-# loop pays ~2 bucketed joins + a groupby per round of fixed Ray overhead
-# (seconds), while pulling P pair rows and union-finding them is ~1 s per
-# million pairs. The limit is therefore a MEMORY bound, not a speed
-# crossover: 5M pairs ≈ 80 MB of driver pandas + a dict of ~2×nodes —
-# comfortably inside a driver heap; past it, labels must stay distributed.
+# (jobs/components_crossover.py, round 5, 16 cpus, mixed random-graph +
+# 1024-chain pair sets):
+#
+#   pairs     driver union-find   distributed loop
+#   20k       0.06 s              38 s
+#   200k      0.41 s              91 s
+#   1M        2.28 s              313 s
+#
+# Driver union-find beats the distributed pointer-jumping loop at EVERY
+# size its memory allows — the loop pays ~2 bucketed joins + a bucketed
+# reduce per round of fixed Ray overhead, while pulling P pair rows and
+# union-finding them costs ~2 s per million pairs. The limit is therefore
+# a MEMORY bound, not a speed crossover: 5M pairs ≈ 80 MB of driver pandas
+# + a dict of ~2×nodes — comfortably inside a driver heap; past it, labels
+# must stay distributed.
 DRIVER_PAIR_LIMIT = 5_000_000
 
 
