@@ -35,24 +35,34 @@ sys.path.insert(0, _REPO)
 SF01 = "/root/testdata/sf0.1"
 SEED = 977
 
-VOCAB = (
+_CORE = (
     "batch part spark line column order small sort fast value scan hash slow "
     "group agg filter query big key window row table stream merge data join "
     "index read write block shard plan stage task node disk cache tune skew"
 ).split()
+# ~1000 words: the driver's sf corpora use a ~40-word vocab, which at 10×
+# saturates 3-gram benchmark contamination (515 bench docs cover the whole
+# gram space → the flagship's hits==0 filter keeps 0 rows — measured, not a
+# bug). A realistic vocabulary keeps every downstream stage exercised.
+VOCAB = _CORE + [f"w{i:03d}" for i in range(1000 - len(_CORE))]
 
 LANGS = np.array(["en", "en", "en", "fr", "de", "es", "zh"])
 
 
 def gen_documents(n_docs: int, out: str):
-    """Word-salad docs like the driver's: ~40-90 words from a small vocab,
-    20 sources, en-heavy langs; ~1.5% planted exact dups and ~3% near-dups
-    (a copy with 2 word substitutions) so the dedup family has real work."""
+    """Word-salad docs like the driver's but over a ~1000-word Zipf-ish
+    vocabulary: ~40-90 words per doc, 20 sources, en-heavy langs; ~1.5%
+    planted exact dups and ~3% near-dups (a copy with 2 word
+    substitutions) so the dedup family has real work."""
     rng = np.random.default_rng(SEED)
     lens = rng.integers(40, 90, n_docs)
+    vocab_arr = np.asarray(VOCAB)
     texts = []
     for n in lens:
-        texts.append(" ".join(np.asarray(VOCAB)[rng.integers(0, len(VOCAB), n)]))
+        # quadratic rank bias ≈ Zipf: low-index (common) words dominate but
+        # the tail still appears — keeps n-gram space sparse like real text
+        idx = (len(vocab_arr) * rng.random(n) ** 2).astype(np.int64)
+        texts.append(" ".join(vocab_arr[idx]))
     # planted duplicates: last 4.5% of docs copy earlier ones
     n_exact = int(n_docs * 0.015)
     n_near = int(n_docs * 0.03)
