@@ -297,14 +297,14 @@ def minhash_candidate_pairs(ds, signer: MinHashSigner, min_est_jaccard: float = 
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        # vectorized split by (band, band_key); python only touches real
-        # collision groups
+        # prefilter to real collision groups VECTORIZED before the Python
+        # group loop — pandas groupby iteration visits every group, so
+        # without this the loop is O(#distinct keys in the bucket), not
+        # O(#collisions) (LSH keys are mostly unique by design)
+        g = g.drop_duplicates(["band", "band_key", "doc_id"])
+        g = g[g.duplicated(["band", "band_key"], keep=False)]
         for _, grp in g.groupby(["band", "band_key"], sort=False):
-            if len(grp) < 2:
-                continue
-            uniq = grp.drop_duplicates("doc_id")
-            if len(uniq) < 2:
-                continue
+            uniq = grp
             ids = uniq["doc_id"].to_numpy()
             sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in uniq["sig"]])
             for i, j in itertools.combinations(range(len(ids)), 2):
@@ -615,10 +615,12 @@ def hamming_pairs_from_chunked_hashes(hashed, id_column: str = "doc_id",
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        # vectorized collision prefilter (see minhash bucket_pairs): the
+        # Python loop must touch only keys with >= 2 distinct ids
+        g = g.drop_duplicates(["chunk_idx", "chunk_val", id_column])
+        g = g[g.duplicated(["chunk_idx", "chunk_val"], keep=False)]
         for _, grp in g.groupby(["chunk_idx", "chunk_val"], sort=False):
-            if len(grp) < 2:
-                continue
-            uniq = grp.drop_duplicates(id_column)
+            uniq = grp
             ids = uniq[id_column].to_numpy()
             hs = uniq["__h"].to_numpy(dtype=np.uint64)
             for i, j in itertools.combinations(range(len(ids)), 2):
@@ -904,10 +906,11 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
         frames = []
+        # vectorized collision prefilter: only (table, bucket) keys holding
+        # >= 2 rows reach the Python loop (keys are mostly singletons)
+        g = g[g.duplicated(["table", "bucket"], keep=False)]
         for _, grp in g.groupby(["table", "bucket"], sort=False):
             n = len(grp)
-            if n < 2:
-                continue
             # NO id dedup here: two ROWS with the same id are a legitimate
             # duplicate pair (e.g. audio content dedup keys vec_id off
             # clip_id, and duplicated clip_ids are exactly the signal)
