@@ -33,6 +33,11 @@ import pyarrow as pa
 from schema_guru_ray.audio import synth
 from schema_guru_ray.audio.wav import encode_wav
 
+# bump when the synthesis math changes bytes (keys the _ensure cache so
+# stale corpora regenerate): 2 = float32 reference_pcm, 3 = digest-derived
+# signal params + transcripts (audio/synth.py)
+GEN_VERSION = 3
+
 SR_VALUES = (8000, 16000, 22050, 44100, 48000)
 SR_WEIGHTS = np.array([1.0 / (r + 1) ** 1.6 for r in range(len(SR_VALUES))])
 SR_WEIGHTS /= SR_WEIGHTS.sum()
@@ -240,7 +245,7 @@ def _ensure(path: str, n: int, cfg: ClipsConfig) -> str:
     changed) invalidates the cache."""
     import shutil
 
-    key = f"n={n} cfg={sorted(vars(cfg).items())!r}"
+    key = f"gen={GEN_VERSION} n={n} cfg={sorted(vars(cfg).items())!r}"
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         with open(done) as f:
