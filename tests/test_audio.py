@@ -50,6 +50,27 @@ class TestSynth:
         assert not np.array_equal(a, b)
         assert synth.reference_transcript("clip-1") != synth.reference_transcript("clip-2")
 
+    def test_golden_bytes_pin_gen_version(self):
+        # Cached corpora under /tmp/graft_clips are keyed by
+        # sources/clips.py GEN_VERSION. If this test fails, the synthesis
+        # math changed bytes: bump GEN_VERSION and re-pin these digests,
+        # or stale caches will silently disagree with the validator.
+        import hashlib
+        from schema_guru_ray.sources.clips import GEN_VERSION
+
+        assert GEN_VERSION == 3
+        pins = {
+            ("clip-1", 16000, 2000): "1df97a99d456a1f32deb532aa2d0d42d",
+            ("golden-a", 8000, 800): "1bc7816a077eebaf696ff686ad9c3ddf",
+            ("golden-b", 48000, 9600): "c145dd81b28ce26ca4c3f82daab0642a",
+        }
+        for (cid, sr, n), want in pins.items():
+            got = hashlib.md5(synth.reference_pcm(cid, sr, n).tobytes()).hexdigest()
+            assert got == want, f"reference_pcm({cid},{sr},{n}) bytes changed"
+        assert synth.reference_transcript("clip-1") == (
+            "bravo amber harbor reed sierra golf nectar reed bravo"
+        )
+
 
 CFG = ClipsConfig(
     rate_dup=0.02,
