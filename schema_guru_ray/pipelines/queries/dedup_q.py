@@ -321,21 +321,24 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 
 
 def image_featurize_documents(sf_dir: str):
-    """Multimodal plumbing demo: a deterministic binary media column (doc
-    text bytes stand in for image payloads) through the ImageFeaturizer
-    actor pool — decode(stub) → resize → featurize. Rows-only."""
-    from schema_guru_ray.stages.multimodal import ImageFeaturizer
+    """Multimodal pipeline over REAL image bytes: each doc's text
+    deterministically synthesizes a 24×24 PNG payload (synth_media_png),
+    and the ImageFeaturizer actor pool decodes it with the pure-stdlib
+    PNG decoder (media/png.py, strict mode — no fake fallback) → resize →
+    featurize. Rows-only."""
+    from schema_guru_ray.stages.multimodal import ImageFeaturizer, synth_media_png
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def to_media(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": b["doc_id"], "media": [t.encode() for t in b["text"]]}
+            {"doc_id": b["doc_id"], "media": [synth_media_png(t.encode()) for t in b["text"]]}
         )
 
     media = ds.map_batches(to_media, batch_format="pandas")
     out = media.map_batches(
         ImageFeaturizer,
+        fn_constructor_kwargs=dict(strict=True),  # PNG payloads: real decode only
         batch_format="pandas",
         batch_size=64,  # small batches: wide binary rows
         concurrency=(1, 4),
@@ -355,20 +358,21 @@ def image_featurize_documents(sf_dir: str):
 
 
 def image_phash_dedup_documents(sf_dir: str):
-    """Image near-dup pairs by 64-bit DCT perceptual hash over the
-    synthetic media column (doc text bytes as payloads, fake decoder —
-    real plumbing): actor-pool decode+hash, then the shared 16-bit-chunk
+    """Image near-dup pairs by 64-bit DCT perceptual hash over REAL PNG
+    payloads (each doc's text deterministically synthesizes a 24×24 PNG;
+    the pure-stdlib decoder in media/png.py decodes it — no fake, no
+    image library): actor-pool decode+hash, then the shared 16-bit-chunk
     pigeonhole pairing (exact for hamming ≤ 3). Identical payloads (the
-    corpus' exact-dup docs) land at hamming 0. Rows-only: the fake decoder
-    is environment-dependent by design; ground truth in
+    corpus' exact-dup docs) land at hamming 0. Rows-only; codec ground
+    truth in tests/test_png.py, pHash ground truth in
     tests/test_multimodal.py."""
-    from schema_guru_ray.stages.multimodal import phash_dup_pairs
+    from schema_guru_ray.stages.multimodal import phash_dup_pairs, synth_media_png
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def to_media(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": b["doc_id"], "media": [t.encode() for t in b["text"]]}
+            {"doc_id": b["doc_id"], "media": [synth_media_png(t.encode()) for t in b["text"]]}
         )
 
     media = ds.map_batches(to_media, batch_format="pandas")

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 processed by actor-pool ``map_batches`` stages.
 
-The container ships no image/video libraries, so the *decoders* here are
-STUBS behind an import-try (``NotImplementedError`` in strict mode, a
-deterministic fake in test mode) — but the Ray-side plumbing is real and
-tested: schema contracts, actor signatures, batch sizing for wide binary
-rows, output layout. Audio is the exception: the PCM WAV decoder in
-``audio/wav.py`` is fully real.
+The container ships no image/video libraries, so decode resolves in
+order: **PNG payloads decode for real** (pure stdlib zlib + numpy,
+``media/png.py`` — same move as the audio side's G.711 tables), PIL when
+importable handles other formats, and anything else falls to a
+deterministic fake (``NotImplementedError`` in strict mode) — so the
+Ray-side plumbing (schema contracts, actor signatures, batch sizing for
+wide binary rows, output layout) always runs end-to-end. Audio's PCM
+WAV decoder in ``audio/wav.py`` is likewise fully real.
 
 Batch-size guidance for wide binary rows (SURVEY.md §7.4): keep
 ``batch_size`` small enough that ``batch_size × median_payload ×
@@ -43,6 +45,54 @@ def fake_decode_image(buf: bytes, size: Tuple[int, int] = (32, 32)) -> np.ndarra
     return rng.integers(0, 256, size=(size[0], size[1], 3), dtype=np.uint8)
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def synth_media_png(payload: bytes, size: Tuple[int, int] = (24, 24)) -> bytes:
+    """Deterministic payload → real PNG bytes: a two-axis gradient
+    modulated by digest bytes, so the image has low-frequency structure
+    (meaningful for pHash) and identical payloads yield byte-identical
+    PNGs. Used by the catalog's multimodal queries to run the REAL
+    decode path (media/png.py) end-to-end with no image library."""
+    from schema_guru_ray.media.png import encode_png
+
+    d = np.frombuffer(
+        hashlib.blake2b(payload, digest_size=32, person=b"img").digest(), dtype=np.uint8
+    ).astype(np.int32)
+    h, w = size
+    y = np.arange(h, dtype=np.int32)[:, None]
+    x = np.arange(w, dtype=np.int32)[None, :]
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        img[:, :, c] = (
+            d[c] + y * d[3 + c] // max(1, h - 1) + x * d[6 + c] // max(1, w - 1)
+            + ((y * d[9 + c] // 8) % 7) * d[12 + c] // 7
+        ) % 256
+    return encode_png(img)
+
+
+def decode_image(buf: bytes, pil=None, strict: bool = False) -> np.ndarray:
+    """Shared decoder chain for the image kernels: real pure-stdlib PNG
+    decode when the payload carries the PNG signature, PIL for other
+    formats when importable, deterministic fake otherwise (strict mode
+    raises instead of faking — marking exactly where libjpeg-class
+    dependencies plug in). Always returns (H, W, 3) uint8 RGB."""
+    if buf[:8] == _PNG_SIGNATURE:
+        from schema_guru_ray.media.png import decode_png, to_rgb
+
+        return to_rgb(decode_png(bytes(buf)))
+    if pil is not None:
+        import io
+
+        return np.asarray(pil.open(io.BytesIO(buf)).convert("RGB"))
+    if strict:
+        raise NotImplementedError(
+            "non-PNG image decode requires PIL/libjpeg — not available in "
+            "this environment (PNG decodes natively via media/png.py)"
+        )
+    return fake_decode_image(bytes(buf))
+
+
 def resize_nearest(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """Nearest-neighbour resize in pure numpy (no image lib needed)."""
     h, w = img.shape[:2]
@@ -55,27 +105,21 @@ class ImageFeaturizer:
     """Actor-pool kernel: (id, image binary) → decoded-shape metadata +
     small feature vector (channel means + 8-bin luminance histogram).
 
-    ``strict=True`` demands a real decoder (PIL) and raises
-    NotImplementedError when absent — marking exactly where libjpeg-class
-    dependencies plug in."""
+    ``strict=True`` demands a real decoder for every payload — PNG always
+    has one (media/png.py); other formats need PIL and raise
+    NotImplementedError at decode time when it's absent, marking exactly
+    where libjpeg-class dependencies plug in."""
 
     def __init__(self, column: str = "media", id_column: str = "doc_id",
                  resize_to: Tuple[int, int] = (16, 16), strict: bool = False):
         self.column = column
         self.id_column = id_column
         self.resize_to = resize_to
+        self.strict = strict
         self.pil = _try_import_pil()
-        if strict and self.pil is None:
-            raise NotImplementedError(
-                "image decode requires PIL/libjpeg — not available in this environment"
-            )
 
     def _decode(self, buf: bytes) -> np.ndarray:
-        if self.pil is not None:
-            import io
-
-            return np.asarray(self.pil.open(io.BytesIO(buf)).convert("RGB"))
-        return fake_decode_image(buf)
+        return decode_image(buf, self.pil, self.strict)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats, heights, widths = [], [], []
@@ -150,25 +194,18 @@ class ImagePHasher:
     """Actor-pool kernel: (id, image binary) → (id, phash uint64,
     chunk0..chunk3) rows, ready for the shared 16-bit-chunk pigeonhole
     pair machinery (stages/dedup.py hamming_pairs_from_chunked_hashes).
-    Decoder contract identical to ImageFeaturizer (PIL when available,
-    deterministic fake otherwise; strict mode raises)."""
+    Decoder contract identical to ImageFeaturizer (real PNG decode, PIL
+    when available, deterministic fake otherwise; strict mode raises)."""
 
     def __init__(self, column: str = "media", id_column: str = "doc_id",
                  strict: bool = False):
         self.column = column
         self.id_column = id_column
+        self.strict = strict
         self.pil = _try_import_pil()
-        if strict and self.pil is None:
-            raise NotImplementedError(
-                "image decode requires PIL/libjpeg — not available in this environment"
-            )
 
     def _decode(self, buf: bytes) -> np.ndarray:
-        if self.pil is not None:
-            import io
-
-            return np.asarray(self.pil.open(io.BytesIO(buf)).convert("RGB"))
-        return fake_decode_image(buf)
+        return decode_image(buf, self.pil, self.strict)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         hashes = np.array(

@@ -33,15 +33,30 @@ class TestImageFeaturizer:
         assert out["features"][0].dtype == np.float32
 
     def test_strict_mode_marks_stub(self):
-        # PIL is absent in this container → strict construction must raise
+        # PIL is absent in this container → strict mode must raise at
+        # decode time for NON-PNG payloads (PNG decodes natively via
+        # media/png.py, so strict construction is fine)
         try:
             import PIL  # noqa: F401
 
             pytest.skip("PIL available; stub gate not applicable")
         except ImportError:
             pass
+        feat = ImageFeaturizer(strict=True)
         with pytest.raises(NotImplementedError):
-            ImageFeaturizer(strict=True)
+            feat(pd.DataFrame({"doc_id": [1], "media": [b"not-a-png"]}))
+
+    def test_strict_mode_decodes_png_without_pil(self):
+        from schema_guru_ray.media.png import encode_png
+
+        img = np.arange(10 * 8 * 3, dtype=np.uint8).reshape(10, 8, 3)
+        batch = pd.DataFrame({"doc_id": [7], "media": [encode_png(img)]})
+        out = ImageFeaturizer(strict=True)(batch)
+        assert int(out["height"][0]) == 10 and int(out["width"][0]) == 8
+        # features come from the REAL pixels: channel means match directly
+        small = resize_nearest(img, (16, 16)).astype(np.float32)
+        want = small.reshape(-1, 3).mean(axis=0) / 255.0
+        assert np.allclose(out["features"][0][:3], want, atol=1e-6)
 
     @pytest.mark.usefixtures("ray_session")
     def test_actor_pool_integration(self):
