@@ -379,6 +379,56 @@ def image_phash_dedup_documents(sf_dir: str):
     return phash_dup_pairs(media, max_hamming=3)
 
 
+def video_frame_sample_documents(sf_dir: str):
+    """Full multimodal chain over REAL video bytes: each doc's text
+    deterministically synthesizes a 6-frame 16×16 .y4m clip
+    (synth_media_y4m — the doc's gradient image panning), the
+    FrameSampler actor pool decodes it with the pure-stdlib Y4M decoder
+    (media/y4m.py, streaming frame iteration) keeping every 2nd frame as
+    PNG bytes, and a second pass pHashes each sampled frame through the
+    real PNG decode chain. Only (id, frame_idx, 8-byte hash) rows leave
+    the second stage. Rows-only; codec ground truth in tests/test_y4m.py."""
+    from schema_guru_ray.stages.multimodal import (
+        FrameSampler,
+        decode_image,
+        phash64,
+        synth_media_y4m,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "media": [synth_media_y4m(t.encode()) for t in b["text"]]}
+        )
+
+    frames = ds.map_batches(to_media, batch_format="pandas").map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(every_n_frames=2),
+        batch_format="pandas",
+        batch_size=64,  # small batches: wide binary rows
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def hash_frames(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "frame_idx": b["frame_idx"],
+                "height": b["height"],
+                "width": b["width"],
+                "frame_phash": pd.array(
+                    [np.uint64(phash64(decode_image(f))).astype(np.int64)
+                     for f in b["frame"]],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return frames.map_batches(hash_frames, batch_format="pandas")
+
+
 def cluster_assign_embeddings(sf_dir: str, k: int = 8):
     """Nearest-centroid assignment with integer-milli quantized dot
     products (stages/cluster.py): centroids are the embeddings of the 8

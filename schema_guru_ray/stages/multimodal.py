@@ -144,10 +144,32 @@ class ImageFeaturizer:
         )
 
 
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def synth_media_y4m(payload: bytes, n_frames: int = 6,
+                    size: Tuple[int, int] = (16, 16)) -> bytes:
+    """Deterministic payload → real .y4m bytes: the payload's gradient
+    image (synth_media_png's pixel math) panning one pixel per frame, so
+    the clip has genuine motion and identical payloads yield
+    byte-identical videos. Used by the catalog's video query to run the
+    REAL decode path (media/y4m.py) end-to-end with no video library."""
+    from schema_guru_ray.media.png import decode_png
+    from schema_guru_ray.media.y4m import encode_y4m
+
+    base = decode_png(synth_media_png(payload, size))
+    frames = np.stack([np.roll(base, (i, 2 * i), axis=(0, 1)) for i in range(n_frames)])
+    return encode_y4m(frames)
+
+
 class FrameSampler:
-    """Video frame-sampling STUB: real decode needs ffmpeg-class libraries.
-    The plumbing contract is: (id, video binary, fps metadata) →
-    one row per sampled frame (id, frame_idx, frame binary)."""
+    """Actor-pool kernel: (id, video binary) → one row per sampled frame
+    (id, frame_idx, height, width, frame as PNG bytes).
+
+    Y4M (YUV4MPEG2) payloads decode for REAL via media/y4m.py — streaming
+    frame iteration, so unsampled frames never materialize as RGB.
+    Compressed containers (mp4/mkv) need ffmpeg-class libraries and raise
+    NotImplementedError, marking exactly where they plug in."""
 
     def __init__(self, every_n_frames: int = 30, column: str = "media",
                  id_column: str = "doc_id"):
@@ -156,10 +178,33 @@ class FrameSampler:
         self.id_column = id_column
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        raise NotImplementedError(
-            "video frame sampling requires ffmpeg — not available in this "
-            "environment; plug a decoder into FrameSampler._decode and emit "
-            "(id, frame_idx, frame) rows"
+        from schema_guru_ray.media.png import encode_png
+        from schema_guru_ray.media.y4m import iter_y4m_frames
+
+        ids, idxs, heights, widths, frames = [], [], [], [], []
+        for doc_id, buf in zip(batch[self.id_column], batch[self.column]):
+            buf = bytes(buf)
+            if buf[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
+                raise NotImplementedError(
+                    "compressed video decode requires ffmpeg — not available "
+                    "in this environment (Y4M decodes natively via media/y4m.py)"
+                )
+            for i, frame in enumerate(iter_y4m_frames(buf)):
+                if i % self.every_n_frames:
+                    continue
+                ids.append(doc_id)
+                idxs.append(i)
+                heights.append(frame.shape[0])
+                widths.append(frame.shape[1])
+                frames.append(encode_png(frame))
+        return pd.DataFrame(
+            {
+                self.id_column: pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "height": pd.array(heights, dtype="int32"),
+                "width": pd.array(widths, dtype="int32"),
+                "frame": frames,
+            }
         )
 
 

@@ -77,9 +77,40 @@ class TestImageFeaturizer:
         assert (out["height"] == 32).all()
 
 
-def test_frame_sampler_stub():
+def test_frame_sampler_stub_for_compressed():
+    # non-Y4M payloads still mark the ffmpeg plug-in point
     with pytest.raises(NotImplementedError):
         FrameSampler()(pd.DataFrame({"doc_id": [1], "media": [b"x"]}))
+
+
+class TestFrameSampler:
+    def test_real_y4m_sampling(self):
+        from schema_guru_ray.media.png import decode_png
+        from schema_guru_ray.media.y4m import encode_y4m
+
+        rng = np.random.default_rng(3)
+        gray = rng.integers(0, 256, size=(7, 6, 8), dtype=np.uint8)
+        frames = np.repeat(gray[:, :, :, None], 3, axis=3)
+        batch = pd.DataFrame(
+            {"doc_id": [5], "media": [encode_y4m(frames)]}
+        )
+        out = FrameSampler(every_n_frames=3)(batch)
+        assert list(out["frame_idx"]) == [0, 3, 6]
+        assert (out["height"] == 6).all() and (out["width"] == 8).all()
+        # gray content survives YUV420 + PNG byte-exactly
+        for _, row in out.iterrows():
+            assert np.array_equal(decode_png(row["frame"]), frames[row["frame_idx"]])
+
+    def test_synth_video_determinism_and_motion(self):
+        from schema_guru_ray.media.y4m import decode_y4m
+        from schema_guru_ray.stages.multimodal import synth_media_y4m
+
+        a, b = synth_media_y4m(b"doc"), synth_media_y4m(b"doc")
+        assert a == b
+        assert synth_media_y4m(b"doc") != synth_media_y4m(b"other")
+        frames = decode_y4m(a)
+        assert frames.shape == (6, 16, 16, 3)
+        assert not np.array_equal(frames[0], frames[1])  # real motion
 
 
 class TestPHash:

@@ -178,6 +178,7 @@ class TestOracleParity:
             "kmeans_embeddings",
             "clips_integrity",
             "image_phash_dedup_documents",
+            "video_frame_sample_documents",
             "curate_clips_summary",
             "clips_windows",
             "clips_feature_prep",
