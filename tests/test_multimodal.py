@@ -1,5 +1,6 @@
-"""Multimodal plumbing: deterministic fake image decode, resize, featurize
-through a Ray actor pool; video stub contract."""
+"""Multimodal plumbing: the decode chain (real PNG, PIL plug-in, fake
+fallback), resize, featurize through a Ray actor pool; real Y4M frame
+sampling; ffmpeg plug-in contract for compressed video."""
 
 import numpy as np
 import pandas as pd
