@@ -16,9 +16,11 @@ import pyarrow.compute as pc
 
 from schema_guru_ray.context import SchemaContext
 from schema_guru_ray.stages.joins import sorted_lookup
+from schema_guru_ray.stages.warm import warm_kernel
 from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
+    _pa,
     _read,
 )
 
@@ -202,8 +204,8 @@ def clips_feature_prep(sf_dir: str):
     feats = (
         read_clips(path)
         .map_batches(
-            SpecAugmentFeaturizer, batch_format="pyarrow", batch_size=256,
-            concurrency=(1, 16), num_cpus=1,
+            warm_kernel(SpecAugmentFeaturizer), batch_format="pyarrow",
+            batch_size=256,
         )
         .map_batches(
             lambda t: t.filter(t["decodable"]), batch_format="pyarrow"
@@ -263,7 +265,9 @@ def clips_resample_stats(sf_dir: str):
         df = pd.DataFrame(
             rows, columns=["codec", "n", "bad_sr", "dur_drift_ms", "rms_err_db"]
         )
-        return (
+        # Arrow out (the _pa rule): pandas blocks pay ~80 ms/block in the
+        # native aggregate's map side even at 4 rows/block
+        return _pa(
             df.groupby("codec", as_index=False)
             .agg(n=("n", "sum"), bad_sr=("bad_sr", "sum"),
                  max_dur_drift_ms=("dur_drift_ms", "max"),
@@ -304,7 +308,9 @@ def clips_integrity(sf_dir: str):
             n_clipped=(b["clip_ppm"] > 0).astype("int64"),
             abs_dc_milli=b["dc_milli"].abs(),
         )
-        return b.groupby("codec", as_index=False).agg(
+        # Arrow out (the _pa rule): pandas blocks are the slow path through
+        # the native aggregate even for scalar partial rows
+        return _pa(b.groupby("codec", as_index=False).agg(
             n=("n", "sum"),
             n_undecodable=("n_undecodable", "sum"),
             n_clipped=("n_clipped", "sum"),
@@ -312,7 +318,7 @@ def clips_integrity(sf_dir: str):
             max_silence_ppm=("silence_ppm", "max"),
             max_abs_dc_milli=("abs_dc_milli", "max"),
             max_peak_dbfs_centi=("peak_dbfs_centi", "max"),
-        )
+        ))
 
     return (
         sig.map_batches(partial, batch_format="pandas")

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 
 from schema_guru_ray.context import SchemaContext
 from schema_guru_ray.stages.joins import sorted_lookup
+from schema_guru_ray.stages.warm import warm_kernel
 from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
@@ -337,12 +338,10 @@ def image_featurize_documents(sf_dir: str):
 
     media = ds.map_batches(to_media, batch_format="pandas")
     out = media.map_batches(
-        ImageFeaturizer,
-        fn_constructor_kwargs=dict(strict=True),  # PNG payloads: real decode only
+        # PNG payloads: real decode only; warm-task mode (stages/warm.py)
+        warm_kernel(ImageFeaturizer, strict=True),
         batch_format="pandas",
         batch_size=64,  # small batches: wide binary rows
-        concurrency=(1, 4),
-        num_cpus=1,
     )
     return out.map_batches(
         lambda b: pd.DataFrame(
@@ -403,12 +402,9 @@ def video_frame_sample_documents(sf_dir: str):
         )
 
     frames = ds.map_batches(to_media, batch_format="pandas").map_batches(
-        FrameSampler,
-        fn_constructor_kwargs=dict(every_n_frames=2),
+        warm_kernel(FrameSampler, every_n_frames=2),
         batch_format="pandas",
         batch_size=64,  # small batches: wide binary rows
-        concurrency=(1, 4),
-        num_cpus=1,
     )
 
     def hash_frames(b: pd.DataFrame) -> pd.DataFrame:

@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from schema_guru_ray.audio.wav import WavDecodeError, decode_wav
+from schema_guru_ray.stages.warm import warm_kernel
 
 N_MELS = 24
 FEATURE_DIM = 2 * N_MELS
@@ -160,11 +161,19 @@ class AudioFeaturizer:
         )
 
 
-def audio_features(clips_ds, batch_size: int = 256):
-    """clips Dataset → feature Dataset (bytes dropped here)."""
+def audio_features(clips_ds, batch_size: int = 256, mode: str = "tasks"):
+    """clips Dataset → feature Dataset (bytes dropped here). Warm-task
+    mode by default — the kernel state is two floats and the DSP constants
+    are lru_cached per worker either way (stages/warm.py); ``"actors"``
+    keeps the explicit pool for expensive-state deployments."""
+    if mode == "actors":
+        return clips_ds.map_batches(
+            AudioFeaturizer, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 16), num_cpus=1,
+        )
     return clips_ds.map_batches(
-        AudioFeaturizer, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 16), num_cpus=1,
+        warm_kernel(AudioFeaturizer), batch_format="pyarrow",
+        batch_size=batch_size,
     )
 
 
@@ -264,11 +273,17 @@ class AudioIntegrity:
         return out
 
 
-def audio_integrity(clips_ds, batch_size: int = 256):
-    """clips Dataset → integrity-signal Dataset (streaming, no shuffle)."""
+def audio_integrity(clips_ds, batch_size: int = 256, mode: str = "tasks"):
+    """clips Dataset → integrity-signal Dataset (streaming, no shuffle).
+    Warm-task mode by default (stages/warm.py)."""
+    if mode == "actors":
+        return clips_ds.map_batches(
+            AudioIntegrity, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 16), num_cpus=1,
+        )
     return clips_ds.map_batches(
-        AudioIntegrity, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 16), num_cpus=1,
+        warm_kernel(AudioIntegrity), batch_format="pyarrow",
+        batch_size=batch_size,
     )
 
 
@@ -330,9 +345,9 @@ def content_dedup_drop_hashes(clips_ds, batch_size: int = 256):
     at 5k/10k/20k clips — fine for bounded candidate sets, wrong as the
     corpus-wide dedup primitive). Returns a Dataset of ``drop_h`` int64."""
     sigs = clips_ds.map_batches(
-        ContentSigner, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 16), num_cpus=1,
-    ).materialize()  # keep the decode pool out of the groupby's plan
+        warm_kernel(ContentSigner), batch_format="pyarrow",
+        batch_size=batch_size,
+    ).materialize()  # keep the decode maps out of the groupby's plan
     return collapse_drop_hashes(sigs)
 
 

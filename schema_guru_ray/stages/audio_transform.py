@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from schema_guru_ray.audio.wav import WavDecodeError, decode_wav, encode_wav
+from schema_guru_ray.stages.warm import warm_kernel
 
 SEGMENT_SCHEMA = pa.schema(
     [
@@ -132,11 +133,20 @@ class EnergySegmenter:
         )
 
 
-def segment_clips(clips_ds, batch_size: int = 256, **kw):
-    """clips Dataset → (clip_id, seg_idx, start_ms, end_ms, rms_db)."""
+def segment_clips(clips_ds, batch_size: int = 256, mode: str = "tasks", **kw):
+    """clips Dataset → (clip_id, seg_idx, start_ms, end_ms, rms_db).
+    ``mode="tasks"`` (default) runs the kernel in warm-task mode — the
+    constructor state here is a few floats, and the actor pool's spin-up
+    + queueing dominates short stages (stages/warm.py); ``"actors"``
+    keeps the explicit pool for expensive-state deployments."""
+    if mode == "actors":
+        return clips_ds.map_batches(
+            EnergySegmenter, fn_constructor_kwargs=kw, batch_format="pyarrow",
+            batch_size=batch_size, concurrency=(1, 16), num_cpus=1,
+        )
     return clips_ds.map_batches(
-        EnergySegmenter, fn_constructor_kwargs=kw, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=(1, 16), num_cpus=1,
+        warm_kernel(EnergySegmenter, **kw), batch_format="pyarrow",
+        batch_size=batch_size,
     )
 
 
@@ -219,18 +229,21 @@ class WindowChunker:
 
 
 def window_clips(clips_ds, window_ms: int = 250, hop_ms: int = 100,
-                 emit_bytes: bool = False, batch_size: int = 256):
+                 emit_bytes: bool = False, batch_size: int = 256,
+                 mode: str = "tasks"):
     """clips Dataset → fixed training-window rows. With ``emit_bytes`` the
     batch size should shrink (each input clip multiplies into
-    ~dur/hop windows of payload)."""
+    ~dur/hop windows of payload). Warm-task mode by default
+    (stages/warm.py); ``mode="actors"`` keeps the explicit pool."""
+    kw = {"window_ms": window_ms, "hop_ms": hop_ms, "emit_bytes": emit_bytes}
+    bs = batch_size if not emit_bytes else max(16, batch_size // 8)
+    if mode == "actors":
+        return clips_ds.map_batches(
+            WindowChunker, fn_constructor_kwargs=kw, batch_format="pyarrow",
+            batch_size=bs, concurrency=(1, 16), num_cpus=1,
+        )
     return clips_ds.map_batches(
-        WindowChunker,
-        fn_constructor_kwargs={
-            "window_ms": window_ms, "hop_ms": hop_ms, "emit_bytes": emit_bytes,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size if not emit_bytes else max(16, batch_size // 8),
-        concurrency=(1, 16), num_cpus=1,
+        warm_kernel(WindowChunker, **kw), batch_format="pyarrow", batch_size=bs,
     )
 
 
@@ -311,15 +324,24 @@ class AudioResampler:
 
 
 def resample_clips(clips_ds, sr_out: int = 16000,
-                   target_dbfs: Optional[float] = -20.0, batch_size: int = 128):
+                   target_dbfs: Optional[float] = -20.0, batch_size: int = 128,
+                   mode: str = "tasks"):
     """clips Dataset → clips Dataset at a uniform sample rate + loudness.
     Batch size is small because bytes stay in the batch (large-binary
-    guidance from the Ray Data guide)."""
+    guidance from the Ray Data guide). Warm-task mode by default: the
+    kernel state is two floats, and ds.stats() measured ~3.5 s of the
+    actor form's 4.0 s operator wall as pool spin-up + queueing
+    (stages/warm.py); ``mode="actors"`` keeps the explicit pool."""
+    kw = {"sr_out": sr_out, "target_dbfs": target_dbfs}
+    if mode == "actors":
+        return clips_ds.map_batches(
+            AudioResampler, fn_constructor_kwargs=kw,
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 16), num_cpus=1,
+        )
     return clips_ds.map_batches(
-        AudioResampler,
-        fn_constructor_kwargs={"sr_out": sr_out, "target_dbfs": target_dbfs},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 16), num_cpus=1,
+        warm_kernel(AudioResampler, **kw), batch_format="pyarrow",
+        batch_size=batch_size,
     )
 
 
@@ -386,13 +408,19 @@ class SpeedPerturber:
 
 
 def speed_perturb_clips(clips_ds, factors: Tuple[float, ...] = (0.9, 1.1),
-                        batch_size: int = 128):
+                        batch_size: int = 128, mode: str = "tasks"):
     """clips Dataset → perturbed-copies Dataset (clips shape +
-    ``speed_factor``). Streaming map; bytes never shuffle."""
+    ``speed_factor``). Streaming map; bytes never shuffle. Warm-task
+    mode by default (stages/warm.py); ``mode="actors"`` keeps the pool."""
+    if mode == "actors":
+        return clips_ds.map_batches(
+            SpeedPerturber, fn_constructor_kwargs={"factors": tuple(factors)},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 16), num_cpus=1,
+        )
     return clips_ds.map_batches(
-        SpeedPerturber, fn_constructor_kwargs={"factors": tuple(factors)},
+        warm_kernel(SpeedPerturber, factors=tuple(factors)),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 16), num_cpus=1,
     )
 
 
@@ -456,13 +484,20 @@ class NoiseMixer:
         )
 
 
-def mix_noise_clips(clips_ds, snr_db: float = 20.0, batch_size: int = 128):
+def mix_noise_clips(clips_ds, snr_db: float = 20.0, batch_size: int = 128,
+                    mode: str = "tasks"):
     """clips Dataset → noisy-copies Dataset (clips shape +
-    ``achieved_snr_centi``). Streaming map; bytes never shuffle."""
+    ``achieved_snr_centi``). Streaming map; bytes never shuffle. Warm-task
+    mode by default (stages/warm.py); ``mode="actors"`` keeps the pool."""
+    if mode == "actors":
+        return clips_ds.map_batches(
+            NoiseMixer, fn_constructor_kwargs={"snr_db": snr_db},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 16), num_cpus=1,
+        )
     return clips_ds.map_batches(
-        NoiseMixer, fn_constructor_kwargs={"snr_db": snr_db},
+        warm_kernel(NoiseMixer, snr_db=snr_db),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 16), num_cpus=1,
     )
 
 
@@ -523,13 +558,18 @@ class PerturbWindowChunker:
 
 def perturb_window_clips(clips_ds, factors: Tuple[float, ...] = (1.0, 0.9, 1.1),
                          window_ms: int = 250, hop_ms: int = 100,
-                         batch_size: int = 256):
-    """clips Dataset → augmented window-layout rows, one decode per clip."""
+                         batch_size: int = 256, mode: str = "tasks"):
+    """clips Dataset → augmented window-layout rows, one decode per clip.
+    Warm-task mode by default (stages/warm.py); ``mode="actors"`` keeps
+    the explicit pool."""
+    kw = {"factors": tuple(factors), "window_ms": window_ms, "hop_ms": hop_ms}
+    if mode == "actors":
+        return clips_ds.map_batches(
+            PerturbWindowChunker, fn_constructor_kwargs=kw,
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 16), num_cpus=1,
+        )
     return clips_ds.map_batches(
-        PerturbWindowChunker,
-        fn_constructor_kwargs={
-            "factors": tuple(factors), "window_ms": window_ms, "hop_ms": hop_ms,
-        },
+        warm_kernel(PerturbWindowChunker, **kw),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 16), num_cpus=1,
     )

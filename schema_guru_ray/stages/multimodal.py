@@ -273,11 +273,11 @@ def phash_dup_pairs(media_ds, max_hamming: int = 3, column: str = "media",
     hash) rows shuffle."""
     from schema_guru_ray.stages.dedup import hamming_pairs_from_chunked_hashes
 
+    from schema_guru_ray.stages.warm import warm_kernel
+
     hashed = media_ds.map_batches(
-        ImagePHasher,
-        fn_constructor_kwargs=dict(column=column, id_column=id_column),
+        warm_kernel(ImagePHasher, column=column, id_column=id_column),
         batch_format="pandas", batch_size=batch_size,
-        concurrency=(1, 8), num_cpus=1,
     )
     return hamming_pairs_from_chunked_hashes(
         hashed, id_column=id_column, hash_column="phash", max_hamming=max_hamming
