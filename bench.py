@@ -240,7 +240,10 @@ def run_scaling() -> dict:
     # Noise-robust protocol: interleave the legs N times and take the
     # MINIMUM wall time per leg — min is the standard estimator for
     # wall time under external contention (contention only ever ADDS time).
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    # 5 interleaved repeats per leg: this host's run-to-run spread on a
+    # single leg reached 33% inside one hour (sec_8 19.8-26.3 s on an
+    # idle-loadavg machine), so min-of-3 still carried multi-second noise
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "5"))
     # Two N-vs-4N pairings by default (round-4 advice: don't judge the
     # criterion solely on the unsaturated leg). On THIS single-socket host
     # the shared memory bus saturates as workers are added — the same

@@ -66,6 +66,33 @@ def decode_wav(buf: bytes) -> Tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2"), sample_rate
 
 
+_ERR_SCRATCH = np.empty(0, dtype=np.float32)
+
+
+def snr_db_ref_f32(ref_f32: np.ndarray, decoded: np.ndarray) -> float:
+    """:func:`snr_db` for a reference already in float32 (the validator's
+    quantized-synthesis scratch, ``synth.reference_pcm_f32``): the error
+    vector lands in a grow-only scratch buffer and the int16 ``decoded``
+    widens inside the subtract ufunc — no per-clip allocations, two fewer
+    full-array passes. Bit-identical result to
+    ``snr_db(ref_f32.astype(np.int16), decoded)`` for in-range values."""
+    global _ERR_SCRATCH
+    n = ref_f32.shape[0]
+    if ref_f32.shape != decoded.shape or n == 0:
+        return float("-inf")
+    if _ERR_SCRATCH.shape[0] < n:
+        _ERR_SCRATCH = np.empty(max(n, 2 * _ERR_SCRATCH.shape[0]), dtype=np.float32)
+    err = _ERR_SCRATCH[:n]
+    np.subtract(ref_f32, decoded, out=err)
+    p_sig = float(np.dot(ref_f32, ref_f32))
+    p_err = float(np.dot(err, err))
+    if p_err == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_err)
+
+
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
     """Signal-to-noise ratio of ``decoded`` against ``reference`` in dB.
     Mismatched lengths -> -inf (treated as failing any threshold)."""

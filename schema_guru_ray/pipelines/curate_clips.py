@@ -34,6 +34,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+
+from schema_guru_ray.stages.binview import binary_views
 import pyarrow as pa
 
 from schema_guru_ray.pipelines.validate import ValidationConfig
@@ -98,7 +100,7 @@ class _ValidateAndSign:
         from schema_guru_ray.stages.profile import stable_hash64
 
         ids = batch["clip_id"].to_pylist()
-        bufs = batch["bytes"].to_pylist()
+        bufs = binary_views(batch["bytes"])
         srs = batch["sr_hz"].to_pylist()
         durs = batch["dur_ms"].to_pylist()
         codecs = batch["codec"].to_pylist()

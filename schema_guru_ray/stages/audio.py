@@ -30,8 +30,9 @@ import numpy as np
 import pyarrow as pa
 
 from schema_guru_ray.audio import synth
-from schema_guru_ray.audio.wav import WavDecodeError, decode_wav, snr_db
+from schema_guru_ray.audio.wav import WavDecodeError, decode_wav, snr_db_ref_f32
 from schema_guru_ray.sources.clips import SR_VALUES
+from schema_guru_ray.stages.binview import binary_views
 
 VERDICT_SCHEMA = pa.schema(
     [
@@ -143,8 +144,13 @@ class ClipValidator:
             if transcript is not None:
                 violations.append("transcript_on_undecodable")
         else:
-            expected = synth.reference_pcm(clip_id, sr_wav, len(pcm))
-            snr = snr_db(expected, pcm)
+            # quantized reference synthesized straight into float32 scratch;
+            # SNR bit-identical to the int16-materialized form (see
+            # synth.reference_pcm_f32 / wav.snr_db_ref_f32) with four fewer
+            # full per-sample passes — the validation headline is
+            # memory-bandwidth-bound at high parallelism
+            expected = synth.reference_pcm_f32(clip_id, sr_wav, len(pcm))
+            snr = snr_db_ref_f32(expected, pcm)
             if snr < self.snr_threshold_db:
                 violations.append("snr_below_threshold")
             if transcript is None:
@@ -165,7 +171,9 @@ class ClipValidator:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         clip_ids = batch["clip_id"].to_pylist()
-        bufs = batch["bytes"].to_pylist()
+        # zero-copy views of the Arrow value buffer — to_pylist() would
+        # copy the whole audio payload once per validation pass
+        bufs = binary_views(batch["bytes"])
         srs = batch["sr_hz"].to_pylist()
         durs = batch["dur_ms"].to_pylist()
         codecs = batch["codec"].to_pylist()

@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from schema_guru_ray.audio.wav import WavDecodeError, decode_wav
+from schema_guru_ray.stages.binview import binary_views
 from schema_guru_ray.stages.warm import warm_kernel
 
 N_MELS = 24
@@ -139,7 +140,7 @@ class AudioFeaturizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["clip_id"].to_pylist()
         codecs = batch["codec"].to_pylist()
-        bufs = batch["bytes"].to_pylist()
+        bufs = binary_views(batch["bytes"])
         feats = []
         ok = []
         for buf in bufs:
@@ -258,7 +259,7 @@ class AudioIntegrity:
         ids = batch["clip_id"].to_pylist()
         codecs = batch["codec"].to_pylist()
         rows = []
-        for buf in batch["bytes"].to_pylist():
+        for buf in binary_views(batch["bytes"]):
             try:
                 pcm, sr = decode_wav(buf)
                 sig = integrity_signals(pcm, sr)
@@ -318,7 +319,7 @@ class ContentSigner:
         from schema_guru_ray.stages.profile import stable_hash64
 
         ids, sigs = [], []
-        for cid, buf in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
+        for cid, buf in zip(batch["clip_id"].to_pylist(), binary_views(batch["bytes"])):
             try:
                 pcm, sr = decode_wav(buf)
             except (WavDecodeError, TypeError):
@@ -435,7 +436,7 @@ class SpecAugmentFeaturizer:
         ids = batch["clip_id"].to_pylist()
         codecs = batch["codec"].to_pylist()
         feats, ok, n_frames = [], [], []
-        for cid, buf in zip(ids, batch["bytes"].to_pylist()):
+        for cid, buf in zip(ids, binary_views(batch["bytes"])):
             try:
                 pcm, sr = decode_wav(buf)
                 e = _log_energies(pcm, sr, self.frame_ms, self.hop_ms)

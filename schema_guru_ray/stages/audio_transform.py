@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from schema_guru_ray.audio.wav import WavDecodeError, decode_wav, encode_wav
+from schema_guru_ray.stages.binview import binary_views
 from schema_guru_ray.stages.warm import warm_kernel
 
 SEGMENT_SCHEMA = pa.schema(
@@ -105,7 +106,7 @@ class EnergySegmenter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, seg_idx, starts, ends, dbs = [], [], [], [], []
-        for cid, buf in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
+        for cid, buf in zip(batch["clip_id"].to_pylist(), binary_views(batch["bytes"])):
             if buf is None:
                 continue
             try:
@@ -193,7 +194,7 @@ class WindowChunker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, starts_ms, ends_ms, dbs = [], [], [], [], []
         wavs: List[bytes] = []
-        for cid, buf in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
+        for cid, buf in zip(batch["clip_id"].to_pylist(), binary_views(batch["bytes"])):
             if buf is None:
                 continue
             try:
@@ -298,7 +299,7 @@ class AudioResampler:
         self.target_dbfs = target_dbfs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bufs = batch["bytes"].to_pylist()
+        bufs = binary_views(batch["bytes"])  # zero-copy Arrow views
         out_bytes, out_sr, out_dur = [], [], []
         for buf, sr0, dur0 in zip(
             bufs, batch["sr_hz"].to_pylist(), batch["dur_ms"].to_pylist()
@@ -306,7 +307,8 @@ class AudioResampler:
             try:
                 pcm, sr = decode_wav(buf)
             except (WavDecodeError, TypeError):
-                out_bytes.append(buf)
+                # passthrough: pa.array needs bytes, not a borrowed view
+                out_bytes.append(None if buf is None else bytes(buf))
                 out_sr.append(sr0)
                 out_dur.append(dur0)
                 continue
@@ -372,7 +374,8 @@ class SpeedPerturber:
         self.factors = tuple(factors)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = {n: batch[n].to_pylist() for n in batch.column_names}
+        cols = {n: (binary_views(batch[n]) if n == "bytes" else batch[n].to_pylist())
+                for n in batch.column_names}
         rows = {n: [] for n in batch.column_names}
         extra_sp, extra_src = [], []
         for i in range(batch.num_rows):
@@ -440,7 +443,8 @@ class NoiseMixer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
-        cols = {n: batch[n].to_pylist() for n in batch.column_names}
+        cols = {n: (binary_views(batch[n]) if n == "bytes" else batch[n].to_pylist())
+                for n in batch.column_names}
         rows = {n: [] for n in batch.column_names}
         achieved = []
         ratio = 10.0 ** (self.snr_db / 10.0)
@@ -520,7 +524,7 @@ class PerturbWindowChunker:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, starts_ms, ends_ms, dbs, facs = [], [], [], [], [], []
-        for cid, buf in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
+        for cid, buf in zip(batch["clip_id"].to_pylist(), binary_views(batch["bytes"])):
             if buf is None:
                 continue
             try:
