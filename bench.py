@@ -56,7 +56,7 @@ def run_bench() -> dict:
 
     from schema_guru_ray.pipelines import queries as Q
     from schema_guru_ray.pipelines.validate import ValidationConfig, codec_verdicts, validate_clips
-    from schema_guru_ray.sources.clips import ensure_clips, n_clips_for_sf
+    from schema_guru_ray.sources.clips import ensure_clips, n_clips_for_sf, read_clips
 
     # --- headline: clips validation throughput -----------------------------
     clips_path = ensure_clips(sf_dir)  # one-off generation, cached in /tmp
@@ -77,7 +77,7 @@ def run_bench() -> dict:
         rd.read_parquet(os.path.join(sf_dir, f"{tbl}.parquet")).map_batches(
             _touch, batch_format="pyarrow"
         ).materialize()
-    warm = rd.read_parquet(clips_path).map_batches(_touch, batch_format="pyarrow")
+    warm = read_clips(clips_path).map_batches(_touch, batch_format="pyarrow")
     warm.groupby("n").count().materialize()
 
     vcfg = ValidationConfig(
@@ -91,7 +91,7 @@ def run_bench() -> dict:
     headline_repeats = []
     for _ in range(int(os.environ.get("GRAFT_HEADLINE_REPEATS", "3"))):
         t0 = time.perf_counter()
-        verdicts = validate_clips(rd.read_parquet(clips_path), vcfg)
+        verdicts = validate_clips(read_clips(clips_path), vcfg)
         cv = codec_verdicts(verdicts, vcfg)
         headline_repeats.append(round(time.perf_counter() - t0, 3))
         assert cv["n_clips"].sum() == n_clips
@@ -177,6 +177,7 @@ def run_headline(clips_path: str) -> dict:
     import ray.data as rd
 
     from schema_guru_ray.pipelines.validate import ValidationConfig, codec_verdicts, validate_clips
+    from schema_guru_ray.sources.clips import read_clips
 
     # untimed warmup: page cache + worker imports + one shuffle
     def _touch(t: pa.Table) -> pa.Table:
@@ -184,7 +185,7 @@ def run_headline(clips_path: str) -> dict:
 
         return pa.table({"n": [t.num_rows]})
 
-    warm = rd.read_parquet(clips_path).map_batches(_touch, batch_format="pyarrow")
+    warm = read_clips(clips_path).map_batches(_touch, batch_format="pyarrow")
     n_clips = int(warm.groupby("n").count().to_pandas()["n"].sum())  # touches all bytes
 
     # GRAFT_VALIDATOR_MODE=actors runs the explicit actor-pool validator
@@ -194,7 +195,7 @@ def run_headline(clips_path: str) -> dict:
         validator_mode=os.environ.get("GRAFT_VALIDATOR_MODE", "tasks")
     )
     t0 = time.perf_counter()
-    cv = codec_verdicts(validate_clips(rd.read_parquet(clips_path), vcfg), vcfg)
+    cv = codec_verdicts(validate_clips(read_clips(clips_path), vcfg), vcfg)
     sec = time.perf_counter() - t0
     n_clips = int(cv["n_clips"].sum())
     out = {

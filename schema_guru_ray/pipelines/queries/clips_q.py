@@ -39,10 +39,10 @@ def clips_codec_verdicts(sf_dir: str):
         codec_verdicts,
         validate_clips,
     )
-    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
 
     path = ensure_clips(sf_dir)
-    ds = rd.read_parquet(path)
+    ds = read_clips(path)
     cfg = ValidationConfig()
     cv = codec_verdicts(validate_clips(ds, cfg), cfg)
     cv["violations_by_kind"] = cv["violations_by_kind"].map(
@@ -55,20 +55,20 @@ def clips_violations(sf_dir: str):
     import ray.data as rd
 
     from schema_guru_ray.pipelines.validate import ValidationConfig, validate_clips, violations_dataset
-    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
 
     path = ensure_clips(sf_dir)
-    return violations_dataset(validate_clips(rd.read_parquet(path), ValidationConfig()))
+    return violations_dataset(validate_clips(read_clips(path), ValidationConfig()))
 
 
 def clips_duplicate_ids(sf_dir: str):
     import ray.data as rd
 
     from schema_guru_ray.pipelines.validate import ValidationConfig, duplicate_clip_ids, validate_clips
-    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
 
     path = ensure_clips(sf_dir)
-    return duplicate_clip_ids(validate_clips(rd.read_parquet(path), ValidationConfig()))
+    return duplicate_clip_ids(validate_clips(read_clips(path), ValidationConfig()))
 
 
 def clips_schema_infer(sf_dir: str):
@@ -77,10 +77,10 @@ def clips_schema_infer(sf_dir: str):
     import ray.data as rd
 
     from schema_guru_ray.pipelines.infer import infer_schema
-    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
 
     path = ensure_clips(sf_dir)
-    res = infer_schema(rd.read_parquet(path), SchemaContext(enum_cardinality=8))
+    res = infer_schema(read_clips(path), SchemaContext(enum_cardinality=8))
     return pd.DataFrame(
         {
             "schema_json": [json.dumps(res["schema"], sort_keys=True)],
@@ -95,7 +95,7 @@ def clips_profile(sf_dir: str):
     the clips table, grouped per codec (rows-only: sketch outputs)."""
     import ray.data as rd
 
-    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
     from schema_guru_ray.stages.profile import TableProfiler, merge_profile_rows
 
     path = ensure_clips(sf_dir)
@@ -129,13 +129,13 @@ def clips_drift(sf_dir: str):
         codec_verdicts,
         validate_clips,
     )
-    from schema_guru_ray.sources.clips import ClipsConfig, clips_dataset, ensure_clips
+    from schema_guru_ray.sources.clips import ClipsConfig, clips_dataset, ensure_clips, read_clips
 
     path = ensure_clips(sf_dir)
     cfg = ValidationConfig()
     # decode+SNR runs ONCE: the materialized verdicts feed both the
     # baseline build and the self-comparison
-    verdicts = validate_clips(rd.read_parquet(path), cfg).materialize()
+    verdicts = validate_clips(read_clips(path), cfg).materialize()
     baseline = build_baseline(verdicts, cfg)
 
     shifted_cfg = ClipsConfig(median_dur_ms=600.0, seed=43)
@@ -239,11 +239,11 @@ def clips_resample_stats(sf_dir: str):
     from ray.data.aggregate import Max, Sum
 
     from schema_guru_ray.audio.wav import decode_wav
-    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
     from schema_guru_ray.stages.audio_transform import resample_clips
 
     path = ensure_clips(sf_dir)
-    resampled = resample_clips(rd.read_parquet(path), sr_out=16000)
+    resampled = resample_clips(read_clips(path), sr_out=16000)
 
     def partial(t: pa.Table) -> pd.DataFrame:
         rows = []
@@ -344,10 +344,10 @@ def curate_clips_summary(sf_dir: str):
     import ray.data as rd
 
     from schema_guru_ray.pipelines.curate_clips import curate_clips
-    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
 
     path = ensure_clips(sf_dir)
-    _, summary = curate_clips(rd.read_parquet(path))
+    _, summary = curate_clips(read_clips(path))
     return summary
 
 
@@ -460,11 +460,11 @@ def prepare_audio_training_set(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     from schema_guru_ray.pipelines.curate_clips import curate_clips
-    from schema_guru_ray.sources.clips import ensure_clips
+    from schema_guru_ray.sources.clips import ensure_clips, read_clips
     from schema_guru_ray.stages.audio_transform import perturb_window_clips
 
     path = ensure_clips(sf_dir)
-    curated, _ = curate_clips(rd.read_parquet(path))
+    curated, _ = curate_clips(read_clips(path))
 
     # fused augment+window: ONE decode per survivor yields every factor's
     # window rows (the staged speed_perturb_clips → window_clips path pays

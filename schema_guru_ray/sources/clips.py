@@ -287,4 +287,30 @@ def read_clips(path: str, columns=None):
 
         return rd.read_lance(path, columns=columns)
     except ImportError:
-        return rd.read_parquet(path, columns=columns)
+        return rd.read_parquet(
+            path, columns=columns, override_num_blocks=_clips_num_blocks(path)
+        )
+
+
+def _clips_num_blocks(path: str):
+    """One read block per corpus shard (bounded below by cluster CPUs).
+
+    Ray's default sizing split each ~150 MB shard of the 250k-clip corpus
+    into 4 blocks; every extra block is an extra object-store round trip
+    for the wide ``bytes`` payload, and the downstream decode stages
+    rebatch at their own ``batch_size`` anyway. One-block-per-file
+    measured 8-10%% faster end-to-end at every ladder parallelism
+    (BASELINE.md round 5). When shards are fewer than CPUs (tiny test
+    corpora), fall back to Ray's own sizing so the read still fans out."""
+    import glob as _glob
+
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:  # pragma: no cover - defensive
+        cpus = 0
+    n_files = len(_glob.glob(os.path.join(path, "*.parquet")))
+    if n_files and n_files >= max(cpus, 1):
+        return n_files
+    return None  # Ray's default sizing
