@@ -33,10 +33,18 @@ def warm_kernel(cls: type, **ctor_kwargs) -> Callable:
     key = (cls.__module__, cls.__qualname__, tuple(sorted(ctor_kwargs.items())))
 
     def _run(batch):
-        k = _CACHE.get(key)
+        # Resolve the cache through the module at call time. Referencing the
+        # module-global ``_CACHE`` directly would make cloudpickle snapshot
+        # the driver's cache CONTENTS by value into the serialized UDF
+        # (dynamic closures ship referenced globals by value) — shipping
+        # whatever kernels the driver happened to have built, and breaking
+        # entirely when a cached instance isn't importable on workers.
+        from schema_guru_ray.stages.warm import _CACHE as cache
+
+        k = cache.get(key)
         if k is None:
             k = cls(**ctor_kwargs)
-            _CACHE[key] = k
+            cache[key] = k
         return k(batch)
 
     _run.__name__ = f"warm_{cls.__name__}"
