@@ -20,6 +20,7 @@ from schema_guru_ray.stages.warm import warm_kernel
 from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
+    _pandas_cols,
     _read,
 )
 
@@ -57,16 +58,22 @@ def minhash_dedup_documents(sf_dir: str, measure_recall: bool = True):
         verify_pairs_jaccard_distributed,
     )
 
+    _pair_cols = ["id_a", "id_b", "est_jaccard"]
+    _pair_types = {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8).materialize()
-    cands = minhash_candidate_pairs(
-        ds, MinHashSigner(), min_est_jaccard=0.5
-    ).to_pandas()
+    cands = _pandas_cols(
+        minhash_candidate_pairs(ds, MinHashSigner(), min_est_jaccard=0.5),
+        _pair_cols, _pair_types,
+    )
     if not measure_recall:
         return cands
     truth_cands = minhash_candidate_pairs(
         ds, MinHashSigner(num_perm=63, bands=21), min_est_jaccard=0.5
     )
-    truth = verify_pairs_jaccard_distributed(truth_cands, ds, threshold=0.8).to_pandas()
+    truth = _pandas_cols(
+        verify_pairs_jaccard_distributed(truth_cands, ds, threshold=0.8),
+        ["id_a", "id_b"], {"id_a": "int64", "id_b": "int64"},
+    )
     truth_pairs = set(zip(truth["id_a"].astype(int), truth["id_b"].astype(int)))
     cand_pairs = set(zip(cands["id_a"].astype(int), cands["id_b"].astype(int)))
     recall = (
@@ -238,6 +245,8 @@ def _load_queries(sf_dir: str, n: int = 3) -> np.ndarray:
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     df = tab.to_pandas().sort_values("vec_id").head(n)
+    if df.empty:  # empty shard: zero query vectors
+        return np.zeros((0, 0), np.float64)
     return np.stack(df["embedding"].to_numpy())
 
 
@@ -248,7 +257,11 @@ def ann_topk_embeddings(sf_dir: str, k: int = 10):
     from schema_guru_ray.stages.similarity import brute_force_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = brute_force_topk(ds, _load_queries(sf_dir), k=k)
+    queries = _load_queries(sf_dir)
+    if not len(queries):
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("query_idx", "vec_id", "score_bp")})
+    out = brute_force_topk(ds, queries, k=k)
     # integer basis points → float-representation-proof oracle compare
     out["score_bp"] = np.floor(out["score"] * 10000 + 0.5).astype("int64")
     out["query_idx"] = out["query_idx"].astype("int64")
@@ -274,6 +287,13 @@ def ivf_topk_embeddings(sf_dir: str, k: int = 10):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     queries = _load_queries(sf_dir)
+    if not len(queries):
+        return pd.DataFrame({
+            "query_idx": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+            "recall_vs_exact": pd.Series(dtype="float64"),
+        })
     # random (cluster-free) embeddings are IVF's worst case — probe half
     # the cells; real clustered corpora reach the same recall with fewer
     approx = ivf_topk(ds, queries, k=k, n_cells=16, n_probe=8)
@@ -638,7 +658,9 @@ def _fold_label_sums(parts, fanin: int = 64, driver_fold_limit: int = 256):
             np.frombuffer(x, np.int64).reshape(-1, dim) for x in rows["sums"]
         ]) if n_driver else np.zeros((0, 0), np.int64)
     else:
-        rows = parts.to_pandas()  # ≤ driver_fold_limit rows
+        rows = _pandas_cols(parts, ["label", "n", "sums"],
+                            {"label": "int64", "n": "int64"})
+        # ≤ driver_fold_limit rows (typed-empty on an empty shard)
         n_driver = len(rows)
         labs = rows["label"].to_numpy().astype(np.int64)
         n = rows["n"].to_numpy().astype(np.int64)

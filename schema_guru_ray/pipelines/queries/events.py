@@ -20,6 +20,7 @@ from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
     _pa,
+    _pandas_cols,
     _read,
 )
 
@@ -52,9 +53,19 @@ def value_drift_events(sf_dir: str):
         us = pc.cast(t["ts"], pa.int64())
         return pa.table({"lo": [pc.min(us).as_py()], "hi": [pc.max(us).as_py()]})
 
-    rng = _read(sf_dir, "events", ["ts"]).map_batches(
-        ts_range, batch_format="pyarrow"
-    ).to_pandas()  # two int64s per batch
+    rng = _pandas_cols(
+        _read(sf_dir, "events", ["ts"]).map_batches(
+            ts_range, batch_format="pyarrow"
+        ),
+        ["lo", "hi"], {"lo": "int64", "hi": "int64"},
+    )  # two int64s per batch
+    if rng.empty:  # empty shard: no time range, zero drift by definition
+        return pd.DataFrame({
+            "n_base": pd.Series([0], dtype="int64"),
+            "n_cur": pd.Series([0], dtype="int64"),
+            "psi_micro": pd.Series([0], dtype="int64"),
+            "ks_micro": pd.Series([0], dtype="int64"),
+        })
     lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
     mid = lo + (hi - lo) // 2
 
@@ -66,10 +77,15 @@ def value_drift_events(sf_dir: str):
                              "vhi": pa.array([], pa.float64())})
         return pa.table({"vlo": [pc.min(v).as_py()], "vhi": [pc.max(v).as_py()]})
 
-    vr = _read(sf_dir, "events", ["ts", "value"]).map_batches(
-        base_vrange, batch_format="pyarrow"
-    ).to_pandas()
+    vr = _pandas_cols(
+        _read(sf_dir, "events", ["ts", "value"]).map_batches(
+            base_vrange, batch_format="pyarrow"
+        ),
+        ["vlo", "vhi"], {"vlo": "float64", "vhi": "float64"},
+    )
     vlo, vhi = float(vr["vlo"].min()), float(vr["vhi"].max())
+    if not np.isfinite(vlo):  # no non-null baseline values: degenerate span
+        vlo, vhi = 0.0, 0.0
     span = vhi - vlo
 
     def hist(t: pa.Table) -> pa.Table:
@@ -113,6 +129,15 @@ def value_drift_events(sf_dir: str):
 
     cb10, cc10 = vec("psi", 0, PSI_BINS), vec("psi", 1, PSI_BINS)
     n_base, n_cur = int(cb10.sum()), int(cc10.sum())
+    if n_base == 0 or n_cur == 0:
+        # one half of the split has no valid values — drift is undefined;
+        # report 0 rather than dividing by an empty population
+        return pd.DataFrame({
+            "n_base": pd.Series([n_base], dtype="int64"),
+            "n_cur": pd.Series([n_cur], dtype="int64"),
+            "psi_micro": pd.Series([0], dtype="int64"),
+            "ks_micro": pd.Series([0], dtype="int64"),
+        })
     psi = 0.0
     for i in range(PSI_BINS):  # fixed ascending order, 10 terms
         p = max(float(cb10[i]) / n_base, 1e-6)
@@ -229,12 +254,12 @@ def approx_distinct_users_events(sf_dir: str):
         return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
                              "n_hll": [float(h.estimate())]})
 
-    hll_df = (
+    hll_df = _pandas_cols(
         ds.map_batches(sketch_partial, batch_format="pandas", batch_size=65536)
         .groupby("event_type")
-        .map_groups(merge_group, batch_format="pandas")
-        .to_pandas()  # one row per event type
-    )
+        .map_groups(merge_group, batch_format="pandas"),
+        ["event_type", "n_hll"], {"n_hll": "float64"},
+    )  # one row per event type
 
     def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
         u = df.drop_duplicates()
@@ -248,13 +273,13 @@ def approx_distinct_users_events(sf_dir: str):
         c = g.groupby("event_type", sort=False)["user_id"].nunique()
         return pd.DataFrame({"event_type": c.index, "n": c.to_numpy(dtype=np.int64)})
 
-    exact_df = (
+    exact_df = _pandas_cols(
         ds.map_batches(exact_partial, batch_format="pandas", batch_size=131072)
         .groupby("shard")
         .map_groups(shard_counts, batch_format="pandas")
         .groupby("event_type")
-        .aggregate(Sum("n", alias_name="n_users"))
-        .to_pandas()
+        .aggregate(Sum("n", alias_name="n_users")),
+        ["event_type", "n_users"], {"n_users": "int64"},
     )
 
     out = exact_df.merge(hll_df, on="event_type")
@@ -297,12 +322,14 @@ def pivot_events_daily(sf_dir: str):
         )
         return g.rename_columns(["day", "event_type", "n"])
 
-    agg = (
+    agg = _pandas_cols(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["day", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # O(days x types)
-    )
+        .aggregate(Sum("n", alias_name="n")),
+        ["day", "event_type", "n"], {"day": "int64", "n": "int64"},
+    )  # O(days x types)
+    if agg.empty:  # empty shard: no days, no discovered type columns
+        return pd.DataFrame({"day": pd.Series(dtype="int64")})
     wide = agg.pivot_table(index="day", columns="event_type", values="n",
                            fill_value=0, aggfunc="sum")
     wide = wide[sorted(wide.columns)].astype("int64")
@@ -794,11 +821,11 @@ def cohort_retention_events(sf_dir: str, broadcast_limit: int = 20_000_000):
     n_events = _meta_rows(sf_dir, "events")
 
     if n_events <= broadcast_limit:
-        su = (
-            ds.map_batches(signup_partial, batch_format="pyarrow")
-            .to_pandas()
-            .groupby("user_id", as_index=False)["signup_ts"].min()
-        )
+        su = _pandas_cols(
+            ds.map_batches(signup_partial, batch_format="pyarrow"),
+            ["user_id", "signup_ts"],
+            {"user_id": "int64", "signup_ts": "datetime64[us]"},
+        ).groupby("user_id", as_index=False)["signup_ts"].min()
         keys = su["user_id"].to_numpy(np.int64)
         days = (su["signup_ts"].to_numpy().astype("datetime64[D]")
                 .astype(np.int64))

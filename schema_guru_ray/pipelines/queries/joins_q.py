@@ -19,7 +19,10 @@ from schema_guru_ray.stages.joins import sorted_lookup
 from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
+    _pandas_cols,
+    _pq_schema,
     _read,
+    _renamed_schema,
 )
 
 
@@ -44,7 +47,17 @@ def join_orders_customers(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).rename_columns(
         {"c_custkey": "o_custkey"}
     )
-    out = hash_join(orders, cust, on="o_custkey", num_partitions=8)
+    out = hash_join(
+        orders, cust, on="o_custkey", num_partitions=8,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("price_cents", pa.int64())]
+        ),
+        right_schema=_renamed_schema(
+            _pq_schema(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]),
+            {"c_custkey": "o_custkey"},
+        ),
+    )
     return out.select_columns(["o_orderkey", "o_custkey", "c_name", "c_mktsegment", "price_cents"])
 
 
@@ -86,7 +99,11 @@ def skew_salted_type_join(sf_dir: str):
         ).astype({"type_weight": "int64"})
     )
     out = bucketed_hash_join(
-        events, dim, on="event_type", hot_key_threshold=100, hot_salt=8
+        events, dim, on="event_type", hot_key_threshold=100, hot_salt=8,
+        left_schema=pa.schema(
+            [("event_id", pa.int64()), ("event_type", pa.string()),
+             ("value_milli", pa.int64())]
+        ),
     )
     return out.select_columns(["event_id", "event_type", "value_milli", "type_weight"])
 
@@ -121,6 +138,11 @@ def asof_latest_order_before_event(sf_dir: str):
     out = asof_join(
         events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
         right_columns=["o_orderkey"], num_buckets=derive_num_buckets(n_rows),
+        left_schema=_pq_schema(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        right_schema=_renamed_schema(
+            _pq_schema(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            {"o_custkey": "user_id"},
+        ),
     )
     # lazy projection — select_columns would fetch the schema and execute
     # the whole bucketed shuffle an extra time
@@ -158,6 +180,11 @@ def asof_orders_bounded(sf_dir: str):
         events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
         right_columns=["o_orderkey"], num_buckets=derive_num_buckets(n_rows),
         tolerance_sec=8500 * 86400,
+        left_schema=_pq_schema(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        right_schema=_renamed_schema(
+            _pq_schema(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            {"o_custkey": "user_id"},
+        ),
     )
     return out.map_batches(
         lambda t: t.select(["event_id", "user_id", "o_orderkey"]),
@@ -216,10 +243,18 @@ def range_join_clicks_after_signup(sf_dir: str, broadcast_limit: int = 5_000_000
         return pa.table({"event_id": t["event_id"], "lo": ts, "hi": hi})
 
     intervals = signups.map_batches(to_interval, batch_format="pyarrow")
+    # schema hints: both sides are filter-derived, so an empty shard-day
+    # (zero clicks or zero signups) reports schema() = None — the hints
+    # keep the join typed instead of crashing
+    ts_t = pa.timestamp("us")
     pairs = range_join(
         clicks, intervals, point_col="ts", lo_col="lo", hi_col="hi",
         point_columns=["event_id", "ts"],
         interval_columns=["event_id", "lo", "hi"],
+        points_schema=pa.schema([("event_id", pa.int64()), ("ts", ts_t)]),
+        intervals_schema=pa.schema(
+            [("event_id", pa.int64()), ("lo", ts_t), ("hi", ts_t)]
+        ),
         # clicks + signups ≤ all events: footer row count sizes the buckets
         # without executing either filtered side's count()
         num_buckets=derive_num_buckets(_meta_rows(sf_dir, "events")),
@@ -255,7 +290,10 @@ def range_join_clicks_after_signup(sf_dir: str, broadcast_limit: int = 5_000_000
     if counts.count() <= broadcast_limit:
         # broadcast regime: event_id → click-count sorted lookup shipped
         # once; signup ids stream through one vectorized zero-fill map
-        cc = counts.to_pandas()
+        cc = _pandas_cols(
+            counts, ["event_id", "n_clicks"],
+            {"event_id": "int64", "n_clicks": "int64"},
+        )
         keys = cc["event_id"].to_numpy(np.int64)
         vals = cc["n_clicks"].to_numpy(np.int64)
         order = np.argsort(keys, kind="stable")
@@ -431,7 +469,15 @@ def left_join_customer_orders(sf_dir: str):
     ).materialize()  # small aggregate; the join's bucket-count derivation
     # calls .count() on both sides — without this the whole aggregate
     # pipeline would execute twice (measured 10.6s → 3.5s at sf0.01)
-    joined = bucketed_hash_join(cust, per_cust, on="c_custkey", join_type="left")
+    joined = bucketed_hash_join(
+        cust, per_cust, on="c_custkey", join_type="left",
+        # per_cust is groupby-derived: on an empty shard its schema() is
+        # None — the hint keeps the left join typed (all customers, zero
+        # fill) instead of crashing
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("n", pa.int64()), ("cents", pa.int64())]
+        ),
+    )
 
     def fill(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

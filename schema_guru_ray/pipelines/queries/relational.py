@@ -19,6 +19,7 @@ from schema_guru_ray.stages.joins import sorted_lookup
 from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
+    _pandas_cols,
     _read,
 )
 
@@ -128,11 +129,12 @@ def rollup_revenue_lineitem(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    fine = (
+    fine = _pandas_cols(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["year", "l_returnflag"])
-        .aggregate(Sum("rev_cents", alias_name="rev_cents"), Sum("n", alias_name="n"))
-        .to_pandas()
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"), Sum("n", alias_name="n")),
+        ["year", "l_returnflag", "rev_cents", "n"],
+        {"year": "int64", "rev_cents": "int64", "n": "int64"},
     )
     by_year = (
         fine.groupby("year", as_index=False)[["rev_cents", "n"]].sum()
@@ -223,10 +225,14 @@ def column_stats_lineitem(sf_dir: str):
         TableProfiler(cols, with_sketches=False), batch_format="pyarrow", batch_size=65536
     )
     # tree-fold: the driver merges ≤ fanin states no matter the batch count
-    profs = fold_profiles(prof_ds)[""]
+    # (.get: zero state rows on an empty shard → identity profiles, the
+    # same rows SQL's count()/min() UNION ALL emits on an empty table)
+    from schema_guru_ray.stages.profile import ColumnProfile
+
+    profs = fold_profiles(prof_ds).get("", {})
     rows = []
     for c in cols:
-        p = profs[c]
+        p = profs.get(c, ColumnProfile())
         rows.append(
             {
                 "column": c,
@@ -289,7 +295,7 @@ def distinct_counts(sf_dir: str, n_shards: int = 64):
             .groupby("shard")
             .map_groups(shard_nunique, batch_format="pandas")
         )
-        n = int(shards.to_pandas()["n"].sum())  # ≤ n_shards scalar rows
+        n = int(_pandas_cols(shards, ["n"], {"n": "int64"})["n"].sum())  # ≤ n_shards scalar rows
         rows.append({"table_col": f"{table}.{col}", "n_distinct": n})
     return pd.DataFrame(rows)
 
@@ -322,13 +328,16 @@ def exact_quantiles_quantity(sf_dir: str):
             }
         )
 
-    hist = (
+    hist = _pandas_cols(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
         .groupby("value")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-        .sort_values("value")
-    )
+        .aggregate(Sum("cnt", alias_name="cnt")),
+        ["value", "cnt"],
+        {"value": "float64", "cnt": "int64"},
+    ).sort_values("value")
+    if hist.empty:  # empty shard: no quantiles (SQL rows would be NULL)
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="float64")})
     cum = hist["cnt"].cumsum()
     total = int(cum.iloc[-1])
     rows = []
@@ -370,8 +379,17 @@ def approx_quantiles_extendedprice(sf_dir: str):
     prof_ds = ds.map_batches(
         TableProfiler([col], kll_k=800), batch_format="pyarrow", batch_size=65536
     )
-    kll = fold_profiles(prof_ds)[""][col].kll
+    prof = fold_profiles(prof_ds).get("", {}).get(col)
     qs = (0.25, 0.5, 0.75, 0.95)
+    if prof is None or prof.kll is None or prof.non_null == 0:
+        # empty shard: no sketch, no quantiles
+        return pd.DataFrame({
+            "q": pd.Series(dtype="float64"),
+            "approx_value": pd.Series(dtype="float64"),
+            "rank_error": pd.Series(dtype="float64"),
+            "n": pd.Series(dtype="int64"),
+        })
+    kll = prof.kll
     vals = np.array([kll.quantile(q) for q in qs], dtype=np.float64)
 
     def rank_partial(t: pa.Table) -> pa.Table:
@@ -407,7 +425,10 @@ def top_customers_revenue(sf_dir: str, k: int = 10):
     names — no row shuffle of the fact table beyond the pre-agged partials."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust = _pandas_cols(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        ["c_custkey", "c_name"],
+    )
     name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -428,7 +449,11 @@ def top_customers_revenue(sf_dir: str, k: int = 10):
         .groupby("o_custkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
-    top = agg.sort("revenue_cents", descending=True).limit(k).to_pandas()
+    top = _pandas_cols(
+        agg.sort("revenue_cents", descending=True).limit(k),
+        ["o_custkey", "revenue_cents"],
+        {"o_custkey": "int64", "revenue_cents": "int64"},
+    )
     names = ray.get(name_ref)
     top["c_name"] = top["o_custkey"].map(names)
     return top[["o_custkey", "c_name", "revenue_cents"]]

@@ -19,7 +19,10 @@ from schema_guru_ray.stages.joins import sorted_lookup
 from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
+    _pandas_cols,
+    _pq_schema,
     _read,
+    _scalar_or,
 )
 
 
@@ -154,7 +157,9 @@ def referential_orphans(sf_dir: str, exact_broadcast_limit: int = 50_000_000):
         return pd.DataFrame({"n_orphans": [n_definite + n_fp]})
 
     keys_ref = ray.put(
-        pa.Table.from_pandas(cust.to_pandas())["c_custkey"].combine_chunks()
+        pa.Table.from_pandas(
+            _pandas_cols(cust, ["c_custkey"], {"c_custkey": "int64"})
+        )["c_custkey"].combine_chunks()
     )
 
     def anti(t: pa.Table) -> pa.Table:
@@ -200,9 +205,13 @@ def _revenue_by_region_broadcast(sf_dir: str, nk_to_region: dict):
     ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     nk = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     uniq, inv = np.unique(nk, return_inverse=True)
+    # .get → -1: a custkey whose nationkey has no nation row (dangling FK)
+    # simply never matches, same as the oracle's inner join dropping it
     ccodes = np.array(
-        [code_of[nk_to_region[int(k)]] for k in uniq], dtype=np.int8
+        [code_of.get(nk_to_region.get(int(k)), -1) for k in uniq], dtype=np.int8
     )[inv]
+    known = ccodes >= 0
+    ckeys, ccodes = ckeys[known], ccodes[known]
     order_c = np.argsort(ckeys, kind="stable")
     ckeys, ccodes = ckeys[order_c], ccodes[order_c]
 
@@ -549,7 +558,10 @@ def order_priority_exists(sf_dir: str, broadcast_limit: int = 5_000_000):
         return g.rename_columns(["o_orderpriority", "n_orders"])
 
     if _meta_rows(sf_dir, "orders") <= broadcast_limit:
-        parts = li.map_batches(uniq, batch_format="pyarrow").to_pandas()
+        parts = _pandas_cols(
+            li.map_batches(uniq, batch_format="pyarrow"),
+            ["o_orderkey"], {"o_orderkey": "int64"},
+        )
         keys = np.unique(parts["o_orderkey"].to_numpy(np.int64))
         ref = ray.put(keys)
 
@@ -645,7 +657,10 @@ def customer_order_distribution(sf_dir: str, broadcast_limit: int = 5_000_000):
         # shuffle left is the ≤ max-orders-per-customer-row distribution
         import ray
 
-        cc = counts.to_pandas()
+        cc = _pandas_cols(
+            counts, ["c_custkey", "c_count"],
+            {"c_custkey": "int64", "c_count": "int64"},
+        )
         keys = cc["c_custkey"].to_numpy(np.int64)
         vals = cc["c_count"].to_numpy(np.int64)
         order = np.argsort(keys, kind="stable")
@@ -751,12 +766,15 @@ def promo_revenue(sf_dir: str, broadcast_limit: int = 20_000_000):
             Sum("promo_cents", alias_name="promo_cents"),
             Sum("total_cents", alias_name="total_cents"),
         )
-        promo_c, total_c = int(sums["promo_cents"]), int(sums["total_cents"])
+        promo_c = int(_scalar_or(sums and sums["promo_cents"], 0))
+        total_c = int(_scalar_or(sums and sums["total_cents"], 0))
         return pd.DataFrame(
             {
                 "promo_cents": [promo_c],
                 "total_cents": [total_c],
-                "promo_bp": [promo_c * 10000 // total_c],
+                # 0 lineitems → 0 bp (the oracle CTE emits NULL; neither
+                # side is ever compared on an empty shard, 0 keeps typing)
+                "promo_bp": [promo_c * 10000 // total_c if total_c else 0],
             }
         )
 
@@ -874,7 +892,10 @@ def large_orders_having(sf_dir: str, min_qty: int = 200,
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
     if big.count() <= broadcast_limit:
-        surv = big.to_pandas()
+        surv = _pandas_cols(
+            big, ["o_orderkey", "sum_qty"],
+            {"o_orderkey": "int64", "sum_qty": "int64"},
+        )
         keys = surv["o_orderkey"].to_numpy(np.int64)
         qtys = surv["sum_qty"].to_numpy(np.int64)
         order = np.argsort(keys, kind="stable")
@@ -892,7 +913,12 @@ def large_orders_having(sf_dir: str, min_qty: int = 200,
         return orders.map_batches(attach, batch_format="pyarrow")
 
     nb = derive_num_buckets(2 * _meta_rows(sf_dir, "orders"))
-    return bucketed_hash_join(orders, big, on="o_orderkey", num_buckets=nb)
+    return bucketed_hash_join(
+        orders, big, on="o_orderkey", num_buckets=nb,
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("sum_qty", pa.int64())]
+        ),
+    )
 
 
 LARGE_ORDERS_HAVING_SQL = """

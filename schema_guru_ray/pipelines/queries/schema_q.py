@@ -63,8 +63,13 @@ def schema_segmented_events(sf_dir: str):
     accounting is SQL-checkable; schemas ride along as JSON."""
     from schema_guru_ray.pipelines.infer import infer_schema_segmented
 
+    from schema_guru_ray.pipelines.queries._common import _pandas_cols
+
     ds = _read(sf_dir, "events")
-    out = infer_schema_segmented(ds, "event_type", SchemaContext()).to_pandas()
+    out = _pandas_cols(
+        infer_schema_segmented(ds, "event_type", SchemaContext()),
+        ["segment", "n_rows"], {"n_rows": "int64"},
+    )
     return out[["segment", "n_rows"]].astype({"n_rows": "int64"})
 
 

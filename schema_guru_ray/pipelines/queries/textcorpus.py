@@ -20,7 +20,9 @@ from schema_guru_ray.pipelines.queries._common import (
     _int_units,
     _meta_rows,
     _pa,
+    _pandas_cols,
     _read,
+    _scalar_or,
 )
 
 
@@ -70,9 +72,9 @@ def pack_documents(sf_dir: str, seq_len: int = 512):
     counts = ds.map_batches(TokenCounter(), batch_format="pandas").select_columns(
         ["doc_id", "n_tokens"]
     )
-    max_id = int(counts.max("doc_id"))
+    max_id = int(_scalar_or(counts.max("doc_id"), -1))  # None on empty shard
     nb = derive_num_buckets(max_id + 1)
-    width = (max_id // nb) + 1
+    width = max(1, (max_id // nb) + 1)
 
     def tag(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
@@ -80,12 +82,10 @@ def pack_documents(sf_dir: str, seq_len: int = 512):
         return _pa(df)
 
     tagged = counts.map_batches(tag, batch_format="pandas")
-    totals = (
-        tagged.groupby("bucket")
-        .aggregate(Sum("n_tokens", alias_name="tok"))
-        .to_pandas()
-        .sort_values("bucket")
-    )
+    totals = _pandas_cols(
+        tagged.groupby("bucket").aggregate(Sum("n_tokens", alias_name="tok")),
+        ["bucket", "tok"], {"bucket": "int32", "tok": "int64"},
+    ).sort_values("bucket")
     cum = np.concatenate([[0], np.cumsum(totals["tok"].to_numpy(dtype=np.int64))[:-1]])
     offsets_ref = ray.put(dict(zip(totals["bucket"].tolist(), cum.tolist())))
 
@@ -202,12 +202,11 @@ def vocab_documents(sf_dir: str, min_freq: int = 5):
         return _pa(b[["token", "freq", "negfreq", "band"]])
 
     banded = freq.map_batches(band, batch_format="pandas")
-    counts = (
-        banded.groupby(["negfreq", "band"])
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-        .sort_values(["negfreq", "band"])
-    )
+    counts = _pandas_cols(
+        banded.groupby(["negfreq", "band"]).aggregate(Count(alias_name="n")),
+        ["negfreq", "band", "n"],
+        {"negfreq": "int64", "band": "int64", "n": "int64"},
+    ).sort_values(["negfreq", "band"])
     cum = np.concatenate([[0], np.cumsum(counts["n"].to_numpy(dtype=np.int64))[:-1]])
     offsets_ref = ray.put(
         {
@@ -306,12 +305,10 @@ def shuffle_positions_documents(sf_dir: str):
         ))
 
     keyed = ds.map_batches(key, batch_format="pandas")
-    counts = (
-        keyed.groupby("shard")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-        .sort_values("shard")
-    )
+    counts = _pandas_cols(
+        keyed.groupby("shard").aggregate(Count(alias_name="n")),
+        ["shard", "n"], {"n": "int64"},
+    ).sort_values("shard")
     cum = np.concatenate([[0], np.cumsum(counts["n"].to_numpy(dtype=np.int64))[:-1]])
     offsets_ref = ray.put(dict(zip(counts["shard"], cum.tolist())))
 
@@ -560,10 +557,13 @@ def tfidf_top_terms_documents(sf_dir: str, k: int = 5):
     from schema_guru_ray.stages.joins import bucketed_aggregate
 
     # bucketed reduce: terms are groups≈rows (round-5 aggregate trap)
-    df_tbl = bucketed_aggregate(
-        ds.map_batches(df_partial, batch_format="pandas"),
-        "term", {"df": ("df", "sum")},
-    ).to_pandas()
+    df_tbl = _pandas_cols(
+        bucketed_aggregate(
+            ds.map_batches(df_partial, batch_format="pandas"),
+            "term", {"df": ("df", "sum")},
+        ),
+        ["term", "df"], {"df": "int64"},
+    )
     df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype("int64"))))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
@@ -868,6 +868,13 @@ def edit_distance_adjacent_docs(sf_dir: str, cap: int = 48):
     pairs = bucketed_hash_join(
         left, right, on="pair_key",
         num_buckets=derive_num_buckets(2 * _meta_rows(sf_dir, "documents")),
+        left_schema=pa.schema(
+            [("pair_key", pa.int64()), ("doc_a", pa.int64()),
+             ("text_a", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("pair_key", pa.int64()), ("text_b", pa.string())]
+        ),
     )
 
     def dist(b: pd.DataFrame) -> pd.DataFrame:
@@ -988,11 +995,11 @@ def duplicate_passages_documents(sf_dir: str, n: int = 5, min_docs: int = 2):
         keep = sums >= int(min_docs)
         return pd.DataFrame({"h": u[keep], "n": sums[keep]})
 
-    surv = (
+    surv = _pandas_cols(
         docs.map_batches(hash_partial, batch_format="pandas")
         .groupby("__b")
-        .map_groups(sum_bucket, batch_format="pandas")
-        .to_pandas()
+        .map_groups(sum_bucket, batch_format="pandas"),
+        ["h", "n"], {"h": "int64", "n": "int64"},
     )
     surv_ref = ray.put(np.sort(surv["h"].to_numpy(np.int64).astype(np.uint64)))
 

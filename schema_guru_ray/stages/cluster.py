@@ -69,8 +69,9 @@ def assign_to_centroids(ds, centroid_ids: np.ndarray, centroids: np.ndarray,
     import ray
 
     order = np.argsort(centroid_ids)
-    ref = ray.put((np.asarray(centroid_ids)[order],
-                   quantize_milli(np.stack(centroids)[order])))
+    C = (np.stack(centroids)[order] if len(centroid_ids)
+         else np.zeros((0, 0), np.float64))  # empty seeds ⇔ empty input
+    ref = ray.put((np.asarray(centroid_ids)[order], quantize_milli(C)))
     return ds.map_batches(
         _assign_batch,
         fn_kwargs=dict(cents_ref=ref, column=column, id_column=id_column),
@@ -142,6 +143,10 @@ def _seed_centroids(ds, k: int, column: str, id_column: str,
         batch_format="pandas", batch_size=4096,
     )
     cand = partials.to_pandas()  # ≤ k rows per 4096-candidate block: tiny
+    if cand.empty or id_column not in cand.columns:
+        # empty input: zero seeds (Ray returns a 0-column frame on empty)
+        ids, C = np.zeros(0, np.int64), np.zeros((0, 0), np.float64)
+        return (ids, C) if return_ids else C
     cand = cand.nsmallest(k, id_column).sort_values(id_column)
     C = np.stack([np.asarray(v, dtype=np.float64) for v in cand[column]])
     if return_ids:

@@ -71,7 +71,9 @@ def build_benchmark_grams(bench_ds, n: int, column: str = "text") -> FrozenSet[s
     gram_ds = bench_ds.map_batches(
         GramSetExtractor(n, column), batch_format="pandas"
     )
-    return frozenset(gram_ds.unique("g"))
+    # Dataset.unique returns None (not []) on a fully-empty input — an
+    # empty benchmark suite simply contaminates nothing
+    return frozenset(gram_ds.unique("g") or [])
 
 
 def hash_gram_strings(grams, n: int) -> np.ndarray:

@@ -252,6 +252,21 @@ def _empty_typed_frame(columns, schemas: Dict[str, str]) -> pd.DataFrame:
     )
 
 
+def _schema_floor(ds, out_schema: Optional[pa.Schema]):
+    """Union a 0-row typed Arrow block onto an operator's output so its
+    ``schema()`` survives when every bucket comes up empty. Ray reports
+    ``schema() = None`` for empty derived datasets (zero groups → zero
+    blocks), which cascades into downstream operators at exactly the
+    moment one shard-day of a 100 TB run has no matching rows. The floor
+    block is one empty table — free. No-op when the output schema could
+    not be determined (the caller's types stay best-effort then)."""
+    if out_schema is None:
+        return ds
+    import ray.data as rd
+
+    return ds.union(rd.from_arrow(out_schema.empty_table()))
+
+
 def _dtype_spec(ds) -> Dict[str, str]:
     """column → pandas dtype string used for empty-bucket frames."""
     return _dtype_spec_from_schema(ds.schema())
@@ -304,13 +319,25 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "inner"):
 
 
 def hash_join(left, right, on: str, num_partitions: int = 16,
-              join_type: str = "inner"):
-    """Distributed hash join of two Datasets on one key column."""
-    if hasattr(left, "join"):
+              join_type: str = "inner",
+              left_schema: Optional[pa.Schema] = None,
+              right_schema: Optional[pa.Schema] = None):
+    """Distributed hash join of two Datasets on one key column.
+
+    Uses Ray's native hash-partitioned join when available — EXCEPT when a
+    side is empty-derived (``schema()`` → None): the native join's
+    in-worker ``pyarrow.Table.join`` then sees a canonical 0-column block
+    and dies with "No match ... for key field reference". Those inputs
+    fall back to :func:`bucketed_hash_join`, which types empty buckets
+    from the ``left_schema``/``right_schema`` hints."""
+    if hasattr(left, "join") and left.schema() is not None \
+            and right.schema() is not None:
         return left.join(
             right, join_type=join_type, num_partitions=num_partitions, on=(on,)
         )
-    return bucketed_hash_join(left, right, on, num_partitions, join_type)
+    return bucketed_hash_join(left, right, on, num_partitions, join_type,
+                              left_schema=left_schema,
+                              right_schema=right_schema)
 
 
 def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
@@ -344,6 +371,11 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
     from one block and don't need the hint."""
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
+    if lschema is None or rschema is None:
+        raise ValueError(
+            "bucketed_hash_join: input schema unavailable (empty derived "
+            "dataset?) — pass left_schema/right_schema hints"
+        )
     left_cols = list(lschema.names)
     right_cols = list(rschema.names)
     # shared non-key columns are KEPT, suffixed on the right ("_r") — a
@@ -394,11 +426,15 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
             l.merge(r, on=on, how=join_type).reindex(columns=out_cols), out_schema
         )
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+    return _schema_floor(
+        both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow"),
+        out_schema,
+    )
 
 
 def bucketed_anti_join(left, keys_ds, on: str, key_column: Optional[str] = None,
-                       num_buckets: Optional[int] = None):
+                       num_buckets: Optional[int] = None,
+                       left_schema: Optional[pa.Schema] = None):
     """EXACT distributed anti join: left rows whose ``on`` value appears
     nowhere in ``keys_ds[key_column]``. Both sides are tagged with
     ``bucket = hash(key) % B`` and shuffled once — a key's left rows and
@@ -409,9 +445,14 @@ def bucketed_anti_join(left, keys_ds, on: str, key_column: Optional[str] = None,
     pre-prune with the Bloom when the left side is much bigger than the
     match set (the curate pipeline does exactly that)."""
     key_column = key_column or on
-    lschema = left.schema()
+    lschema = left_schema if left_schema is not None else left.schema()
+    if lschema is None:
+        raise ValueError(
+            "bucketed_anti_join: left schema unavailable (empty derived "
+            "dataset?) — pass the left_schema hint"
+        )
     left_cols = list(lschema.names)
-    spec = _dtype_spec(left)
+    spec = _dtype_spec_from_schema(lschema)
     if num_buckets is None:
         num_buckets = derive_num_buckets(left.count() + keys_ds.count())
 
@@ -435,14 +476,19 @@ def bucketed_anti_join(left, keys_ds, on: str, key_column: Optional[str] = None,
         drop_keys = g.loc[g["__side"] == "r", "__akey"]
         return _to_arrow_clean(l[~l[on].isin(drop_keys)], out_schema)
 
-    return both.groupby("__bucket").map_groups(anti_bucket, batch_format="pyarrow")
+    return _schema_floor(
+        both.groupby("__bucket").map_groups(anti_bucket, batch_format="pyarrow"),
+        out_schema,
+    )
 
 
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
               num_buckets: Optional[int] = None, direction: str = "backward",
               right_columns: Optional[Sequence[str]] = None,
               tolerance_sec: Optional[int] = None,
-              hot_key_threshold: Optional[int] = None, hot_salt: int = 16):
+              hot_key_threshold: Optional[int] = None, hot_salt: int = 16,
+              left_schema: Optional[pa.Schema] = None,
+              right_schema: Optional[pa.Schema] = None):
     """As-of join: for each left row, the latest right row of the same key
     with right_ts <= left_ts (direction='backward'). Inner semantics (left
     rows without a match are dropped). ``num_buckets=None`` scales the
@@ -455,22 +501,40 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     always spreads and the right replicates, because every left row must
     see the FULL right history of its key for the as-of lookup (a spread
     right side would leave some buckets missing the true latest match).
-    The merge_asof inside a salted bucket therefore stays exact."""
-    lschema = left.schema()
+    The merge_asof inside a salted bucket therefore stays exact.
+
+    ``left_schema``/``right_schema``: same contract as
+    :func:`bucketed_hash_join` — pass the known schema of a derived side
+    to skip a shuffle-for-schema AND to keep the join working when that
+    side is EMPTY (Ray reports ``schema() = None`` for empty derived
+    datasets, e.g. a filter that matched nothing in one shard-day)."""
+    lschema = left_schema if left_schema is not None else left.schema()
+    rs = right_schema if right_schema is not None else right.schema()
+    if lschema is None or rs is None:
+        raise ValueError(
+            "asof_join: input schema unavailable (empty derived dataset?) — "
+            "pass left_schema/right_schema hints"
+        )
     left_cols = list(lschema.names)
     right_cols = [key, right_ts] + [
-        c for c in (right_columns or right.schema().names) if c not in (key, right_ts)
+        c for c in (right_columns or rs.names) if c not in (key, right_ts)
     ]
     right_sel = right.select_columns(right_cols)
-    rschema = right_sel.schema()
+    rschema = (
+        pa.schema([(n, t) for n, t in zip(rs.names, rs.types) if n in right_cols])
+        if right_schema is not None
+        else right_sel.schema()
+    )
     # shared non-key right columns (possibly incl. the right timestamp)
     # are kept under an "_r" suffix instead of being dropped by the
     # post-merge reindex
     rmap = {c: f"{c}_r" for c in right_cols if c in left_cols and c != key}
     r_out = [rmap.get(c, c) for c in right_cols]
     right_ts_out = rmap.get(right_ts, right_ts)
-    spec = _dtype_spec(left)
-    spec.update({rmap.get(k, k): v for k, v in _dtype_spec(right_sel).items()})
+    spec = _dtype_spec_from_schema(lschema)
+    spec.update(
+        {rmap.get(k, k): v for k, v in _dtype_spec_from_schema(rschema).items()}
+    )
     if num_buckets is None:
         num_buckets = derive_num_buckets(left.count() + right.count())
 
@@ -535,7 +599,10 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
             out.dropna(subset=[right_ts_out]).reindex(columns=out_cols), out_schema
         )
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+    return _schema_floor(
+        both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow"),
+        out_schema,
+    )
 
 
 def bucketed_aggregate(ds, keys, aggs: Dict[str, Tuple[str, str]],
@@ -714,7 +781,9 @@ def _range_values(arr: np.ndarray) -> np.ndarray:
 def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
                num_buckets: Optional[int] = None,
                point_columns: Optional[Sequence[str]] = None,
-               interval_columns: Optional[Sequence[str]] = None):
+               interval_columns: Optional[Sequence[str]] = None,
+               points_schema: Optional[pa.Schema] = None,
+               intervals_schema: Optional[pa.Schema] = None):
     """Interval/range join: every (interval row × point row) pair with
     ``lo_col <= point_col <= hi_col`` (inclusive both ends, SQL BETWEEN).
 
@@ -743,29 +812,49 @@ def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
     """
     from ray.data.aggregate import Count, Max, Min
 
-    p_cols = list(point_columns or points.schema().names)
+    psch = points_schema if points_schema is not None else points.schema()
+    isch = intervals_schema if intervals_schema is not None else intervals.schema()
+    if psch is None or isch is None:
+        raise ValueError(
+            "range_join: input schema unavailable (empty derived dataset?) "
+            "— pass points_schema/intervals_schema hints"
+        )
+    p_cols = list(point_columns or psch.names)
     if point_col not in p_cols:
         p_cols = [point_col] + p_cols
-    i_cols = list(interval_columns or intervals.schema().names)
+    i_cols = list(interval_columns or isch.names)
     for c in (lo_col, hi_col):
         if c not in i_cols:
             i_cols = [c] + i_cols
     pts = points.select_columns(p_cols)
     ivs = intervals.select_columns(i_cols)
 
+    def _subschema(sch, cols):
+        have = {n: t for n, t in zip(sch.names, sch.types)}
+        return pa.schema([(c, have[c]) for c in cols])
+
+    psub, isub = _subschema(psch, p_cols), _subschema(isch, i_cols)
     pmap = {c: f"{c}_p" for c in p_cols if c in i_cols}
     p_out = [pmap.get(c, c) for c in p_cols]
     out_cols = i_cols + [c for c in p_out if c not in i_cols]
-    spec = _dtype_spec(ivs)
-    for k, v in _dtype_spec(pts).items():
+    spec = _dtype_spec_from_schema(isub)
+    for k, v in _dtype_spec_from_schema(psub).items():
         spec.setdefault(pmap.get(k, k), v)
-    out_schema = _output_schema(out_cols, ivs.schema(), pts.schema(),
-                                rename_right=pmap)
+    out_schema = _output_schema(out_cols, isub, psub, rename_right=pmap)
 
     # domain bounds AND row count of the point side in ONE aggregate pass —
     # separate .count() calls would re-execute the (possibly filtered/
     # derived) input plan once per call just to size the buckets
     bounds = pts.aggregate(Min(point_col), Max(point_col), Count())
+    if bounds is None or int(bounds["count()"]) == 0 \
+            or bounds[f"min({point_col})"] is None:
+        # no points → no pairs; return a TYPED empty result (downstream
+        # code still sees the join's columns when one shard-day is empty)
+        import ray.data as rd
+
+        if out_schema is None:
+            return rd.from_pandas(_empty_typed_frame(out_cols, spec))
+        return rd.from_arrow(out_schema.empty_table())
     # pandas inference turns python datetimes back into datetime64
     dlo, dhi = _range_values(
         pd.Series([bounds[f"min({point_col})"], bounds[f"max({point_col})"]]).to_numpy()
@@ -857,7 +946,10 @@ def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
         )
         return _to_arrow_clean(out[out_cols], schema=out_schema)
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+    return _schema_floor(
+        both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow"),
+        out_schema,
+    )
 
 
 def partitioned_window(ds, key: str, order_cols: Sequence[str], apply_fn,

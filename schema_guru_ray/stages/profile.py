@@ -299,6 +299,9 @@ def exact_quantiles_continuous(ds, column: str, qs=(0.25, 0.5, 0.75),
     from ray.data.aggregate import Max, Min
 
     agg = ds.aggregate(Min(column), Max(column))
+    if agg is None or agg.get(f"min({column})") is None:
+        # empty input: no domain, no quantiles (SQL percentile → NULL)
+        return {q: float("nan") for q in qs}
     lo, hi = float(agg[f"min({column})"]), float(agg[f"max({column})"])
     if not (hi > lo):
         return {q: lo for q in qs}

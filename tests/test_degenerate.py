@@ -1,0 +1,100 @@
+"""Degenerate-input robustness: every catalog query must SURVIVE tiny and
+EMPTY tables.
+
+At 10^12 rows some partition/shard-day WILL be empty (a filter that matched
+nothing, a day with no data, a tenant with no docs) — and Ray Data loses
+schema information on empty derived datasets (``ds.schema()`` → None, UDFs
+never run on 0-row blocks, ``to_pandas()`` returns a bare 0-column frame).
+Round-5 sweep found 37/100 catalog queries crashing on empty input and 7 on
+a 3-row corpus (dangling FKs after truncation, empty intermediates). These
+tests pin the hardening: a query may return zero rows, but it must not
+raise, and pandas/Arrow results must keep their column contract.
+
+The clips-family queries are excluded: their corpus is engine-generated
+with a 100-clip floor (sources/clips.py:n_clips_for_sf), so by construction
+they can never see an empty input table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# queries over the generated clips corpus (floored at 100 rows — cannot be
+# empty) are skipped; everything else must survive both legs
+_CLIPS_PREFIXES = ("clips_", "curate_clips", "prepare_audio")
+
+
+def _truncated_corpus(src_dir: str, dst_dir: str, n: int) -> str:
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src_dir, f"{t}.parquet"))
+        pq.write_table(tab.slice(0, n), os.path.join(dst_dir, f"{t}.parquet"))
+    return dst_dir
+
+
+@pytest.fixture(scope="session")
+def tiny_dir(sf_dir, tmp_path_factory):
+    return _truncated_corpus(
+        sf_dir, str(tmp_path_factory.mktemp("degen") / "tiny"), 3
+    )
+
+
+@pytest.fixture(scope="session")
+def empty_dir(sf_dir, tmp_path_factory):
+    return _truncated_corpus(
+        sf_dir, str(tmp_path_factory.mktemp("degen") / "empty"), 0
+    )
+
+
+def _catalog():
+    import __ray_entry__ as entry
+
+    return {
+        name: fn
+        for name, fn in entry.queries().items()
+        if not name.startswith(_CLIPS_PREFIXES)
+    }
+
+
+def _materialize(out) -> int:
+    """Row count through the same boundary the driver uses."""
+    if isinstance(out, pd.DataFrame):
+        return len(out)
+    if isinstance(out, pa.Table):
+        return out.num_rows
+    return out.count()
+
+
+_NAMES = sorted(_catalog().keys())
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_tiny_corpus(ray_session, tiny_dir, name):
+    """3-row tables (with the dangling FKs truncation produces): every
+    query completes; row counts are finite and non-negative."""
+    fn = _catalog()[name]
+    assert _materialize(fn(tiny_dir)) >= 0
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_empty_corpus(ray_session, empty_dir, name):
+    """Fully empty tables (the one-empty-shard-day case): every query
+    completes; pandas results keep their column contract."""
+    fn = _catalog()[name]
+    out = fn(empty_dir)
+    n = _materialize(out)
+    assert n >= 0
+    if isinstance(out, pd.DataFrame):
+        # empty results must still be well-formed frames (columns may be
+        # data-discovered, so only the type contract is asserted globally)
+        assert out.index.size == n
