@@ -669,8 +669,13 @@ def customer_order_distribution(sf_dir: str, broadcast_limit: int = 5_000_000):
         def bdist(t: pa.Table) -> pd.DataFrame:
             k_arr, v_arr = ray.get(lut_ref)
             v = t["c_custkey"].to_numpy(zero_copy_only=False)
-            i, hit = sorted_lookup(k_arr, v)
-            k = np.where(hit, v_arr[i], 0)
+            if len(k_arr) == 0:  # zero orders anywhere → all customers 0
+                k = np.zeros(len(v), np.int64)
+            else:
+                i, hit = sorted_lookup(k_arr, v)
+                # np.where evaluates BOTH branches: v_arr[i] must stay
+                # in-bounds even on all-miss batches
+                k = np.where(hit, v_arr[i], 0)
             u, n = np.unique(k, return_counts=True)
             return pd.DataFrame(
                 {"c_count": u.astype("int64"), "n_cust": n.astype("int64")}

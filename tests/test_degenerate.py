@@ -34,11 +34,16 @@ TABLES = [
 _CLIPS_PREFIXES = ("clips_", "curate_clips", "prepare_audio")
 
 
-def _truncated_corpus(src_dir: str, dst_dir: str, n: int) -> str:
+FACTS = {"orders", "lineitem", "events", "documents", "embeddings"}
+
+
+def _truncated_corpus(src_dir: str, dst_dir: str, n: int,
+                      only: set | None = None) -> str:
     os.makedirs(dst_dir, exist_ok=True)
     for t in TABLES:
         tab = pq.read_table(os.path.join(src_dir, f"{t}.parquet"))
-        pq.write_table(tab.slice(0, n), os.path.join(dst_dir, f"{t}.parquet"))
+        rows = n if (only is None or t in only) else tab.num_rows
+        pq.write_table(tab.slice(0, rows), os.path.join(dst_dir, f"{t}.parquet"))
     return dst_dir
 
 
@@ -53,6 +58,19 @@ def tiny_dir(sf_dir, tmp_path_factory):
 def empty_dir(sf_dir, tmp_path_factory):
     return _truncated_corpus(
         sf_dir, str(tmp_path_factory.mktemp("degen") / "empty"), 0
+    )
+
+
+@pytest.fixture(scope="session")
+def facts_empty_dir(sf_dir, tmp_path_factory):
+    """Fact tables empty, dimensions populated — the realistic empty
+    shard-day (fact volume thins out; dimensions never do). Exercises
+    joins and two-regime lookups in MIXED mode (one side empty, one not),
+    which the all-empty leg can short-circuit past — this shape caught the
+    np.where(hit, lut[i], 0) out-of-bounds on an empty broadcast lut."""
+    return _truncated_corpus(
+        sf_dir, str(tmp_path_factory.mktemp("degen") / "facts_empty"), 0,
+        only=FACTS,
     )
 
 
@@ -84,6 +102,13 @@ def test_tiny_corpus(ray_session, tiny_dir, name):
     query completes; row counts are finite and non-negative."""
     fn = _catalog()[name]
     assert _materialize(fn(tiny_dir)) >= 0
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_facts_empty_corpus(ray_session, facts_empty_dir, name):
+    """Empty facts × populated dims: every query completes."""
+    fn = _catalog()[name]
+    assert _materialize(fn(facts_empty_dir)) >= 0
 
 
 @pytest.mark.parametrize("name", _NAMES)
