@@ -82,6 +82,11 @@ def export_shuffled(input_files, out_dir: str, id_column: str = "doc_id",
             .map_groups(write_shard, batch_format="pandas")
             .to_pandas()
         )
+        if counts.empty:
+            # an empty input partition still commits a (0-row) manifest so
+            # resume can tell "done, nothing there" from "never ran" — Ray
+            # returns a bare 0-column frame on empty, hence the reindex
+            counts = counts.reindex(columns=["shard", "n"])
         shard_counts = dict(zip(counts["shard"].astype(int), counts["n"].astype(int)))
         return {"n_rows": int(counts["n"].sum()),
                 "shards": {str(k): v for k, v in sorted(shard_counts.items())}}

@@ -213,6 +213,16 @@ def curate_documents_checkpointed(
     def run_dedup(files, tmp_dir):
         kept = _exact_dedup(rd.read_parquet(files), n_buckets)
         kept.write_parquet(tmp_dir)
+        if not any(n.endswith(".parquet") for n in os.listdir(tmp_dir)):
+            # write_parquet emits NO files for an empty dataset, which
+            # would leave the downstream stages with an empty read list —
+            # floor the stage with a typed empty file (input's own schema)
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                _pq.ParquetFile(files[0]).schema_arrow.empty_table(),
+                os.path.join(tmp_dir, "empty.parquet"),
+            )
         return {}
 
     manifest["dedup"] = run_partitioned(
@@ -277,4 +287,11 @@ def curate_documents_checkpointed(
         for n in os.listdir(os.path.join(final_dir, d))
         if n.endswith(".parquet")
     )
+    if not final_files:  # every partition curated down to zero rows
+        import pyarrow as pa
+
+        result = rd.from_arrow(pa.schema(
+            [("doc_id", pa.int64()), ("n_words", pa.int64())]
+        ).empty_table())
+        return {"result": result, "manifest": manifest}
     return {"result": rd.read_parquet(final_files), "manifest": manifest}

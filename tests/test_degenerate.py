@@ -111,6 +111,46 @@ def test_facts_empty_corpus(ray_session, facts_empty_dir, name):
     assert _materialize(fn(facts_empty_dir)) >= 0
 
 
+def test_export_job_empty(ray_session, empty_dir, tmp_path):
+    """The resumable shuffled export commits (0-row) partition manifests on
+    an empty corpus instead of crashing in the shard-count fold — resume
+    must be able to tell 'done, nothing there' from 'never ran'."""
+    from jobs.export_job import export_shuffled, read_shard
+
+    out = str(tmp_path / "export")
+    m = export_shuffled(
+        [os.path.join(empty_dir, "documents.parquet")], out,
+        num_partitions=2, num_shards=4,
+    )
+    assert m["ran"] >= 1 and m["skipped"] == 0
+    assert len(read_shard(out, 0)) == 0
+    # resume skips every committed partition
+    m2 = export_shuffled(
+        [os.path.join(empty_dir, "documents.parquet")], out,
+        num_partitions=2, num_shards=4,
+    )
+    assert m2["ran"] == 0 and m2["skipped"] == m["ran"]
+
+
+def test_curate_checkpointed_empty(ray_session, empty_dir, tmp_path):
+    """The checkpointed curate chain floors each stage with a typed empty
+    parquet (write_parquet emits NO files on empty data) so the next stage
+    always has a readable input, and the final result stays typed."""
+    from schema_guru_ray.pipelines.curate import curate_documents_checkpointed
+
+    out = str(tmp_path / "curate")
+    res = curate_documents_checkpointed(
+        [os.path.join(empty_dir, "documents.parquet")], out, num_partitions=2
+    )
+    assert res["result"].count() == 0
+    assert set(res["result"].schema().names) == {"doc_id", "n_words"}
+    res2 = curate_documents_checkpointed(
+        [os.path.join(empty_dir, "documents.parquet")], out, num_partitions=2
+    )
+    assert res2["result"].count() == 0
+    assert all(s["ran"] == 0 for s in res2["manifest"].values())
+
+
 @pytest.mark.parametrize("name", _NAMES)
 def test_empty_corpus(ray_session, empty_dir, name):
     """Fully empty tables (the one-empty-shard-day case): every query
