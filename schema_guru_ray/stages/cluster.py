@@ -114,6 +114,36 @@ def _merge_cluster(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _fold_cluster_partials(partials, driver_fold_limit: int = 4096) -> list:
+    """Fold a per-batch Lloyd-partial Dataset to ≤ k merged rows — the
+    ``fold_profiles`` two-regime topology. Small partial sets (the
+    interactive case: ≤ ``driver_fold_limit`` rows of (cluster, n,
+    vec_sum, sse)) fold on the driver with one vectorized pandas groupby,
+    skipping the per-round ``groupby("cluster")`` sort-exchange whose
+    fixed overhead (~0.4-0.6 s) dominated every Lloyd round at sf0.1.
+    Large partial sets (10^6 blocks at 10^12 rows) keep the worker-side
+    shuffle merge, so the driver never reads one row per
+    (batch × cluster). Associative merge ⇒ identical result either way."""
+    states = partials.materialize()  # tiny rows; counting must not re-run
+    if states.count() > driver_fold_limit:
+        states = states.groupby("cluster").map_groups(
+            _merge_cluster, batch_format="pandas"
+        )
+    df = states.to_pandas()
+    if df.empty or "cluster" not in df.columns:
+        return []
+    out = (
+        df.groupby("cluster", sort=False)
+        .apply(lambda g: pd.Series({
+            "n": int(g["n"].sum()),
+            "vec_sum": np.stack(g["vec_sum"].to_numpy()).sum(axis=0),
+            "sse": float(g["sse"].sum()),
+        }))
+        .reset_index()
+    )
+    return out.to_dict("records")
+
+
 def _seed_partial(batch: pd.DataFrame, *, k: int, column: str,
                   id_column: str) -> pd.DataFrame:
     """Per-batch k-smallest-id candidates — the partial of the seed
@@ -183,11 +213,7 @@ def kmeans(ds, k: int = 8, iters: int = 5, column: str = "embedding",
             fn_kwargs=dict(cents_ref=ref, column=column),
             batch_format="pandas",
         )
-        merged = (
-            partials.groupby("cluster")
-            .map_groups(_merge_cluster, batch_format="pandas")
-            .take_all()
-        )
+        merged = _fold_cluster_partials(partials)
         history.append(float(sum(r["sse"] for r in merged)))
         newC = C.copy()
         for r in merged:
@@ -213,11 +239,7 @@ def kmeans_summary(ds, k: int = 8, iters: int = 5, column: str = "embedding",
         _partials_batch, fn_kwargs=dict(cents_ref=ref, column=column),
         batch_format="pandas",
     )
-    sizes = (
-        partials.groupby("cluster")
-        .map_groups(_merge_cluster, batch_format="pandas")
-        .take_all()
-    )
+    sizes = _fold_cluster_partials(partials)
     df = pd.DataFrame(
         {
             "cluster": [r["cluster"] for r in sizes],
