@@ -252,19 +252,30 @@ def _empty_typed_frame(columns, schemas: Dict[str, str]) -> pd.DataFrame:
     )
 
 
-def _schema_floor(ds, out_schema: Optional[pa.Schema]):
-    """Union a 0-row typed Arrow block onto an operator's output so its
-    ``schema()`` survives when every bucket comes up empty. Ray reports
-    ``schema() = None`` for empty derived datasets (zero groups → zero
-    blocks), which cascades into downstream operators at exactly the
-    moment one shard-day of a 100 TB run has no matching rows. The floor
-    block is one empty table — free. No-op when the output schema could
-    not be determined (the caller's types stay best-effort then)."""
+def _floor_sentinel(out_schema: Optional[pa.Schema]):
+    """One-row ``(__bucket=-1, __side='f')`` dataset to union into a join's
+    TAGGED stream before the bucket groupby. Real buckets are ≥ 0, so the
+    sentinel always forms its own group, and the bucket fn (seeing neither
+    an 'l' nor an 'r' row) emits the join's TYPED empty block — the output
+    schema survives a join that matched nothing (Ray reports ``schema() =
+    None`` for zero-group groupbys, which cascades downstream exactly when
+    one shard-day of a 100 TB run has no matching rows).
+
+    Riding the EXISTING union matters: a separate post-groupby
+    ``union(empty_typed_block)`` floor measured +46-84% on the join-family
+    queries at sf0.1 — the extra plan node blocks fusion of the groupby
+    output into downstream maps. The sentinel costs one row and one extra
+    (trivial) group instead. Returns None (no floor) when the caller could
+    not determine its output schema — an untyped sentinel block could then
+    disagree with the real blocks' schema."""
     if out_schema is None:
-        return ds
+        return None
     import ray.data as rd
 
-    return ds.union(rd.from_arrow(out_schema.empty_table()))
+    return rd.from_arrow(pa.table({
+        "__bucket": pa.array([-1], pa.int32()),
+        "__side": pa.array(["f"], pa.string()),
+    }))
 
 
 def _dtype_spec(ds) -> Dict[str, str]:
@@ -345,7 +356,7 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
                        left_schema: Optional[pa.Schema] = None,
                        right_schema: Optional[pa.Schema] = None,
                        hot_key_threshold: Optional[int] = None,
-                       hot_salt: int = 16):
+                       hot_salt: int = 16, schema_floor: bool = False):
     """Portable explicit hash join: tag both sides with ``bucket =
     hash(key) % B``, union, group by bucket, pandas-merge the two sides
     inside each bucket. ``num_buckets=None`` scales B to the input row
@@ -404,13 +415,15 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
                               hot_salt)
         rtag = _tag_fn_salted("r", on, num_buckets, hot_sorted, ~spread_left,
                               hot_salt)
-    lt = left.map_batches(ltag, batch_format="pyarrow")
-    rt = right.map_batches(rtag, batch_format="pyarrow")
-    both = lt.union(rt)  # arrow null-fill: missing columns stay typed
-
     out_cols = left_cols + [rmap.get(c, c) for c in right_cols
                             if c != on and (c not in left_cols or c in rmap)]
     out_schema = _output_schema(out_cols, lschema, rschema, rename_right=rmap)
+
+    lt = left.map_batches(ltag, batch_format="pyarrow")
+    rt = right.map_batches(rtag, batch_format="pyarrow")
+    floor = _floor_sentinel(out_schema) if schema_floor else None
+    # arrow null-fill union: missing columns stay typed
+    both = lt.union(rt, floor) if floor is not None else lt.union(rt)
 
     def join_bucket(t: pa.Table) -> pa.Table:
         g = t.to_pandas(types_mapper=_nullable_types_mapper)
@@ -426,15 +439,13 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
             l.merge(r, on=on, how=join_type).reindex(columns=out_cols), out_schema
         )
 
-    return _schema_floor(
-        both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow"),
-        out_schema,
-    )
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def bucketed_anti_join(left, keys_ds, on: str, key_column: Optional[str] = None,
                        num_buckets: Optional[int] = None,
-                       left_schema: Optional[pa.Schema] = None):
+                       left_schema: Optional[pa.Schema] = None,
+                       schema_floor: bool = False):
     """EXACT distributed anti join: left rows whose ``on`` value appears
     nowhere in ``keys_ds[key_column]``. Both sides are tagged with
     ``bucket = hash(key) % B`` and shuffled once — a key's left rows and
@@ -463,8 +474,10 @@ def bucketed_anti_join(left, keys_ds, on: str, key_column: Optional[str] = None,
     kt = keys_ds.map_batches(key_only, batch_format="pandas").map_batches(
         _tag_fn("r", "__akey", num_buckets), batch_format="pyarrow"
     )
-    both = lt.union(kt)  # arrow null-fill: missing columns stay typed
     out_schema = _output_schema(left_cols, lschema, lschema)
+    floor = _floor_sentinel(out_schema) if schema_floor else None
+    # arrow null-fill union: missing columns stay typed
+    both = lt.union(kt, floor) if floor is not None else lt.union(kt)
 
     def anti_bucket(t: pa.Table) -> pa.Table:
         g = t.to_pandas(types_mapper=_nullable_types_mapper)
@@ -476,10 +489,7 @@ def bucketed_anti_join(left, keys_ds, on: str, key_column: Optional[str] = None,
         drop_keys = g.loc[g["__side"] == "r", "__akey"]
         return _to_arrow_clean(l[~l[on].isin(drop_keys)], out_schema)
 
-    return _schema_floor(
-        both.groupby("__bucket").map_groups(anti_bucket, batch_format="pyarrow"),
-        out_schema,
-    )
+    return both.groupby("__bucket").map_groups(anti_bucket, batch_format="pyarrow")
 
 
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
@@ -488,7 +498,8 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
               tolerance_sec: Optional[int] = None,
               hot_key_threshold: Optional[int] = None, hot_salt: int = 16,
               left_schema: Optional[pa.Schema] = None,
-              right_schema: Optional[pa.Schema] = None):
+              right_schema: Optional[pa.Schema] = None,
+              schema_floor: bool = False):
     """As-of join: for each left row, the latest right row of the same key
     with right_ts <= left_ts (direction='backward'). Inner semantics (left
     rows without a match are dropped). ``num_buckets=None`` scales the
@@ -553,12 +564,14 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
                               hot_salt)
         rtag = _tag_fn_salted("r", key, num_buckets, hot_sorted, ~spread_left,
                               hot_salt)
-    lt = left.map_batches(ltag, batch_format="pyarrow")
-    rt = right_sel.map_batches(rtag, batch_format="pyarrow")
-    both = lt.union(rt)  # arrow null-fill: missing columns stay typed
-
     out_cols = left_cols + [c for c in r_out if c not in left_cols]
     out_schema = _output_schema(out_cols, lschema, rschema, rename_right=rmap)
+
+    lt = left.map_batches(ltag, batch_format="pyarrow")
+    rt = right_sel.map_batches(rtag, batch_format="pyarrow")
+    floor = _floor_sentinel(out_schema) if schema_floor else None
+    # arrow null-fill union: missing columns stay typed
+    both = lt.union(rt, floor) if floor is not None else lt.union(rt)
 
     def join_bucket(t: pa.Table) -> pa.Table:
         g = t.to_pandas(types_mapper=_nullable_types_mapper)
@@ -599,10 +612,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
             out.dropna(subset=[right_ts_out]).reindex(columns=out_cols), out_schema
         )
 
-    return _schema_floor(
-        both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow"),
-        out_schema,
-    )
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def bucketed_aggregate(ds, keys, aggs: Dict[str, Tuple[str, str]],
@@ -783,7 +793,8 @@ def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
                point_columns: Optional[Sequence[str]] = None,
                interval_columns: Optional[Sequence[str]] = None,
                points_schema: Optional[pa.Schema] = None,
-               intervals_schema: Optional[pa.Schema] = None):
+               intervals_schema: Optional[pa.Schema] = None,
+               schema_floor: bool = False):
     """Interval/range join: every (interval row × point row) pair with
     ``lo_col <= point_col <= hi_col`` (inclusive both ends, SQL BETWEEN).
 
@@ -906,7 +917,8 @@ def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
 
     pt = pts.map_batches(tag_points, batch_format="pyarrow")
     it = ivs.map_batches(tag_intervals, batch_format="pyarrow")
-    both = pt.union(it)
+    floor = _floor_sentinel(out_schema) if schema_floor else None
+    both = pt.union(it, floor) if floor is not None else pt.union(it)
 
     def join_bucket(t: pa.Table) -> pa.Table:
         g = t.to_pandas(types_mapper=_nullable_types_mapper)
@@ -946,10 +958,7 @@ def range_join(points, intervals, *, point_col: str, lo_col: str, hi_col: str,
         )
         return _to_arrow_clean(out[out_cols], schema=out_schema)
 
-    return _schema_floor(
-        both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow"),
-        out_schema,
-    )
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def partitioned_window(ds, key: str, order_cols: Sequence[str], apply_fn,
