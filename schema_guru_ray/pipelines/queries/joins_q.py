@@ -49,6 +49,13 @@ def join_orders_customers(sf_dir: str):
     )
     out = hash_join(
         orders, cust, on="o_custkey", num_partitions=8,
+        # both sides are 1:1 maps/renames over base reads: footer row
+        # counts prove non-emptiness for free, skipping the per-side
+        # schema() emptiness probe (each executes one block of the plan)
+        assume_nonempty=(
+            _meta_rows(sf_dir, "orders") > 0
+            and _meta_rows(sf_dir, "customer") > 0
+        ),
         left_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
              ("price_cents", pa.int64())]
