@@ -244,7 +244,9 @@ def _load_queries(sf_dir: str, n: int = 3) -> np.ndarray:
     tab = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    df = tab.to_pandas().sort_values("vec_id").head(n)
+    df = tab.to_pandas()
+    # a null embedding cannot be a query vector (broken-column shard)
+    df = df[df["embedding"].notna()].sort_values("vec_id").head(n)
     if df.empty:  # empty shard: zero query vectors
         return np.zeros((0, 0), np.float64)
     return np.stack(df["embedding"].to_numpy())
@@ -353,7 +355,7 @@ def image_featurize_documents(sf_dir: str):
 
     def to_media(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": b["doc_id"], "media": [synth_media_png(t.encode()) for t in b["text"]]}
+            {"doc_id": b["doc_id"], "media": [synth_media_png(t.encode()) for t in b["text"].fillna("")]}
         )
 
     media = ds.map_batches(to_media, batch_format="pandas")
@@ -391,7 +393,7 @@ def image_phash_dedup_documents(sf_dir: str):
 
     def to_media(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": b["doc_id"], "media": [synth_media_png(t.encode()) for t in b["text"]]}
+            {"doc_id": b["doc_id"], "media": [synth_media_png(t.encode()) for t in b["text"].fillna("")]}
         )
 
     media = ds.map_batches(to_media, batch_format="pandas")
@@ -418,7 +420,7 @@ def video_frame_sample_documents(sf_dir: str):
 
     def to_media(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": b["doc_id"], "media": [synth_media_y4m(t.encode()) for t in b["text"]]}
+            {"doc_id": b["doc_id"], "media": [synth_media_y4m(t.encode()) for t in b["text"].fillna("")]}
         )
 
     frames = ds.map_batches(to_media, batch_format="pandas").map_batches(
@@ -706,6 +708,11 @@ def label_centroid_confusion(sf_dir: str, fanin: int = 64,
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def sum_partial(t: pa.Table) -> pa.Table:
+        # null labels / embeddings cannot contribute to a centroid (SQL:
+        # GROUP BY drops nothing but the sums skip NULLs; a vector-less
+        # row has no position) — excluded
+        t = t.filter(pc.and_(pc.is_valid(t["label"]),
+                             pc.is_valid(t["embedding"])))
         if t.num_rows == 0:  # np.stack raises on an empty block
             return pa.table({"label": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
@@ -735,6 +742,8 @@ def label_centroid_confusion(sf_dir: str, fanin: int = 64,
     ref = ray.put((labels, C))
 
     def assign(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["label"]),
+                             pc.is_valid(t["embedding"])))
         if t.num_rows == 0:
             return pa.table({"label": pa.array([], pa.int64()),
                              "assigned_label": pa.array([], pa.int64()),

@@ -463,6 +463,7 @@ def groupwise_dev_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t["value"]))  # SQL: sum/avg ignore NULLs
         df = pd.DataFrame(
             {
                 "event_type": t["event_type"].to_pylist(),
@@ -488,12 +489,15 @@ def groupwise_dev_events(sf_dir: str):
 
     def dev(t: pa.Table) -> pd.DataFrame:
         table = ray.get(ref)
+        # a null value has a NULL deviation in SQL — excluded (every
+        # surviving row's type therefore has a stats entry)
+        t = t.filter(pc.is_valid(t["value"]))
         et = t["event_type"].to_pylist()
         v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000 + 0.5).astype(
             np.int64
         )
-        n = np.array([table[e][0] for e in et], dtype=np.int64)
-        s = np.array([table[e][1] for e in et], dtype=np.int64)
+        n = np.array([table.get(e, (0, 0))[0] for e in et], dtype=np.int64)
+        s = np.array([table.get(e, (0, 0))[1] for e in et], dtype=np.int64)
         return pd.DataFrame(
             {
                 "event_id": t["event_id"].to_numpy(),

@@ -364,6 +364,9 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
     )
 
     def cents(b: pd.DataFrame) -> pd.DataFrame:
+        # a null price cannot be ranked by value — excluded (SQL ORDER BY
+        # would sort it NULLS LAST past any k anyway; none in the corpora)
+        b = b.dropna(subset=["o_totalprice"])
         return pd.DataFrame(
             {
                 "o_custkey": b["o_custkey"].astype("int64"),
@@ -405,8 +408,10 @@ def window_functions_orders(sf_dir: str):
     )
 
     def analytics(g: pd.DataFrame) -> pd.DataFrame:
-        # g arrives sorted by (o_custkey, o_orderdate, o_orderkey), stable
-        cents = _int_units(g["o_totalprice"].to_numpy(), 100).astype("int64")
+        # g arrives sorted by (o_custkey, o_orderdate, o_orderkey), stable.
+        # A NULL price contributes nothing to the running sum (SQL sum OVER
+        # skips NULLs — identical to adding 0); the row itself stays ranked.
+        cents = _int_units(g["o_totalprice"].to_numpy(), 100).fillna(0).astype("int64")
         grp_key = g["o_custkey"].to_numpy()
         grp = pd.Series(cents.to_numpy(), index=g.index).groupby(grp_key, sort=False)
         by_cust = g.groupby("o_custkey", sort=False)

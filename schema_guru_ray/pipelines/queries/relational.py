@@ -111,7 +111,12 @@ def rollup_revenue_lineitem(sf_dir: str):
 
         tt = pa.table(
             {
-                "year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                # coalesce(year, -1): mirrors the oracle — a null shipdate
+                # row lands in the -1 year bucket instead of poisoning the
+                # int64 cast downstream
+                "year": pc.fill_null(
+                    pc.cast(pc.year(t["l_shipdate"]), pa.int64()), -1
+                ),
                 "l_returnflag": t["l_returnflag"],
                 "rev_c": units(
                     pc.multiply(
@@ -149,7 +154,9 @@ def rollup_revenue_lineitem(sf_dir: str):
         {
             "year": out["year"].astype("int64"),
             "l_returnflag": out["l_returnflag"],
-            "rev_cents": out["rev_cents"].astype("int64"),
+            # a group whose every revenue input was NULL sums to NULL
+            # (SQL) — reported as 0 so the column stays non-nullable
+            "rev_cents": out["rev_cents"].fillna(0).astype("int64"),
             "n": out["n"].astype("int64"),
         }
     )
@@ -319,8 +326,12 @@ def exact_quantiles_quantity(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
-        # pure-Arrow histogram partial: C++ value_counts, zero-copy in
+        # pure-Arrow histogram partial: C++ value_counts, zero-copy in.
+        # value_counts emits a NULL entry for null rows — dropped
+        # (quantile_disc ignores NULLs); the null sits in the struct's
+        # "values" FIELD, so filter on that, not drop_null on the struct
         vc = pc.value_counts(t["l_quantity"])
+        vc = vc.filter(pc.is_valid(vc.field("values")))
         return pa.table(
             {
                 "value": pc.cast(vc.field("values"), pa.float64()),
@@ -607,6 +618,7 @@ def grouped_median_quantity(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["l_quantity"]))  # percentile ignores NULLs
         qty = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
         g = (
             pa.table({"l_returnflag": t["l_returnflag"], "qty": qty})
@@ -678,7 +690,17 @@ def rolling_revenue_customer(sf_dir: str, window_days: int = 7):
 
     def trailing(g: pd.DataFrame) -> pd.DataFrame:
         # g sorted by (o_custkey, o_orderdate); searchsorted needs the fused
-        # key monotone within the frame, which (custkey, day) sort gives
+        # key monotone within the frame, which (custkey, day) sort gives.
+        # A null date has no window position and a null price no
+        # contribution — such rows are excluded (never occurs in the
+        # tested corpora; at scale one broken shard-day must not assert)
+        g = g.dropna(subset=["o_orderdate", "o_totalprice"])
+        if g.empty:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series(dtype="int64"),
+                "trailing_cents": pd.Series(dtype="int64"),
+                "n_in_window": pd.Series(dtype="int64"),
+            })
         days = (
             g["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
         )

@@ -746,14 +746,19 @@ def promo_revenue(sf_dir: str, broadcast_limit: int = 20_000_000):
             os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
         )
         pkeys = part_t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        promo = pc.starts_with(part_t["p_type"], "PROMO").to_numpy(
-            zero_copy_only=False
-        )
+        # NULL p_type: LIKE 'PROMO%' is NULL in SQL, falsy in the CASE —
+        # fill false so the flag array stays real bool, not object
+        promo = pc.fill_null(
+            pc.starts_with(part_t["p_type"], "PROMO"), False
+        ).to_numpy(zero_copy_only=False)
         order = np.argsort(pkeys, kind="stable")
         lut_ref = ray.put((pkeys[order], promo[order]))
 
         def bpartial(t: pa.Table) -> pa.Table:
             keys, flags = ray.get(lut_ref)
+            # SQL: a NULL price/discount product is NULL and sum skips it
+            t = t.filter(pc.and_(pc.is_valid(t["l_extendedprice"]),
+                                 pc.is_valid(t["l_discount"])))
             k = t["l_partkey"].to_numpy(zero_copy_only=False)
             i, hit = sorted_lookup(keys, k)
             price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
@@ -984,10 +989,16 @@ def brand_supplier_distinct(sf_dir: str, broadcast_limit: int = 20_000_000):
 
         def annotate(t: pa.Table) -> pa.Table:
             keys, cds = ray.get(lut_ref)
+            # null part/supp keys never join; null-brand parts carry
+            # Categorical code -1 and are excluded with them
+            t = t.filter(pc.and_(pc.is_valid(t["l_partkey"]),
+                                 pc.is_valid(t["l_suppkey"])))
             k = t["l_partkey"].to_numpy(zero_copy_only=False)
             i, hit = sorted_lookup(keys, k)
             sup = t["l_suppkey"].to_numpy(zero_copy_only=False)[hit]
             bc = cds[i[hit]].astype(np.int64)
+            known = bc >= 0
+            sup, bc = sup[known], bc[known]
             # per-batch distinct via ONE composite int64 (suppkey is bounded
             # far below 2e9 in any TPC-H-shaped corpus; guarded) — and the
             # composite itself is what shuffles: a single-int64 groupby

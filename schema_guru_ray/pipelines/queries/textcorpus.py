@@ -478,10 +478,13 @@ def heavy_hitters_tokens(sf_dir: str, k: int = 20, capacity: int = 8192):
 
     from schema_guru_ray.stages.joins import bucketed_aggregate
 
-    exact = bucketed_aggregate(
-        ds.map_batches(recount, batch_format="pandas"),
-        "token", {"n": ("n", "sum")},
-    ).to_pandas()
+    exact = _pandas_cols(
+        bucketed_aggregate(
+            ds.map_batches(recount, batch_format="pandas"),
+            "token", {"n": ("n", "sum")},
+        ),
+        ["token", "n"], {"n": "int64"},
+    )
     topk = (
         exact.sort_values(["n", "token"], ascending=[False, True])
         .head(k)
@@ -878,6 +881,8 @@ def edit_distance_adjacent_docs(sf_dir: str, cap: int = 48):
     )
 
     def dist(b: pd.DataFrame) -> pd.DataFrame:
+        # SQL: levenshtein(NULL, x) is NULL — null-text pairs drop out
+        b = b.dropna(subset=["text_a", "text_b"])
         # utf-8 bytes: DuckDB levenshtein() is byte-unit over UTF-8
         d = batch_levenshtein(
             [s.encode("utf-8") for s in b["text_a"]],

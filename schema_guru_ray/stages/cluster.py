@@ -46,9 +46,25 @@ def quantize_milli(x: np.ndarray) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64)
 
 
+def drop_null_vectors(batch: pd.DataFrame, column: str) -> pd.DataFrame:
+    """Exclude rows whose vector is NULL before ``np.stack`` (SQL
+    semantics: a null embedding never wins a similarity/assignment
+    comparison — and a shard-day where the embedding column broke
+    upstream must not crash the whole run)."""
+    mask = batch[column].notna()
+    return batch if bool(mask.all()) else batch[mask]
+
+
 def _assign_batch(batch: pd.DataFrame, *, cents_ref, column: str,
                   id_column: str) -> pd.DataFrame:
     cent_ids, cents_q = _fetch(cents_ref)
+    batch = drop_null_vectors(batch, column)
+    if batch.empty:
+        return pd.DataFrame({
+            id_column: pd.Series(dtype="int64"),
+            "cluster_id": pd.Series(dtype="int64"),
+            "dot_milli2": pd.Series(dtype="int64"),
+        })
     X = quantize_milli(np.stack(batch[column].to_numpy()))
     dots = X @ cents_q.T  # int64-exact
     best = np.argmax(dots, axis=1)  # first max == lowest centroid id
@@ -81,6 +97,14 @@ def assign_to_centroids(ds, centroid_ids: np.ndarray, centroids: np.ndarray,
 
 def _partials_batch(batch: pd.DataFrame, *, cents_ref, column: str) -> pd.DataFrame:
     C = _fetch(cents_ref)
+    batch = drop_null_vectors(batch, column)
+    if batch.empty or not len(C):
+        return pd.DataFrame({
+            "cluster": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "vec_sum": pd.Series(dtype="object"),
+            "sse": pd.Series(dtype="float64"),
+        })
     X = np.stack(batch[column].to_numpy()).astype(np.float64)
     d2 = (
         (X * X).sum(axis=1, keepdims=True)
@@ -149,6 +173,7 @@ def _seed_partial(batch: pd.DataFrame, *, k: int, column: str,
     """Per-batch k-smallest-id candidates — the partial of the seed
     selection, so the deterministic lowest-id init never needs a global
     sort (sorting 10^12 rows to pick k vectors is the trap)."""
+    batch = drop_null_vectors(batch, column)
     ids = batch[id_column].to_numpy()
     if len(ids) == 0:
         return pd.DataFrame({id_column: pd.Series([], dtype="int64"),

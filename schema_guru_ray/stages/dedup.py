@@ -854,6 +854,16 @@ class HyperplaneLSH:
         self.id_column = id_column
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from schema_guru_ray.stages.cluster import drop_null_vectors
+
+        batch = drop_null_vectors(batch, self.column)
+        if batch.empty:
+            return pd.DataFrame({
+                "table": pd.Series(dtype="int32"),
+                "bucket": pd.Series(dtype="int64"),
+                self.id_column: pd.Series(dtype="int64"),
+                "unit": pd.Series(dtype="object"),
+            })
         vecs = np.stack(batch[self.column].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.clip(norms, 1e-12, None)

@@ -585,9 +585,14 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     def join_bucket(t: pa.Table) -> pa.Table:
         g = t.to_pandas(types_mapper=_nullable_types_mapper)
         # blocks that came wholly from one side may lack the other side's
-        # columns entirely — reindex fills them before slicing
+        # columns entirely — reindex fills them before slicing.
+        # Null key/timestamp rows are dropped on both sides (SQL ASOF
+        # semantics: NULL never satisfies the equality or the <=; pandas
+        # merge_asof REFUSES null keys outright), so a shard-day with a
+        # broken column degrades to zero matches instead of crashing.
         l = (
             g[g["__side"] == "l"].reindex(columns=left_cols)
+            .dropna(subset=[key, left_ts])
             .sort_values(left_ts, kind="stable")
         )
         # secondary sort keys make ties at equal right_ts deterministic:
@@ -595,6 +600,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
         # remaining columns — no separate dedupe shuffle needed upstream
         r = (
             g[g["__side"] == "r"].reindex(columns=right_cols).rename(columns=rmap)
+            .dropna(subset=[key, right_ts_out])
             .sort_values(
                 [right_ts_out, *[c for c in r_out if c != right_ts_out]],
                 kind="stable",

@@ -57,6 +57,13 @@ def _topk_task(batch: pd.DataFrame, *, queries_ref, k: int, column: str,
     if q is None:
         q = _unit(np.asarray(ray.get(queries_ref), dtype=np.float64))
         _TOPK_CACHE[key] = q
+    from schema_guru_ray.stages.cluster import drop_null_vectors
+
+    batch = drop_null_vectors(batch, column)
+    if batch.empty:
+        return pd.DataFrame({"query_idx": pd.Series(dtype="int64"),
+                             id_column: pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
     vecs = _unit(np.stack(batch[column].to_numpy()).astype(np.float64))
     ids = batch[id_column].to_numpy()
     sims = q @ vecs.T
@@ -130,6 +137,13 @@ class IVFBatchTopK:
         self.probed = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from schema_guru_ray.stages.cluster import drop_null_vectors
+
+        batch = drop_null_vectors(batch, self.column)
+        if batch.empty:
+            return pd.DataFrame(
+                {"query_idx": [], self.id_column: [], "score": []}
+            )
         vecs = _unit(np.stack(batch[self.column].to_numpy()).astype(np.float64))
         ids = batch[self.id_column].to_numpy()
         cells = np.argmax(vecs @ self.centroids.T, axis=1)
@@ -162,9 +176,13 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     with ``n_probe`` (== n_cells → exact)."""
     import ray
 
-    sample = np.stack(
-        [r[column] for r in ds.limit(sample_size).take(sample_size)]
-    )
+    rows = [r[column] for r in ds.limit(sample_size).take(sample_size)
+            if r[column] is not None]
+    if not rows:  # no usable vectors anywhere: typed empty result
+        return pd.DataFrame({"query_idx": pd.Series(dtype="int64"),
+                             id_column: pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    sample = np.stack(rows)
     cents = fit_centroids(sample, n_cells)
     qref, cref = ray.put(np.asarray(queries)), ray.put(cents)
     partials = ds.map_batches(

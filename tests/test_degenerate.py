@@ -74,6 +74,30 @@ def facts_empty_dir(sf_dir, tmp_path_factory):
     )
 
 
+@pytest.fixture(scope="session")
+def null_heavy_dir(sf_dir, tmp_path_factory):
+    """Every nullable non-key column 100% NULL — the broken-upstream-field
+    shard. SQL semantics are the contract: aggregates ignore NULLs, null
+    join keys/timestamps never match, null vectors have no position."""
+    keep = {
+        "o_orderkey", "o_custkey", "c_custkey", "c_nationkey", "n_nationkey",
+        "n_regionkey", "r_regionkey", "s_suppkey", "s_nationkey", "p_partkey",
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "event_id", "user_id", "ts", "doc_id", "vec_id",
+    }
+    dst = str(tmp_path_factory.mktemp("degen") / "nullheavy")
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        cols = {
+            f.name: (tab[f.name] if f.name in keep
+                     else pa.nulls(tab.num_rows, f.type))
+            for f in tab.schema
+        }
+        pq.write_table(pa.table(cols), os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
 def _catalog():
     import __ray_entry__ as entry
 
@@ -102,6 +126,14 @@ def test_tiny_corpus(ray_session, tiny_dir, name):
     query completes; row counts are finite and non-negative."""
     fn = _catalog()[name]
     assert _materialize(fn(tiny_dir)) >= 0
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_null_heavy_corpus(ray_session, null_heavy_dir, name):
+    """All nullable value columns 100% NULL: every query completes with
+    SQL null semantics (ignore in aggregates, never match in joins)."""
+    fn = _catalog()[name]
+    assert _materialize(fn(null_heavy_dir)) >= 0
 
 
 @pytest.mark.parametrize("name", _NAMES)
