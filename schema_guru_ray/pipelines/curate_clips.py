@@ -329,6 +329,21 @@ def curate_clips(clips_ds, cfg: ClipCurationConfig = ClipCurationConfig()):
     # re-decoded every survivor in the signer, a second full corpus pass
     valid = filter_valid_and_sign(clips_ds, cfg.validation).materialize()
     n_valid = valid.count()
+    if n_valid == 0:
+        # an all-invalid (or empty) shard: every downstream stage would see
+        # a schema-erased empty Dataset (Ray: UDFs never run on 0-row
+        # blocks, schema() → None) — return the typed empty result directly
+        import ray.data as rd
+
+        from schema_guru_ray.sources.clips import CLIPS_SCHEMA
+
+        summary = pd.DataFrame(
+            {
+                "stage": ["input", "valid", "exact_dedup", "near_dup", "curated"],
+                "n": np.array([n_in, 0, 0, 0, 0], dtype="int64"),
+            }
+        )
+        return rd.from_arrow(CLIPS_SCHEMA.empty_table()), summary
     deduped = exact_dedup_clips(valid).materialize()  # checkpoint boundary
     n_dedup = deduped.count()
 
@@ -417,6 +432,21 @@ def curate_clips_checkpointed(input_files, out_dir: str,
         num_partitions=num_partitions, log=log,
     )
 
+    valid_files = _stage_files(valid_dir)
+    if not valid_files:
+        # every partition validated to zero survivors (empty / all-invalid
+        # shard): Ray writes no parquet for an empty Dataset, so the
+        # downstream stages would read an empty path list — return the
+        # typed empty result with the manifest as-is (resume semantics
+        # hold: the valid checkpoints exist and record zero rows)
+        from schema_guru_ray.sources.clips import CLIPS_SCHEMA
+
+        for stage in ("dedup", "drops", "final"):
+            manifest[stage] = {"config_hash": None, "partitions": [],
+                               "skipped": 0, "ran": 0}
+        return {"result": rd.from_arrow(CLIPS_SCHEMA.empty_table()),
+                "manifest": manifest}
+
     dedup_dir = os.path.join(out_dir, "dedup")
     cfg_dedup = config_hash({"stage": "dedup", "valid_cfg": cfg_valid})
 
@@ -431,7 +461,7 @@ def curate_clips_checkpointed(input_files, out_dir: str,
         return {"n_dedup": out.count()}
 
     manifest["dedup"] = run_partitioned(
-        _stage_files(valid_dir), dedup_dir, run_dedup, cfg_hash=cfg_dedup,
+        valid_files, dedup_dir, run_dedup, cfg_hash=cfg_dedup,
         num_partitions=1, log=log,
     )
     dedup_files = _stage_files(dedup_dir)

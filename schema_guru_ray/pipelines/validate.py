@@ -144,6 +144,13 @@ class CodecAgg:
         return out
 
 
+# sentinel key for a NULL codec inside the two groupby levels (sort-based
+# shuffles need a totally ordered string key); decoded back to None when the
+# per-codec verdict rows are finalized. The \x00 prefix cannot collide with a
+# real codec label.
+NULL_CODEC = "\x00<null>"
+
+
 class CodecPartialAggregator:
     """map_batches kernel over verdict batches → one pickled CodecAgg per
     (codec, salt) per batch. The salt (stable hash of clip_id mod S) spreads
@@ -156,11 +163,24 @@ class CodecPartialAggregator:
         cfg = self.cfg
         hashes = stable_hash64(batch["clip_id"].to_pandas())
         salts = (hashes % np.uint64(cfg.n_salts)).astype(np.int32)
-        codecs = np.asarray(batch["codec"].to_pylist())
+        # a null codec (broken upstream field) is one GROUP, per SQL GROUP BY
+        # semantics — encoded as a sentinel string so the two sort-based
+        # groupby levels see a totally ordered key; decoded back to None in
+        # the finalize loop. np.unique over a None-bearing object array would
+        # TypeError here; fill_null keeps the encoding vectorized.
+        codecs = np.asarray(
+            pc.fill_null(batch["codec"], NULL_CODEC).to_pylist()
+        )
         oks = batch["ok"].to_numpy(zero_copy_only=False)
+        # int32-with-nulls converts to float64 NaN; NaN must not enter the
+        # KLLs (it poisons every quantile comparison downstream)
         durs = batch["dur_ms"].to_numpy(zero_copy_only=False).astype(np.float64)
         srs = batch["sr_hz"].to_numpy(zero_copy_only=False).astype(np.float64)
         snrs = batch["snr_db"].to_numpy(zero_copy_only=False)
+
+        def _finite(x):
+            return x[~np.isnan(x)]
+
         viols = batch["violations"].to_pylist()
 
         rows = []
@@ -175,9 +195,9 @@ class CodecPartialAggregator:
                         k for i in np.nonzero(mask)[0] for k in viols[i]
                     ),
                     clip_hll=HLL(cfg.hll_p).add_hashes(hashes[mask]),
-                    dur_kll=KLL(cfg.kll_k).add_many(durs[mask]),
-                    sr_kll=KLL(cfg.kll_k).add_many(srs[mask]),
-                    snr_kll=KLL(cfg.kll_k).add_many(snrs[mask][~np.isnan(snrs[mask])]),
+                    dur_kll=KLL(cfg.kll_k).add_many(_finite(durs[mask])),
+                    sr_kll=KLL(cfg.kll_k).add_many(_finite(srs[mask])),
+                    snr_kll=KLL(cfg.kll_k).add_many(_finite(snrs[mask])),
                 )
                 rows.append(
                     {"codec": str(codec), "salt": int(salt), "agg": pickle.dumps(agg)}
@@ -263,7 +283,7 @@ def codec_verdicts(
     level2 = level1.groupby("codec").map_groups(_merge_agg_group, batch_format="pandas")
     rows = []
     for row in level2.take_all():  # one row per codec — tiny
-        codec = row["codec"]
+        codec = None if row["codec"] == NULL_CODEC else row["codec"]
         agg: CodecAgg = pickle.loads(row["agg"])
         viol_total = sum(agg.viol_counts.values())
         rate = viol_total / max(1, agg.n)
@@ -277,22 +297,44 @@ def codec_verdicts(
             "violations_by_kind": dict(sorted(agg.viol_counts.items())),
             "approx_distinct_clips": distinct,
             "approx_dup_ratio": max(0.0, 1.0 - distinct / max(1, agg.n)),
-            "dur_p50": agg.dur_kll.quantile(0.5) if agg.dur_kll else None,
-            "dur_p95": agg.dur_kll.quantile(0.95) if agg.dur_kll else None,
+            "dur_p50": agg.dur_kll.quantile(0.5) if agg.dur_kll and agg.dur_kll.n else None,
+            "dur_p95": agg.dur_kll.quantile(0.95) if agg.dur_kll and agg.dur_kll.n else None,
             "snr_p50": agg.snr_kll.quantile(0.5) if agg.snr_kll and agg.snr_kll.n else None,
         }
         drift_fail = False
         if baseline and codec in baseline:
             base = baseline[codec]
             for col, sk in (("dur_ms", agg.dur_kll), ("sr_hz", agg.sr_kll)):
-                if col in base and sk is not None:
+                # sk.n == 0 ⇔ the column was all-NULL for this codec group:
+                # there is no current distribution to drift-score
+                if col in base and sk is not None and sk.n:
                     b = KLL.from_bytes(base[col])
                     rec[f"psi_{col}"] = psi(b, sk)
                     rec[f"ks_{col}"] = ks_statistic(b, sk)
                     drift_fail = drift_fail or rec[f"psi_{col}"] > cfg.pass_psi
         rec["passed"] = bool(rate <= cfg.pass_violation_rate and not drift_fail)
         rows.append(rec)
-    return pd.DataFrame(rows).sort_values("codec").reset_index(drop=True)
+    if not rows:
+        # empty shard-day: typed zero-row verdict table, not a KeyError on
+        # sort_values over a columnless frame (Ray yields no groups at all)
+        return pd.DataFrame(
+            {
+                "codec": pd.Series(dtype=object),
+                "n_clips": pd.Series(dtype="int64"),
+                "n_ok": pd.Series(dtype="int64"),
+                "n_violations": pd.Series(dtype="int64"),
+                "violation_rate": pd.Series(dtype="float64"),
+                "violations_by_kind": pd.Series(dtype=object),
+                "approx_distinct_clips": pd.Series(dtype="float64"),
+                "approx_dup_ratio": pd.Series(dtype="float64"),
+                "dur_p50": pd.Series(dtype="float64"),
+                "dur_p95": pd.Series(dtype="float64"),
+                "snr_p50": pd.Series(dtype="float64"),
+                "passed": pd.Series(dtype="bool"),
+            }
+        )
+    # None codec sorts last (na_position default) — deterministic order
+    return pd.DataFrame(rows).sort_values("codec", na_position="last").reset_index(drop=True)
 
 
 def run_validation_checkpointed(
@@ -366,7 +408,8 @@ def build_baseline(verdicts, cfg: ValidationConfig = ValidationConfig()):
     out: Dict[str, Dict[str, bytes]] = {}
     for row in level2.take_all():
         agg: CodecAgg = pickle.loads(row["agg"])
-        out[row["codec"]] = {
+        codec = None if row["codec"] == NULL_CODEC else row["codec"]
+        out[codec] = {
             "dur_ms": agg.dur_kll.to_bytes(),
             "sr_hz": agg.sr_kll.to_bytes(),
         }

@@ -143,6 +143,22 @@ class ClipValidator:
             violations.append("undecodable_audio")
             if transcript is not None:
                 violations.append("transcript_on_undecodable")
+            if clip_id is None:
+                violations.append("null_clip_id")
+            if dur_col is None:
+                violations.append("null_dur_ms")
+        elif clip_id is None:
+            # a broken upstream field on some shard-day: without the id the
+            # reference signal/transcript cannot be synthesized, so the
+            # allclose/transcript invariants are unverifiable — that is
+            # itself a violation, not a crash (10^12-row contract)
+            violations.append("null_clip_id")
+            if transcript is None:
+                violations.append("null_transcript_on_decodable")
+            if dur_col is None:
+                violations.append("null_dur_ms")
+            elif abs(round(len(pcm) / sr_wav * 1000.0) - dur_col) > self.dur_tolerance_ms:
+                violations.append("dur_inconsistent")
         else:
             # quantized reference synthesized straight into float32 scratch;
             # SNR bit-identical to the int16-materialized form (see
@@ -158,15 +174,24 @@ class ClipValidator:
             elif self.check_transcript and transcript != synth.reference_transcript(clip_id):
                 violations.append("transcript_mismatch")
             actual_ms = round(len(pcm) / sr_wav * 1000.0)
-            if abs(actual_ms - dur_col) > self.dur_tolerance_ms:
+            if dur_col is None:
+                # null metadata cannot confirm consistency — named violation
+                # rather than a TypeError (the null-heavy shard contract)
+                violations.append("null_dur_ms")
+            elif abs(actual_ms - dur_col) > self.dur_tolerance_ms:
                 violations.append("dur_inconsistent")
-            if self.rate_bounds_cps is not None and transcript is not None:
+            if self.rate_bounds_cps is not None and transcript is not None and dur_col is not None:
                 lo, hi = self.rate_bounds_cps
                 cps = len(transcript) / max(dur_col, 1) * 1000.0
                 if not (lo <= cps <= hi):
                     violations.append("speech_rate_out_of_range")
         if sr_col not in self.valid_srs:
             violations.append("sr_out_of_range")
+        if codec not in self.decoders:
+            # symmetric with sr_out_of_range: a NULL or unregistered codec
+            # label is a metadata-contract violation even when the payload
+            # happens to decode via the fallback WAV parser
+            violations.append("codec_out_of_range")
         return decodable, snr, violations, pcm, sr_wav
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -440,7 +440,8 @@ class SpecAugmentFeaturizer:
             try:
                 pcm, sr = decode_wav(buf)
                 e = _log_energies(pcm, sr, self.frame_ms, self.hop_ms)
-                e = spec_augment(e, cid, **self.mask_kw)
+                # NULL clip_id seeds the mask as "" — deterministic, no crash
+                e = spec_augment(e, cid if cid is not None else "", **self.mask_kw)
                 feats.append(
                     np.concatenate(
                         [e.mean(axis=0, dtype=np.float64),
@@ -515,6 +516,13 @@ def cmvn_stats(feats_ds, column: str = "embedding",
             .map_groups(merge_shard, batch_format="pandas")
         )
     rows = parts.to_pandas()  # ≤ max(fanin, driver_fold_limit) rows
+    if not len(rows) or "s" not in rows.columns:
+        # fully-empty feature set (e.g. an all-undecodable shard after the
+        # decodable filter): Ray never ran the partial UDF, so to_pandas()
+        # is a bare columnless frame — return the identity statistics
+        mean = np.zeros(dim, np.float64)
+        std = np.ones(dim, np.float64) if clamp else np.zeros(dim, np.float64)
+        return mean, std
     s = np.sum([np.frombuffer(x) for x in rows["s"]], axis=0)
     ss = np.sum([np.frombuffer(x) for x in rows["ss"]], axis=0)
     n = int(rows["n"].sum())

@@ -388,7 +388,7 @@ class SpeedPerturber:
                 y = speed_perturb_pcm(pcm, sr, f)
                 for n in batch.column_names:
                     if n == "clip_id":
-                        rows[n].append(f"{cols[n][i]}#sp{f}")
+                        rows[n].append(f"{cols[n][i] or ''}#sp{f}")
                     elif n == "bytes":
                         rows[n].append(encode_wav(y, sr))
                     elif n == "dur_ms":
@@ -459,8 +459,10 @@ class NoiseMixer:
             p_sig = float(np.mean(x * x, dtype=np.float64))
             if p_sig <= 0.0:
                 continue  # all-silent: SNR undefined, skip like undecodable
+            # a NULL clip_id (broken upstream field) seeds as "" — still
+            # deterministic, never a crash on a degenerate shard
             rng = np.random.default_rng(
-                int.from_bytes(hashlib.md5(cid.encode()).digest()[:8], "big")
+                int.from_bytes(hashlib.md5((cid or "").encode()).digest()[:8], "big")
             )
             noise = rng.standard_normal(len(x), dtype=np.float32)
             noise *= np.float32(
@@ -473,7 +475,7 @@ class NoiseMixer:
             snr_out = 10.0 * np.log10(p_sig / max(p_noise, 1e-12))
             for n in batch.column_names:
                 if n == "clip_id":
-                    rows[n].append(f"{cid}#n{self.snr_db:g}")
+                    rows[n].append(f"{cid or ''}#n{self.snr_db:g}")
                 elif n == "bytes":
                     rows[n].append(encode_wav(mixed, sr))
                 else:
