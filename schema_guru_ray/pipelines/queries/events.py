@@ -616,10 +616,14 @@ def users_active_both_halves(sf_dir: str):
             df.groupby("user_id", as_index=False).agg(f=("f", "max"), s=("s", "max"))
         )
 
-    both = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Max("f", alias_name="f"), Max("s", alias_name="s"))
+    # user_id is groups≈rows after the per-batch fold — the bucketed
+    # vectorized reduce beats the native per-group aggregate (same trap as
+    # left_join_customer_orders; BASELINE.md round-5 table)
+    from schema_guru_ray.stages.joins import bucketed_aggregate
+
+    both = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", {"f": ("f", "max"), "s": ("s", "max")},
     )
 
     def final(t: pa.Table) -> pa.Table:

@@ -452,9 +452,7 @@ def left_join_customer_orders(sf_dir: str):
     Sum) before the join, so the exchange moves one row per customer, not
     per order; the null-fill happens post-join in a vectorized map, keeping
     the output non-nullable int64 end-to-end."""
-    from ray.data.aggregate import Sum
-
-    from schema_guru_ray.stages.joins import bucketed_hash_join
+    from schema_guru_ray.stages.joins import bucketed_aggregate, bucketed_hash_join
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -474,10 +472,13 @@ def left_join_customer_orders(sf_dir: str):
         )
         return g.rename_columns(["c_custkey", "cents", "n"])
 
-    per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("c_custkey")
-        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    # c_custkey is a groups≈rows key (one group per customer): the native
+    # groupby-aggregate pays per-group reduce overhead (interleaved A/B at
+    # sf0.1/32cpus: 6.35 s native vs 2.50 s bucketed, identical sums) —
+    # route through the coarse-bucket vectorized fold instead.
+    per_cust = bucketed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "c_custkey", {"n": ("n", "sum"), "cents": ("cents", "sum")},
     ).materialize()  # small aggregate; the join's bucket-count derivation
     # calls .count() on both sides — without this the whole aggregate
     # pipeline would execute twice (measured 10.6s → 3.5s at sf0.01)

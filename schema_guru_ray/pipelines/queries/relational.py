@@ -453,12 +453,13 @@ def top_customers_revenue(sf_dir: str, k: int = 10):
         g = tt.group_by("o_custkey").aggregate([("cents", "sum")])
         return g.rename_columns(["o_custkey", "revenue_cents"])
 
-    from ray.data.aggregate import Sum
+    # o_custkey is groups≈rows: the bucketed vectorized reduce beats the
+    # native per-group aggregate (BASELINE.md round-5 table)
+    from schema_guru_ray.stages.joins import bucketed_aggregate
 
-    agg = (
-        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    agg = bucketed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "o_custkey", {"revenue_cents": ("revenue_cents", "sum")},
     )
     top = _pandas_cols(
         agg.sort("revenue_cents", descending=True).limit(k),

@@ -36,14 +36,26 @@ def customers_without_orders(sf_dir: str):
     batch filter so only qualifying o_custkeys enter the shuffle), then
     the usual tiny groupby-count."""
     from ray.data.aggregate import Sum
-    from schema_guru_ray.stages.joins import bucketed_anti_join
+    from schema_guru_ray.stages.joins import bucketed_anti_join, derive_num_buckets
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # per-batch unique BEFORE the shuffle: only distinct qualifying keys
+    # move; and bucket sizing from parquet footer counts (an upper bound)
+    # instead of the default count() probe, which would execute the whole
+    # filter pipeline once extra just to size buckets (cold run 12.8 → 6.4 s
+    # at sf0.1/32cpus, warm 4.4 → 4.2 s, results identical).
     okeys = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0)).select(["o_custkey"]),
+        lambda t: pa.table({"o_custkey": pc.unique(
+            t.filter(pc.greater(t["o_totalprice"], 450000.0))["o_custkey"]
+            .combine_chunks())}),
         batch_format="pyarrow",
     )
-    inactive = bucketed_anti_join(cust, okeys, on="c_custkey", key_column="o_custkey")
+    inactive = bucketed_anti_join(
+        cust, okeys, on="c_custkey", key_column="o_custkey",
+        num_buckets=derive_num_buckets(
+            _meta_rows(sf_dir, "customer") + _meta_rows(sf_dir, "orders")
+        ),
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["c_mktsegment"]).aggregate(
