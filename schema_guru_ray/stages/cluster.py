@@ -25,6 +25,7 @@ from typing import List, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _CENT_CACHE: dict = {}
 
@@ -95,16 +96,23 @@ def assign_to_centroids(ds, centroid_ids: np.ndarray, centroids: np.ndarray,
     )
 
 
-def _partials_batch(batch: pd.DataFrame, *, cents_ref, column: str) -> pd.DataFrame:
+_PARTIAL_SCHEMA = pa.schema([
+    ("cluster", pa.int64()),
+    ("n", pa.int64()),
+    ("vec_sum", pa.list_(pa.float64())),
+    ("sse", pa.float64()),
+])
+
+
+def _partials_batch(batch: pd.DataFrame, *, cents_ref, column: str) -> pa.Table:
+    # Output is ARROW: the >driver_fold_limit regime shuffles these partials
+    # through groupby("cluster"), and Ray's sort shuffle handles pandas
+    # blocks (object-dtype vec_sum) via the measured ~5x slow path; a
+    # list<float64> column also keeps the block size estimator exact.
     C = _fetch(cents_ref)
     batch = drop_null_vectors(batch, column)
     if batch.empty or not len(C):
-        return pd.DataFrame({
-            "cluster": pd.Series(dtype="int64"),
-            "n": pd.Series(dtype="int64"),
-            "vec_sum": pd.Series(dtype="object"),
-            "sse": pd.Series(dtype="float64"),
-        })
+        return _PARTIAL_SCHEMA.empty_table()
     X = np.stack(batch[column].to_numpy()).astype(np.float64)
     d2 = (
         (X * X).sum(axis=1, keepdims=True)
@@ -113,29 +121,33 @@ def _partials_batch(batch: pd.DataFrame, *, cents_ref, column: str) -> pd.DataFr
     )
     assign = np.argmin(d2, axis=1)
     sse = d2[np.arange(len(assign)), assign]
-    rows = []
-    for c in np.unique(assign):
-        m = assign == c
-        rows.append(
-            {
-                "cluster": int(c),
-                "n": int(m.sum()),
-                "vec_sum": X[m].sum(axis=0).tolist(),
-                "sse": float(sse[m].sum()),
-            }
-        )
-    return pd.DataFrame(rows)
+    # vectorized per-cluster (n, vec_sum, sse) via sort + reduceat
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    clusters, starts = np.unique(sorted_assign, return_index=True)
+    n = np.diff(np.append(starts, len(sorted_assign)))
+    vec_sums = np.add.reduceat(X[order], starts, axis=0)
+    sse_sums = np.add.reduceat(sse[order], starts)
+    return pa.table({
+        "cluster": pa.array(clusters.astype(np.int64)),
+        "n": pa.array(n.astype(np.int64)),
+        "vec_sum": pa.FixedSizeListArray.from_arrays(
+            pa.array(vec_sums.ravel(), type=pa.float64()), X.shape[1]
+        ).cast(pa.list_(pa.float64())),
+        "sse": pa.array(sse_sums.astype(np.float64)),
+    })
 
 
-def _merge_cluster(g: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "cluster": [int(g["cluster"].iloc[0])],
-            "n": [int(g["n"].sum())],
-            "vec_sum": [np.stack(g["vec_sum"].to_numpy()).sum(axis=0).tolist()],
-            "sse": [float(g["sse"].sum())],
-        }
-    )
+def _merge_cluster(g: pd.DataFrame) -> pa.Table:
+    return pa.table({
+        "cluster": pa.array([int(g["cluster"].iloc[0])], pa.int64()),
+        "n": pa.array([int(g["n"].sum())], pa.int64()),
+        "vec_sum": pa.array(
+            [np.stack(g["vec_sum"].to_numpy()).sum(axis=0)],
+            pa.list_(pa.float64()),
+        ),
+        "sse": pa.array([float(g["sse"].sum())], pa.float64()),
+    })
 
 
 def _fold_cluster_partials(partials, driver_fold_limit: int = 4096) -> list:
@@ -176,12 +188,18 @@ def _seed_partial(batch: pd.DataFrame, *, k: int, column: str,
     batch = drop_null_vectors(batch, column)
     ids = batch[id_column].to_numpy()
     if len(ids) == 0:
-        return pd.DataFrame({id_column: pd.Series([], dtype="int64"),
-                             column: pd.Series([], dtype="object")})
+        return pa.schema(
+            [(id_column, pa.int64()), (column, pa.list_(pa.float64()))]
+        ).empty_table()
     kk = min(k, len(ids))
     idx = np.argpartition(ids, kk - 1)[:kk]
-    return pd.DataFrame({id_column: ids[idx].astype("int64"),
-                         column: list(batch[column].to_numpy()[idx])})
+    return pa.table({
+        id_column: pa.array(ids[idx].astype(np.int64)),
+        column: pa.array(
+            [np.asarray(v, dtype=np.float64) for v in batch[column].to_numpy()[idx]],
+            pa.list_(pa.float64()),
+        ),
+    })
 
 
 def _seed_centroids(ds, k: int, column: str, id_column: str,

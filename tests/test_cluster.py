@@ -90,3 +90,45 @@ class TestAssignQuantized:
         )
         assert list(out["cluster_id"]) == [5, 5]
         assert list(out["dot_milli2"]) == [1000 * 1000, 500 * 1000]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFoldRegimes:
+    def test_merge_regime_matches_driver_fold(self):
+        """The >driver_fold_limit regime (worker-side groupby merge of the
+        Arrow Lloyd partials) must fold to exactly the small-regime result;
+        exercised directly because kmeans() only crosses the limit at block
+        counts a unit test shouldn't pay for."""
+        import ray
+        import ray.data as rd
+
+        from schema_guru_ray.stages.cluster import (
+            _fold_cluster_partials,
+            _partials_batch,
+        )
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "vec_id": np.arange(120, dtype=np.int64),
+            "embedding": list(rng.normal(size=(120, 4))),
+        })
+        C = rng.normal(size=(3, 4))
+        ref = ray.put(C)
+        # 40 single-partial blocks -> up to 120 partial rows
+        parts = rd.from_pandas(df).repartition(40).map_batches(
+            _partials_batch, fn_kwargs=dict(cents_ref=ref, column="embedding"),
+            batch_format="pandas",
+        )
+        small = _fold_cluster_partials(parts, driver_fold_limit=10_000)
+        large = _fold_cluster_partials(parts, driver_fold_limit=1)
+        assert {r["cluster"] for r in small} == {r["cluster"] for r in large}
+        s = {r["cluster"]: r for r in small}
+        for r in large:
+            assert r["n"] == s[r["cluster"]]["n"]
+            assert np.allclose(r["vec_sum"], s[r["cluster"]]["vec_sum"], atol=1e-9)
+            assert abs(r["sse"] - s[r["cluster"]]["sse"]) < 1e-9
+        # partial blocks must be ARROW (the sort-shuffle fast path)
+        import pyarrow as pa
+
+        blk = ray.get(parts.materialize().get_internal_block_refs()[0])
+        assert isinstance(blk, pa.Table)
