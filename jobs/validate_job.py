@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     p.add_argument("clips_path")
     p.add_argument("--out", required=True)
     p.add_argument("--partitions", type=int, default=64)
+    p.add_argument("--files-per-partition", type=int, default=None,
+                   help="switch to append-aware incremental checkpoints "
+                        "(content-addressed partitions of this many files; "
+                        "nightly appends re-validate only changed chunks)")
     p.add_argument("--baseline",
                    help="baseline sketch store (JSON from --write-baseline; "
                         "legacy .pkl also accepted)")
@@ -86,7 +90,9 @@ def main(argv=None) -> int:
 
     summary = run_validation_checkpointed(
         args.clips_path, args.out, cfg, baseline=baseline,
-        num_partitions=args.partitions, log=lambda m: print(m, file=sys.stderr),
+        num_partitions=args.partitions,
+        files_per_partition=args.files_per_partition,
+        log=lambda m: print(m, file=sys.stderr),
     )
 
     if args.write_baseline:
@@ -96,8 +102,17 @@ def main(argv=None) -> int:
 
         from schema_guru_ray.pipelines.validate import build_baseline
 
+        # incremental mode leaves orphaned (boundary-shifted) partitions on
+        # disk: the ACTIVE set comes from the run summary, never a glob
+        if "active" in summary:
+            part_dirs = [os.path.join(args.out, f"partition={d}")
+                         for d in summary["active"]]
+        else:
+            part_dirs = sorted(
+                glob.glob(os.path.join(args.out, "partition=*")))
         verdict_files = sorted(
-            glob.glob(os.path.join(args.out, "partition=*", "verdicts", "*.parquet"))
+            f for p in part_dirs
+            for f in glob.glob(os.path.join(p, "verdicts", "*.parquet"))
         )
         verdicts_ds = rd.read_parquet(verdict_files)
         store = build_baseline(verdicts_ds, cfg)

@@ -343,19 +343,29 @@ def run_validation_checkpointed(
     cfg: ValidationConfig = ValidationConfig(),
     baseline: Optional[Dict[str, Dict[str, bytes]]] = None,
     num_partitions: int = 8,
+    files_per_partition: Optional[int] = None,
     log=None,
 ):
     """Checkpointed flagship run: the clips parquet files are grouped into
     partitions; each partition streams read → validate → write
     (verdicts/violations parquet + codec verdict csv) and commits an atomic
     ``_SUCCESS.json`` with lineage + metrics. A rerun skips finished
-    partitions (see state/checkpoint.py)."""
+    partitions (see state/checkpoint.py).
+
+    ``files_per_partition`` switches to the APPEND-AWARE incremental mode
+    (content-addressed partitions): a nightly resubmission over a grown
+    corpus re-validates only the chunks whose file membership changed,
+    instead of every round-robin stripe."""
     import glob
     import os
 
     import ray.data as rd
 
-    from schema_guru_ray.state.checkpoint import config_hash, run_partitioned
+    from schema_guru_ray.state.checkpoint import (
+        config_hash,
+        run_incremental,
+        run_partitioned,
+    )
 
     files = sorted(glob.glob(os.path.join(clips_dir, "*.parquet")))
     if not files:
@@ -381,11 +391,17 @@ def run_validation_checkpointed(
             "codecs_total": int(len(cv)),
         }
 
+    cfg_h = config_hash(vars(cfg) | {"baseline": baseline is not None})
+    if files_per_partition is not None:
+        return run_incremental(
+            files, out_dir, process, cfg_hash=cfg_h,
+            files_per_partition=files_per_partition, log=log,
+        )
     return run_partitioned(
         files,
         out_dir,
         process,
-        cfg_hash=config_hash(vars(cfg) | {"baseline": baseline is not None}),
+        cfg_hash=cfg_h,
         num_partitions=num_partitions,
         log=log,
     )

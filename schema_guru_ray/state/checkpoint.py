@@ -113,3 +113,101 @@ def run_partitioned(
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True, default=str)
     return summary
+
+
+def partition_chunks(files: Sequence[str], files_per_partition: int) -> List[List[str]]:
+    """Contiguous fixed-size chunks of the sorted file list — the
+    partitioning for APPEND-MOSTLY corpora. Unlike the round-robin stripes
+    of :func:`partition_inputs` (where one appended file shifts EVERY
+    stripe's membership and invalidates the whole run), appending files
+    that sort after the existing ones leaves every full chunk untouched;
+    only the trailing partial chunk (if any) and the new files' chunks
+    need work."""
+    files = sorted(files)
+    k = max(1, int(files_per_partition))
+    return [files[i:i + k] for i in range(0, len(files), k)]
+
+
+def partition_digest(files: Sequence[str]) -> str:
+    """Content address of a partition: digest of its sorted input list.
+    The digest IS the directory name, so partition identity survives
+    renumbering as the corpus grows."""
+    payload = "\n".join(sorted(files))
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def run_incremental(
+    input_files: Sequence[str],
+    out_dir: str,
+    process_partition: Callable[[List[str], str], Dict],
+    cfg_hash: str,
+    files_per_partition: int,
+    log: Optional[Callable[[str], None]] = None,
+) -> Dict:
+    """Append-aware variant of :func:`run_partitioned`: partitions are
+    content-addressed (``partition=<digest of sorted inputs>``) contiguous
+    chunks of ``files_per_partition`` files. A daily append to a 100 TB
+    corpus therefore re-executes ONLY the chunks whose membership changed
+    (the trailing partial chunk and the new files), instead of
+    invalidating every stripe. Previously-committed partitions whose
+    digest is no longer part of the current partitioning (e.g. a partial
+    chunk that has since filled up) are reported as ``orphaned`` and left
+    on disk — consumers must read the active set from ``_MANIFEST.json``,
+    never by globbing partition dirs."""
+    os.makedirs(out_dir, exist_ok=True)
+    parts = partition_chunks(input_files, files_per_partition)
+    active = []
+    summary = {"config_hash": cfg_hash, "partitions": [], "skipped": 0,
+               "ran": 0, "orphaned": 0, "mode": "incremental",
+               "files_per_partition": int(files_per_partition)}
+    for files in parts:
+        d = partition_digest(files)
+        active.append(d)
+        final_dir = os.path.join(out_dir, f"partition={d}")
+        success = os.path.join(final_dir, SUCCESS)
+        done = False
+        if os.path.exists(success):
+            try:
+                with open(success) as f:
+                    meta = json.load(f)
+                done = (meta.get("config_hash") == cfg_hash
+                        and meta.get("inputs") == sorted(files))
+            except (OSError, ValueError):
+                done = False
+        if done:
+            summary["skipped"] += 1
+            summary["partitions"].append({"digest": d, "status": "skipped"})
+            if log:
+                log(f"partition {d}: checkpoint hit, skipping")
+            continue
+        tmp_dir = os.path.join(out_dir, f".tmp-partition={d}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        t0 = time.time()
+        metrics = process_partition(list(files), tmp_dir)
+        meta = {
+            "partition": d,
+            "inputs": sorted(files),
+            "config_hash": cfg_hash,
+            "wall_sec": round(time.time() - t0, 3),
+            "metrics": metrics,
+        }
+        with open(os.path.join(tmp_dir, SUCCESS), "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.replace(tmp_dir, final_dir)
+        summary["ran"] += 1
+        summary["partitions"].append(
+            {"digest": d, "status": "ran", "wall_sec": meta["wall_sec"],
+             "metrics": metrics}
+        )
+        if log:
+            log(f"partition {d}: done in {meta['wall_sec']}s")
+    current = {p for p in os.listdir(out_dir) if p.startswith("partition=")}
+    orphans = sorted(current - {f"partition={d}" for d in active})
+    summary["orphaned"] = len(orphans)
+    summary["orphans"] = orphans
+    summary["active"] = active
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True, default=str)
+    return summary

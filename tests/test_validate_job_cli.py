@@ -65,3 +65,38 @@ def test_job_runs_resumes_and_writes_baseline(clips_path, tmp_path_factory):
     summary3, _ = _run([clips_path, "--out", out_dir, "--partitions", "3",
                         "--num-cpus", "4", "--baseline", base])
     assert summary3["ran"] == n_parts and summary3["skipped"] == 0
+
+
+def test_job_incremental_mode_appends_and_baselines(clips_path, tmp_path_factory):
+    """--files-per-partition: the append-aware nightly-resubmission surface.
+    The baseline writer must aggregate the ACTIVE partition set from the
+    manifest (orphaned boundary-shifted chunks stay on disk)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = tmp_path_factory.mktemp("vjob_inc_src")
+    for i, f in enumerate(sorted(
+            p for p in os.listdir(clips_path) if p.endswith(".parquet"))):
+        shutil.copy(os.path.join(clips_path, f), src / f"part-{i:04d}.parquet")
+    out_dir = str(tmp_path_factory.mktemp("vjob_inc"))
+    base = os.path.join(out_dir, "baseline.json")
+
+    summary, _ = _run([str(src), "--out", out_dir, "--files-per-partition", "2",
+                       "--num-cpus", "4", "--write-baseline", base])
+    assert summary["mode"] == "incremental" and summary["ran"] >= 1
+    store = json.load(open(base))
+    n_first = store["meta"]["n_clips"]
+
+    # nightly append: new shard sorts last → full chunks are checkpoint hits
+    first = sorted(os.listdir(src))[0]
+    tbl = pq.read_table(src / first)
+    pq.write_table(tbl, src / "part-9999.parquet")
+    summary2, _ = _run([str(src), "--out", out_dir, "--files-per-partition", "2",
+                        "--num-cpus", "4", "--write-baseline", base])
+    full_chunks = len([p for p in summary["partitions"]])
+    assert summary2["skipped"] >= full_chunks - 1  # at most the old tail reruns
+    assert summary2["ran"] >= 1
+    # rebuilt baseline covers the grown corpus (active set, not a stale glob)
+    store2 = json.load(open(base))
+    assert store2["meta"]["n_clips"] == n_first + tbl.num_rows
