@@ -38,6 +38,10 @@ def main(argv=None) -> int:
                    help="switch to append-aware incremental checkpoints "
                         "(content-addressed partitions of this many files; "
                         "nightly appends re-validate only changed chunks)")
+    p.add_argument("--gc-orphans", action="store_true",
+                   help="incremental mode: delete superseded "
+                        "(boundary-shifted) partitions after the active "
+                        "set is fully committed")
     p.add_argument("--baseline",
                    help="baseline sketch store (JSON from --write-baseline; "
                         "legacy .pkl also accepted)")
@@ -92,6 +96,7 @@ def main(argv=None) -> int:
         args.clips_path, args.out, cfg, baseline=baseline,
         num_partitions=args.partitions,
         files_per_partition=args.files_per_partition,
+        gc_orphans=args.gc_orphans,
         log=lambda m: print(m, file=sys.stderr),
     )
 

@@ -344,6 +344,7 @@ def run_validation_checkpointed(
     baseline: Optional[Dict[str, Dict[str, bytes]]] = None,
     num_partitions: int = 8,
     files_per_partition: Optional[int] = None,
+    gc_orphans: bool = False,
     log=None,
 ):
     """Checkpointed flagship run: the clips parquet files are grouped into
@@ -395,7 +396,8 @@ def run_validation_checkpointed(
     if files_per_partition is not None:
         return run_incremental(
             files, out_dir, process, cfg_hash=cfg_h,
-            files_per_partition=files_per_partition, log=log,
+            files_per_partition=files_per_partition,
+            gc_orphans=gc_orphans, log=log,
         )
     return run_partitioned(
         files,

@@ -142,6 +142,7 @@ def run_incremental(
     process_partition: Callable[[List[str], str], Dict],
     cfg_hash: str,
     files_per_partition: int,
+    gc_orphans: bool = False,
     log: Optional[Callable[[str], None]] = None,
 ) -> Dict:
     """Append-aware variant of :func:`run_partitioned`: partitions are
@@ -153,7 +154,9 @@ def run_incremental(
     digest is no longer part of the current partitioning (e.g. a partial
     chunk that has since filled up) are reported as ``orphaned`` and left
     on disk — consumers must read the active set from ``_MANIFEST.json``,
-    never by globbing partition dirs."""
+    never by globbing partition dirs. ``gc_orphans=True`` deletes them
+    after the active set is fully committed (delete-last ordering: a
+    crash during GC never loses live work, only delays reclamation)."""
     os.makedirs(out_dir, exist_ok=True)
     parts = partition_chunks(input_files, files_per_partition)
     active = []
@@ -208,6 +211,12 @@ def run_incremental(
     summary["orphaned"] = len(orphans)
     summary["orphans"] = orphans
     summary["active"] = active
+    if gc_orphans and orphans:
+        for o in orphans:
+            shutil.rmtree(os.path.join(out_dir, o), ignore_errors=True)
+        summary["gc_removed"] = len(orphans)
+        if log:
+            log(f"gc: removed {len(orphans)} orphaned partition(s)")
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True, default=str)
     return summary

@@ -101,6 +101,22 @@ class TestIncrementalRun:
         s = run_incremental(files, out, _record(calls), cfg, files_per_partition=2)
         assert s["ran"] == 0 and s["skipped"] == 2 and calls == []
 
+    def test_gc_orphans_removes_superseded_partitions(self, tmp_path):
+        files = _mk_files(tmp_path, [f"in{i:02d}" for i in range(5)])
+        out = str(tmp_path / "out")
+        cfg = config_hash({"v": 1})
+        run_incremental(files, out, _record([]), cfg, files_per_partition=3)
+        stale = partition_digest(sorted(files)[3:])
+
+        grown = files + _mk_files(tmp_path, ["in05"])
+        s = run_incremental(grown, out, _record([]), cfg,
+                            files_per_partition=3, gc_orphans=True)
+        assert s["gc_removed"] == 1
+        assert not os.path.exists(os.path.join(out, f"partition={stale}"))
+        # the active set on disk is exactly the manifest's
+        on_disk = sorted(p for p in os.listdir(out) if p.startswith("partition="))
+        assert on_disk == sorted(f"partition={d}" for d in s["active"])
+
     def test_config_change_invalidates_all(self, tmp_path):
         files = _mk_files(tmp_path, [f"in{i}" for i in range(4)])
         out = str(tmp_path / "out")
