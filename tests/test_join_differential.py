@@ -194,3 +194,63 @@ class TestBucketedAggregateDifferential:
         ).to_pandas()
         _assert_same(got, want, ["k", "s", "mn", "mx", "n"],
                      f"bucketed_aggregate/seed{seed}")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFullOuterJoinDifferential:
+    @pytest.mark.parametrize("seed", SEEDS)
+    def test_full_outer_matches_duckdb(self, seed):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import bucketed_hash_join
+
+        rng = np.random.default_rng(seed)
+        nl, nr = int(rng.integers(5, 300)), int(rng.integers(5, 300))
+        # disjoint-ish cardinality windows so both null-extension
+        # directions (left-only and right-only keys) actually occur
+        left = pd.DataFrame({"k": _keys(rng, nl, int(rng.integers(2, 30))),
+                             "lv": rng.integers(-10**6, 10**6, nl).astype(np.int64)})
+        right = pd.DataFrame({"k": _keys(rng, nr, int(rng.integers(2, 30))) + 10,
+                              "rv": rng.integers(-10**6, 10**6, nr).astype(np.int64)})
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        want = con.execute(
+            "SELECT k, l.lv, r.rv FROM l FULL JOIN r USING (k)").df()
+        got = bucketed_hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            on="k", num_buckets=4, join_type="outer",
+        ).to_pandas()
+        _assert_same(got, want, ["k", "lv", "rv"], f"full_outer/seed{seed}")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAntiJoinDifferential:
+    @pytest.mark.parametrize("seed", SEEDS)
+    def test_anti_join_matches_duckdb(self, seed):
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import bucketed_anti_join
+
+        rng = np.random.default_rng(seed)
+        nl = int(rng.integers(5, 500))
+        # every other seed: key side empty (nothing may drop); otherwise a
+        # key list with duplicates and partial overlap
+        nk = 0 if seed % 2 == 0 else int(rng.integers(1, 200))
+        left = pd.DataFrame({"k": _keys(rng, nl, int(rng.integers(1, 50))),
+                             "lv": rng.integers(-10**6, 10**6, nl).astype(np.int64)})
+        keys = pd.DataFrame({"k": _keys(rng, max(nk, 1), 60)[:nk]})
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("ks", keys)
+        want = con.execute(
+            "SELECT l.k, l.lv FROM l WHERE l.k NOT IN "
+            "(SELECT k FROM ks WHERE k IS NOT NULL)").df()
+        keys_ds = (rd.from_pandas(keys) if nk
+                   else rd.from_pandas(keys).filter(lambda r: False))
+        got = bucketed_anti_join(
+            rd.from_pandas(left).repartition(3), keys_ds, on="k",
+            num_buckets=4,
+        ).to_pandas()
+        _assert_same(got, want, ["k", "lv"], f"anti_join/seed{seed}")
