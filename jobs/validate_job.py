@@ -101,32 +101,45 @@ def main(argv=None) -> int:
     )
 
     if args.write_baseline:
-        import glob
-
-        import ray.data as rd
-
-        from schema_guru_ray.pipelines.validate import build_baseline
+        from schema_guru_ray.pipelines.validate import merge_partition_baselines
 
         # incremental mode leaves orphaned (boundary-shifted) partitions on
         # disk: the ACTIVE set comes from the run summary, never a glob
-        if "active" in summary:
-            part_dirs = [os.path.join(args.out, f"partition={d}")
-                         for d in summary["active"]]
-        else:
-            part_dirs = sorted(
-                glob.glob(os.path.join(args.out, "partition=*")))
-        verdict_files = sorted(
-            f for p in part_dirs
-            for f in glob.glob(os.path.join(p, "verdicts", "*.parquet"))
-        )
-        verdicts_ds = rd.read_parquet(verdict_files)
-        store = build_baseline(verdicts_ds, cfg)
+        active = summary.get("active")
+        try:
+            # O(#partitions): merge each partition's committed sketch blobs
+            store, n_clips = merge_partition_baselines(args.out, active, cfg)
+            how = "merged per-partition sketches"
+        except FileNotFoundError:
+            # legacy tree (partitions predate sketches.json): re-aggregate
+            # the verdict rows
+            import glob
+
+            import ray.data as rd
+
+            from schema_guru_ray.pipelines.validate import build_baseline
+
+            if active is not None:
+                part_dirs = [os.path.join(args.out, f"partition={d}")
+                             for d in active]
+            else:
+                part_dirs = sorted(
+                    glob.glob(os.path.join(args.out, "partition=*")))
+            verdict_files = sorted(
+                f for p in part_dirs
+                for f in glob.glob(os.path.join(p, "verdicts", "*.parquet"))
+            )
+            verdicts_ds = rd.read_parquet(verdict_files)
+            store = build_baseline(verdicts_ds, cfg)
+            n_clips = verdicts_ds.count()
+            how = "re-aggregated verdict rows (legacy tree)"
         save_baseline(
             store, args.write_baseline, source=args.clips_path,
             cfg_hash=sketch_cfg_hash(cfg),
-            meta={"n_clips": verdicts_ds.count()},
+            meta={"n_clips": n_clips},
         )
-        print(f"baseline written: {args.write_baseline}", file=sys.stderr)
+        print(f"baseline written ({how}): {args.write_baseline}",
+              file=sys.stderr)
 
     print(json.dumps(summary, default=str))
     ray.shutdown()

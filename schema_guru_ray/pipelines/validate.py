@@ -240,8 +240,15 @@ def codec_verdicts(
     verdicts,
     cfg: ValidationConfig = ValidationConfig(),
     baseline: Optional[Dict[str, Dict[str, bytes]]] = None,
-) -> pd.DataFrame:
+    return_store: bool = False,
+):
     """verdicts Dataset → per-codec pass/fail verdict table (small, pandas).
+
+    ``return_store=True`` additionally returns the baseline sketch store
+    {codec: {col: KLL bytes}} extracted from the SAME aggregation pass
+    (zero extra execution) as ``(cv_df, store)`` — the checkpointed runner
+    commits it per partition so baseline refreshes never re-aggregate
+    verdict rows.
 
     Two-level salted aggregate: groupby([codec, salt]) merges the per-batch
     partials, then groupby(codec) merges the ≤ n_salts survivors and
@@ -282,9 +289,15 @@ def codec_verdicts(
     )
     level2 = level1.groupby("codec").map_groups(_merge_agg_group, batch_format="pandas")
     rows = []
+    store: Dict[Optional[str], Dict[str, bytes]] = {}
     for row in level2.take_all():  # one row per codec — tiny
         codec = None if row["codec"] == NULL_CODEC else row["codec"]
         agg: CodecAgg = pickle.loads(row["agg"])
+        if return_store:
+            store[codec] = {
+                "dur_ms": agg.dur_kll.to_bytes(),
+                "sr_hz": agg.sr_kll.to_bytes(),
+            }
         viol_total = sum(agg.viol_counts.values())
         rate = viol_total / max(1, agg.n)
         distinct = agg.clip_hll.estimate() if agg.clip_hll else 0.0
@@ -317,7 +330,7 @@ def codec_verdicts(
     if not rows:
         # empty shard-day: typed zero-row verdict table, not a KeyError on
         # sort_values over a columnless frame (Ray yields no groups at all)
-        return pd.DataFrame(
+        cv = pd.DataFrame(
             {
                 "codec": pd.Series(dtype=object),
                 "n_clips": pd.Series(dtype="int64"),
@@ -333,8 +346,10 @@ def codec_verdicts(
                 "passed": pd.Series(dtype="bool"),
             }
         )
+        return (cv, store) if return_store else cv
     # None codec sorts last (na_position default) — deterministic order
-    return pd.DataFrame(rows).sort_values("codec", na_position="last").reset_index(drop=True)
+    cv = pd.DataFrame(rows).sort_values("codec", na_position="last").reset_index(drop=True)
+    return (cv, store) if return_store else cv
 
 
 def run_validation_checkpointed(
@@ -377,13 +392,27 @@ def run_validation_checkpointed(
         verdicts = validate_clips(ds, cfg).materialize()  # per-partition working set
         verdicts.write_parquet(os.path.join(tmp_dir, "verdicts"))
         violations_dataset(verdicts).write_parquet(os.path.join(tmp_dir, "violations"))
-        cv = codec_verdicts(verdicts, cfg, baseline=baseline)
+        cv, store = codec_verdicts(
+            verdicts, cfg, baseline=baseline, return_store=True)
         cv.assign(
             violations_by_kind=cv["violations_by_kind"].map(
                 lambda d: __import__("json").dumps(d)
             )
         ).to_parquet(os.path.join(tmp_dir, "codec_verdicts.parquet"))
         n = verdicts.count()
+        # per-partition sketch blobs (from the SAME aggregation pass that
+        # produced cv): a corpus baseline refresh merges these
+        # O(#partitions) KB-sized stores instead of re-aggregating
+        # corpus-scale verdict ROWS (see sketch_store.merge_stores)
+        from schema_guru_ray.state.sketch_store import save_baseline, sketch_cfg_hash
+
+        save_baseline(
+            store,
+            os.path.join(tmp_dir, "sketches.json"),
+            source=";".join(part_files[:2]) + ("..." if len(part_files) > 2 else ""),
+            cfg_hash=sketch_cfg_hash(cfg),
+            meta={"n_clips": n},
+        )
         return {
             "n_clips": n,
             "n_ok": int(cv["n_ok"].sum()),
@@ -412,23 +441,46 @@ def run_validation_checkpointed(
 def build_baseline(verdicts, cfg: ValidationConfig = ValidationConfig()):
     """Build a baseline sketch store {codec: {col: KLL bytes}} from a
     reference run. Small (KBs/codec); broadcast with ray.put at use time.
-    batch_size=None + pre-groupby materialize: see codec_verdicts."""
-    partials = verdicts.map_batches(
-        CodecPartialAggregator(cfg), batch_format="pyarrow", batch_size=None
-    ).materialize()
-    combined = partials.map_batches(
-        _local_merge_batch, batch_format="pandas", batch_size=4096
+    One aggregation pass shared with the verdict table — see
+    codec_verdicts(return_store=True)."""
+    return codec_verdicts(verdicts, cfg, return_store=True)[1]
+
+
+def merge_partition_baselines(
+    out_dir: str,
+    active: Optional[list] = None,
+    cfg: ValidationConfig = ValidationConfig(),
+):
+    """Rebuild a corpus baseline store by merging the per-partition
+    ``sketches.json`` blobs a checkpointed run commits alongside each
+    partition's verdicts. Cost is O(#partitions × codecs) KB-sized loads
+    — never touches verdict rows. ``active`` restricts to the manifest's
+    active set (incremental mode leaves orphans on disk). Returns
+    ``(store, total_clips)``; raises FileNotFoundError when any selected
+    partition predates per-partition sketches (caller falls back to the
+    row-level rebuild)."""
+    import glob
+    import os
+
+    from schema_guru_ray.state.sketch_store import (
+        load_baseline,
+        merge_stores,
+        sketch_cfg_hash,
     )
-    level1 = combined.groupby(["codec", "salt"]).map_groups(
-        _merge_agg_group, batch_format="pandas"
-    )
-    level2 = level1.groupby("codec").map_groups(_merge_agg_group, batch_format="pandas")
-    out: Dict[str, Dict[str, bytes]] = {}
-    for row in level2.take_all():
-        agg: CodecAgg = pickle.loads(row["agg"])
-        codec = None if row["codec"] == NULL_CODEC else row["codec"]
-        out[codec] = {
-            "dur_ms": agg.dur_kll.to_bytes(),
-            "sr_hz": agg.sr_kll.to_bytes(),
-        }
-    return out
+
+    if active is not None:
+        part_dirs = [os.path.join(out_dir, f"partition={d}") for d in active]
+    else:
+        part_dirs = sorted(glob.glob(os.path.join(out_dir, "partition=*")))
+    expect = sketch_cfg_hash(cfg)
+    stores, n_clips = [], 0
+    for p in part_dirs:
+        path = os.path.join(p, "sketches.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} missing — partition predates per-partition "
+                "sketches; rebuild from verdict rows instead")
+        store, meta = load_baseline(path, expect_cfg_hash=expect)
+        stores.append(store)
+        n_clips += int(meta.get("meta", {}).get("n_clips", 0))
+    return merge_stores(stores), n_clips

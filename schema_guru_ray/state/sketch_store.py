@@ -69,6 +69,28 @@ def save_baseline(store: Store, path: str, *, source: str = "",
     return manifest
 
 
+def merge_stores(stores) -> Store:
+    """Merge per-partition stores into one corpus store by KLL-merging
+    each (codec, column) sketch. This is the O(#partitions) path for
+    rebuilding a corpus baseline from per-partition checkpoint sketches —
+    at 10^12 rows, re-aggregating verdict ROWS for a baseline refresh is
+    corpus-scale work every night, while merging partition BLOBS is KBs
+    per partition regardless of row count."""
+    from schema_guru_ray.sketches.kll import KLL
+
+    acc: Dict[str, Dict[str, KLL]] = {}
+    for store in stores:
+        for codec, cols in store.items():
+            slot = acc.setdefault(codec, {})
+            for col, raw in cols.items():
+                k = KLL.from_bytes(raw)
+                slot[col] = slot[col].merge(k) if col in slot else k
+    return {
+        codec: {col: k.to_bytes() for col, k in cols.items()}
+        for codec, cols in acc.items()
+    }
+
+
 def load_baseline(path: str, *, expect_cfg_hash: Optional[str] = None
                   ) -> Tuple[Store, dict]:
     """Load a store; raises ValueError on version mismatch or (when

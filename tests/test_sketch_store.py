@@ -104,3 +104,78 @@ def test_cross_run_drift_with_persisted_baseline(clips_dir, tmp_path):
     shift_cv = codec_verdicts(shifted, cfg, baseline=loaded)
     assert (shift_cv["psi_dur_ms"].dropna() > 0.25).any()
     assert not shift_cv["passed"].all()
+
+
+def test_merge_stores_matches_single_pass_quantiles():
+    """A store merged from split-data partition stores must answer
+    quantile queries like the single-pass store (within KLL error)."""
+    import numpy as np
+
+    from schema_guru_ray.sketches.kll import KLL
+    from schema_guru_ray.state.sketch_store import merge_stores
+
+    rng = np.random.default_rng(5)
+    full = rng.lognormal(5.0, 0.6, 40_000)
+    parts = np.array_split(full, 7)
+    part_stores = [
+        {"pcm16": {"dur_ms": KLL(800).add_many(p).to_bytes()}} for p in parts
+    ]
+    merged = merge_stores(part_stores)
+    mk = KLL.from_bytes(merged["pcm16"]["dur_ms"])
+    assert mk.n == full.size
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = float(np.quantile(full, q))
+        assert abs(mk.quantile(q) - exact) / exact < 0.05, q
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_sketches_merge_to_corpus_baseline(clips_dir, tmp_path):
+    """Every checkpointed partition commits sketches.json; merging them
+    (O(#partitions), no verdict-row reads) must agree with the row-level
+    corpus rebuild within KLL error — the scale path for nightly baseline
+    refreshes."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from schema_guru_ray.pipelines.validate import (
+        ValidationConfig,
+        build_baseline,
+        merge_partition_baselines,
+        run_validation_checkpointed,
+    )
+    from schema_guru_ray.sketches.kll import KLL
+
+    cfg = ValidationConfig()
+    out = str(tmp_path / "run")
+    s = run_validation_checkpointed(clips_dir, out, cfg, num_partitions=2)
+    for p in _glob.glob(os.path.join(out, "partition=*")):
+        assert os.path.exists(os.path.join(p, "sketches.json"))
+
+    merged, n_clips = merge_partition_baselines(out, cfg=cfg)
+    assert n_clips == sum(pp["metrics"]["n_clips"] for pp in s["partitions"])
+
+    verdicts = rd.read_parquet(sorted(
+        _glob.glob(os.path.join(out, "partition=*", "verdicts", "*.parquet"))))
+    rowlevel = build_baseline(verdicts, cfg)
+    assert set(merged) == set(rowlevel)
+    for codec in rowlevel:
+        for col in ("dur_ms", "sr_hz"):
+            a = KLL.from_bytes(merged[codec][col])
+            b = KLL.from_bytes(rowlevel[codec][col])
+            assert a.n == b.n
+            for q in (0.1, 0.5, 0.9):
+                qa, qb = a.quantile(q), b.quantile(q)
+                if qb:
+                    assert abs(qa - qb) <= 0.03 * abs(qb) + 1e-9
+
+
+def test_merge_partition_baselines_legacy_tree_raises(tmp_path):
+    """A tree whose partitions predate sketches.json must raise (the job
+    falls back to the row-level rebuild), never silently skip some."""
+    from schema_guru_ray.pipelines.validate import merge_partition_baselines
+
+    p = tmp_path / "out" / "partition=0000"
+    p.mkdir(parents=True)
+    with pytest.raises(FileNotFoundError, match="sketches"):
+        merge_partition_baselines(str(tmp_path / "out"))
