@@ -146,6 +146,95 @@ class TestIncrementalRun:
         assert s["skipped"] == 1 and s["ran"] == 1
 
 
+class TestIncrementalProperty:
+    """Hypothesis: under ANY sequence of corpus mutations (appends,
+    removals, mid-list inserts) and reruns, the invariants hold —
+    (1) the active set partitions exactly the current file list into
+    contiguous chunks, (2) every active partition's committed result was
+    computed from exactly its current inputs (never a stale membership),
+    (3) a chunk whose membership didn't change never re-executes."""
+
+    def test_arbitrary_mutation_sequences(self, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        mutation = st.tuples(
+            st.sampled_from(["add", "remove"]),
+            st.integers(0, 999),
+        )
+
+        @settings(max_examples=25, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        @given(st.lists(st.lists(mutation, min_size=1, max_size=6),
+                        min_size=1, max_size=4),
+               st.integers(1, 4))
+        def run(rounds, fpp):
+            import shutil
+            import tempfile
+
+            root = tempfile.mkdtemp(dir=str(tmp_path))
+            try:
+                src = os.path.join(root, "src")
+                out = os.path.join(root, "out")
+                os.makedirs(src)
+                cfg = config_hash({"v": 1})
+                current = set()
+                executed_for = {}  # digest -> (inputs computed from, exec count)
+                prev_active = set()  # digests with a live checkpoint dir
+
+                def proc(part_files, tmp_dir):
+                    d = partition_digest(part_files)
+                    n_prev = executed_for.get(d, (None, 0))[1]
+                    executed_for[d] = (sorted(part_files), n_prev + 1)
+                    with open(os.path.join(tmp_dir, "result.json"), "w") as f:
+                        json.dump(sorted(part_files), f)
+                    return {"n": len(part_files)}
+
+                for ops in rounds:
+                    for op, i in ops:
+                        name = os.path.join(src, f"f{i:03d}.txt")
+                        if op == "add":
+                            with open(name, "w") as f:
+                                f.write(str(i))
+                            current.add(name)
+                        elif name in current:
+                            os.remove(name)
+                            current.discard(name)
+                    if not current:
+                        continue
+                    files = sorted(current)
+                    before = dict(executed_for)
+                    s = run_incremental(files, out, proc, cfg,
+                                        files_per_partition=fpp,
+                                        gc_orphans=True)
+                    # (1) active set == contiguous chunking of the corpus
+                    chunks = [files[i:i + fpp] for i in range(0, len(files), fpp)]
+                    assert s["active"] == [partition_digest(c) for c in chunks]
+                    for c in chunks:
+                        d = partition_digest(c)
+                        pdir = os.path.join(out, f"partition={d}")
+                        meta = json.load(
+                            open(os.path.join(pdir, "_SUCCESS.json")))
+                        res = json.load(
+                            open(os.path.join(pdir, "result.json")))
+                        # (2) committed result matches current membership
+                        assert meta["inputs"] == c and res == c
+                        # (3) a chunk already checkpointed (live dir from
+                        # the previous round) never re-executes: its
+                        # execution COUNT must not grow on a hit
+                        if d in prev_active:
+                            assert executed_for[d][1] == before[d][1]
+                    skipped = [p for p in s["partitions"]
+                               if p["status"] == "skipped"]
+                    assert len(skipped) == sum(
+                        1 for c in chunks if partition_digest(c) in prev_active)
+                    prev_active = set(s["active"])
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        run()
+
+
 class TestValidatePipelineIncremental:
     """End-to-end: the real audio-validation pipeline in incremental mode,
     with a genuine parquet append between runs."""
