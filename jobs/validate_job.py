@@ -48,6 +48,11 @@ def main(argv=None) -> int:
     p.add_argument("--write-baseline", metavar="PATH",
                    help="after the run, build a baseline sketch store from "
                         "this corpus and write it to PATH (JSON, atomic)")
+    p.add_argument("--drift-report", metavar="PATH",
+                   help="with --baseline: score every partition's committed "
+                        "sketches against the baseline and write a "
+                        "(partition, codec, col, psi, ks, drifted) parquet "
+                        "to PATH — localizes WHICH chunk drifted")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="standalone only; ignored under ray job submit")
     args = p.parse_args(argv)
@@ -110,9 +115,12 @@ def main(argv=None) -> int:
             # O(#partitions): merge each partition's committed sketch blobs
             store, n_clips = merge_partition_baselines(args.out, active, cfg)
             how = "merged per-partition sketches"
-        except FileNotFoundError:
-            # legacy tree (partitions predate sketches.json): re-aggregate
-            # the verdict rows
+        except (FileNotFoundError, ValueError, OSError, KeyError) as exc:
+            # legacy tree (partitions predate sketches.json), or a corrupt /
+            # parameter-mismatched sketch file: re-aggregate the verdict
+            # rows — the slow path is always correct
+            print(f"per-partition sketch merge unavailable ({exc}); "
+                  "rebuilding from verdict rows", file=sys.stderr)
             import glob
 
             import ray.data as rd
@@ -140,6 +148,18 @@ def main(argv=None) -> int:
         )
         print(f"baseline written ({how}): {args.write_baseline}",
               file=sys.stderr)
+
+    if args.drift_report:
+        if baseline is None:
+            p.error("--drift-report requires --baseline")
+        from schema_guru_ray.pipelines.validate import drift_by_partition
+
+        report = drift_by_partition(
+            args.out, baseline, cfg, active=summary.get("active"))
+        report.to_parquet(args.drift_report)
+        n_drift = int(report["drifted"].sum())
+        print(f"drift report written: {args.drift_report} "
+              f"({n_drift} drifted partition-codec-col rows)", file=sys.stderr)
 
     print(json.dumps(summary, default=str))
     ray.shutdown()

@@ -484,3 +484,69 @@ def merge_partition_baselines(
         stores.append(store)
         n_clips += int(meta.get("meta", {}).get("n_clips", 0))
     return merge_stores(stores), n_clips
+
+
+def drift_by_partition(
+    out_dir: str,
+    baseline: Dict[str, Dict[str, bytes]],
+    cfg: ValidationConfig = ValidationConfig(),
+    active: Optional[list] = None,
+    min_n: int = 100,
+) -> pd.DataFrame:
+    """Localize distribution drift to PARTITIONS: score every committed
+    partition's sketch blobs against the corpus baseline store and return
+    one row per (partition, codec, column) with PSI/KS and a drifted
+    flag. The corpus-level drift verdict (``codec_verdicts(baseline=…)``)
+    says THAT a codec drifted; this says WHERE — which chunk of last
+    night's append moved — without touching a single verdict row
+    (O(#partitions × codecs) KB-sized loads, driver-side by design).
+
+    ``min_n``: a (partition, codec) slice with fewer than this many
+    values is never FLAGGED (PSI over quantile bins is noise at small
+    support — measured: a 300-clip partition's minority codec scores
+    PSI 0.39 against its own corpus). The psi/ks values and the slice
+    size (``n``) are still reported, so a caller can apply its own bar."""
+    import glob
+    import os
+
+    from schema_guru_ray.state.sketch_store import load_baseline, sketch_cfg_hash
+
+    if active is not None:
+        part_dirs = [os.path.join(out_dir, f"partition={d}") for d in active]
+    else:
+        part_dirs = sorted(glob.glob(os.path.join(out_dir, "partition=*")))
+    expect = sketch_cfg_hash(cfg)
+    rows = []
+    for p in part_dirs:
+        name = os.path.basename(p).split("=", 1)[1]
+        store, meta = load_baseline(
+            os.path.join(p, "sketches.json"), expect_cfg_hash=expect)
+        n = int(meta.get("meta", {}).get("n_clips", 0))
+        for codec, cols in store.items():
+            base_cols = baseline.get(codec, {})
+            for col, raw in cols.items():
+                cur = KLL.from_bytes(raw)
+                rec = {"partition": name, "codec": codec, "col": col,
+                       "n_clips": n, "n": int(cur.n),
+                       "psi": None, "ks": None, "drifted": False}
+                if col in base_cols and cur.n:
+                    b = KLL.from_bytes(base_cols[col])
+                    rec["psi"] = psi(b, cur)
+                    rec["ks"] = ks_statistic(b, cur)
+                    rec["drifted"] = bool(
+                        cur.n >= min_n and rec["psi"] > cfg.pass_psi)
+                rows.append(rec)
+    if not rows:
+        return pd.DataFrame({
+            "partition": pd.Series(dtype=object),
+            "codec": pd.Series(dtype=object),
+            "col": pd.Series(dtype=object),
+            "n_clips": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "psi": pd.Series(dtype="float64"),
+            "ks": pd.Series(dtype="float64"),
+            "drifted": pd.Series(dtype="bool"),
+        })
+    return (pd.DataFrame(rows)
+            .sort_values(["partition", "codec", "col"])
+            .reset_index(drop=True))

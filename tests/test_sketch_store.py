@@ -179,3 +179,49 @@ def test_merge_partition_baselines_legacy_tree_raises(tmp_path):
     p.mkdir(parents=True)
     with pytest.raises(FileNotFoundError, match="sketches"):
         merge_partition_baselines(str(tmp_path / "out"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_drift_localized_to_shifted_partition(clips_dir, tmp_path):
+    """Drift LOCALIZATION: baseline from the clean corpus; a nightly
+    append lands one duration-shifted shard; the per-partition drift
+    report must flag the new chunk and clear every original one —
+    without reading any verdict rows."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from schema_guru_ray.pipelines.validate import (
+        ValidationConfig,
+        drift_by_partition,
+        merge_partition_baselines,
+        run_validation_checkpointed,
+    )
+    from schema_guru_ray.sources.clips import ClipsConfig, generate_clips_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in sorted(os.listdir(clips_dir)):
+        shutil.copy(os.path.join(clips_dir, f), src / f"base-{f}")
+
+    cfg = ValidationConfig()
+    out = str(tmp_path / "out")
+    s1 = run_validation_checkpointed(str(src), out, cfg, files_per_partition=1)
+    baseline, _ = merge_partition_baselines(out, active=s1["active"], cfg=cfg)
+
+    # self-check: no original partition drifts against its own corpus
+    rep0 = drift_by_partition(out, baseline, cfg, active=s1["active"])
+    assert not rep0["drifted"].any()
+
+    # nightly append: one shard with 4x-shifted durations
+    shifted = generate_clips_table(400, ClipsConfig(median_dur_ms=800.0, seed=99))
+    pq.write_table(shifted, src / "zz-night.parquet")
+    s2 = run_validation_checkpointed(str(src), out, cfg, files_per_partition=1)
+    new_digests = {p["digest"] for p in s2["partitions"] if p["status"] == "ran"}
+    assert len(new_digests) == 1
+
+    rep = drift_by_partition(out, baseline, cfg, active=s2["active"])
+    flagged = set(rep.loc[rep["drifted"], "partition"])
+    assert flagged == new_digests  # exactly the appended chunk
+    dur = rep[(rep["col"] == "dur_ms") & rep["partition"].isin(new_digests)]
+    assert (dur["psi"].dropna() > cfg.pass_psi).any()
