@@ -151,6 +151,61 @@ def clips_drift(sf_dir: str):
     return out
 
 
+def clips_drift_localize(sf_dir: str):
+    """Drift LOCALIZATION over an incremental checkpoint tree (rows-only,
+    filesystem-state op): the corpus validates in content-addressed
+    chunks, each committing its codec KLL sketches; a duration-shifted
+    "overnight" shard is appended and ONLY its chunk re-validates; every
+    chunk's sketches are then scored against the clean-corpus baseline.
+    Returns the (partition, codec, col, n, psi, ks, drifted) report — the
+    appended chunk flags, the originals stay clear — exercising the
+    incremental runner + mergeable per-partition sketch store end to end
+    (jobs/validate_job.py --files-per-partition/--drift-report surface)."""
+    import glob
+    import math
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from schema_guru_ray.pipelines.validate import (
+        ValidationConfig,
+        drift_by_partition,
+        merge_partition_baselines,
+        run_validation_checkpointed,
+    )
+    from schema_guru_ray.sources.clips import (
+        ClipsConfig,
+        ensure_clips,
+        generate_clips_table,
+    )
+
+    path = ensure_clips(sf_dir)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    work = f"/tmp/graft_clips/drift_localize_{sf}"
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    for i, f in enumerate(files):  # symlinks: no corpus copy
+        os.symlink(f, os.path.join(src, f"base-{i:04d}.parquet"))
+
+    cfg = ValidationConfig()
+    fpp = max(1, math.ceil(len(files) / 6))
+    s1 = run_validation_checkpointed(src, out, cfg, files_per_partition=fpp)
+    baseline, _ = merge_partition_baselines(out, active=s1["active"], cfg=cfg)
+
+    # overnight append: one duration-shifted shard, sorts last
+    shifted = generate_clips_table(2000, ClipsConfig(median_dur_ms=600.0, seed=43))
+    pq.write_table(shifted, os.path.join(src, "zz-night.parquet"))
+    s2 = run_validation_checkpointed(src, out, cfg, files_per_partition=fpp)
+
+    report = drift_by_partition(out, baseline, cfg, active=s2["active"])
+    shutil.rmtree(work, ignore_errors=True)
+    return report
+
+
 def clips_audio_features(sf_dir: str):
     """Real-DSP log-filterbank features per clip (rows-only)."""
     from schema_guru_ray.sources.clips import ensure_clips, read_clips
