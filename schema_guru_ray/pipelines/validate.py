@@ -446,10 +446,26 @@ def build_baseline(verdicts, cfg: ValidationConfig = ValidationConfig()):
     return codec_verdicts(verdicts, cfg, return_store=True)[1]
 
 
+def _sketch_part_dirs(out_dir: str, active: Optional[list]):
+    import glob
+    import os
+
+    if active is not None:
+        return [os.path.join(out_dir, f"partition={d}") for d in active]
+    return sorted(glob.glob(os.path.join(out_dir, "partition=*")))
+
+
+# above this many partitions the sketch loads/merges fan out as Ray tasks
+# (each KB-sized, so thousands are fine on the driver; a 10^12-clip tree
+# has ~10^5 partitions and 10s of GB of blobs — that must parallelize)
+DRIVER_SKETCH_DIRS = 256
+
+
 def merge_partition_baselines(
     out_dir: str,
     active: Optional[list] = None,
     cfg: ValidationConfig = ValidationConfig(),
+    driver_limit: int = DRIVER_SKETCH_DIRS,
 ):
     """Rebuild a corpus baseline store by merging the per-partition
     ``sketches.json`` blobs a checkpointed run commits alongside each
@@ -458,8 +474,14 @@ def merge_partition_baselines(
     active set (incremental mode leaves orphans on disk). Returns
     ``(store, total_clips)``; raises FileNotFoundError when any selected
     partition predates per-partition sketches (caller falls back to the
-    row-level rebuild)."""
-    import glob
+    row-level rebuild).
+
+    Two regimes: up to ``driver_limit`` partitions load sequentially on
+    the driver; above it the loads+merges fan out as a ``map_batches``
+    over the dir list, each task emitting ONE pre-merged store, and the
+    driver folds ≤ #tasks results (KLL merge is associative and
+    order-insensitive for quantile queries — same tree-fold argument as
+    the cmvn/label fanin patterns)."""
     import os
 
     from schema_guru_ray.state.sketch_store import (
@@ -468,22 +490,41 @@ def merge_partition_baselines(
         sketch_cfg_hash,
     )
 
-    if active is not None:
-        part_dirs = [os.path.join(out_dir, f"partition={d}") for d in active]
-    else:
-        part_dirs = sorted(glob.glob(os.path.join(out_dir, "partition=*")))
+    part_dirs = _sketch_part_dirs(out_dir, active)
     expect = sketch_cfg_hash(cfg)
-    stores, n_clips = [], 0
-    for p in part_dirs:
+
+    def load_one(p: str):
         path = os.path.join(p, "sketches.json")
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"{path} missing — partition predates per-partition "
                 "sketches; rebuild from verdict rows instead")
-        store, meta = load_baseline(path, expect_cfg_hash=expect)
-        stores.append(store)
-        n_clips += int(meta.get("meta", {}).get("n_clips", 0))
-    return merge_stores(stores), n_clips
+        return load_baseline(path, expect_cfg_hash=expect)
+
+    if len(part_dirs) <= driver_limit:
+        stores, n_clips = [], 0
+        for p in part_dirs:
+            store, meta = load_one(p)
+            stores.append(store)
+            n_clips += int(meta.get("meta", {}).get("n_clips", 0))
+        return merge_stores(stores), n_clips
+
+    import ray.data as rd
+
+    def merge_task(b: pd.DataFrame) -> pd.DataFrame:
+        loaded = [load_one(p) for p in b["dir"]]
+        merged = merge_stores([s for s, _ in loaded])
+        n = sum(int(m.get("meta", {}).get("n_clips", 0)) for _, m in loaded)
+        return pd.DataFrame({"store": [pickle.dumps(merged)], "n": [n]})
+
+    parts = rd.from_items(
+        [{"dir": p} for p in part_dirs]
+    ).map_batches(merge_task, batch_format="pandas", batch_size=64)
+    rows = parts.take_all()  # ≤ #tasks rows, one pre-merged store each
+    return (
+        merge_stores([pickle.loads(r["store"]) for r in rows]),
+        int(sum(r["n"] for r in rows)),
+    )
 
 
 def drift_by_partition(
@@ -492,38 +533,41 @@ def drift_by_partition(
     cfg: ValidationConfig = ValidationConfig(),
     active: Optional[list] = None,
     min_n: int = 100,
+    driver_limit: int = DRIVER_SKETCH_DIRS,
 ) -> pd.DataFrame:
     """Localize distribution drift to PARTITIONS: score every committed
     partition's sketch blobs against the corpus baseline store and return
     one row per (partition, codec, column) with PSI/KS and a drifted
     flag. The corpus-level drift verdict (``codec_verdicts(baseline=…)``)
     says THAT a codec drifted; this says WHERE — which chunk of last
-    night's append moved — without touching a single verdict row
-    (O(#partitions × codecs) KB-sized loads, driver-side by design).
+    night's append moved — without touching a single verdict row.
+
+    Two regimes like :func:`merge_partition_baselines`: ≤ ``driver_limit``
+    partitions score on the driver; above it the scoring fans out as a
+    ``map_batches`` over the dir list with the baseline store BROADCAST
+    once via ``ray.put`` (the report is embarrassingly parallel per
+    partition — no shuffle).
 
     ``min_n``: a (partition, codec) slice with fewer than this many
     values is never FLAGGED (PSI over quantile bins is noise at small
     support — measured: a 300-clip partition's minority codec scores
     PSI 0.39 against its own corpus). The psi/ks values and the slice
     size (``n``) are still reported, so a caller can apply its own bar."""
-    import glob
     import os
 
     from schema_guru_ray.state.sketch_store import load_baseline, sketch_cfg_hash
 
-    if active is not None:
-        part_dirs = [os.path.join(out_dir, f"partition={d}") for d in active]
-    else:
-        part_dirs = sorted(glob.glob(os.path.join(out_dir, "partition=*")))
+    part_dirs = _sketch_part_dirs(out_dir, active)
     expect = sketch_cfg_hash(cfg)
-    rows = []
-    for p in part_dirs:
+
+    def score_dir(p: str, base: Dict) -> list:
         name = os.path.basename(p).split("=", 1)[1]
         store, meta = load_baseline(
             os.path.join(p, "sketches.json"), expect_cfg_hash=expect)
         n = int(meta.get("meta", {}).get("n_clips", 0))
+        out = []
         for codec, cols in store.items():
-            base_cols = baseline.get(codec, {})
+            base_cols = base.get(codec, {})
             for col, raw in cols.items():
                 cur = KLL.from_bytes(raw)
                 rec = {"partition": name, "codec": codec, "col": col,
@@ -535,7 +579,26 @@ def drift_by_partition(
                     rec["ks"] = ks_statistic(b, cur)
                     rec["drifted"] = bool(
                         cur.n >= min_n and rec["psi"] > cfg.pass_psi)
-                rows.append(rec)
+                out.append(rec)
+        return out
+
+    if len(part_dirs) <= driver_limit:
+        rows = [r for p in part_dirs for r in score_dir(p, baseline)]
+    else:
+        import ray
+        import ray.data as rd
+
+        base_ref = ray.put(baseline)  # broadcast once, not per task
+
+        def score_task(b: pd.DataFrame) -> pd.DataFrame:
+            base = ray.get(base_ref)
+            return pd.DataFrame(
+                [r for p in b["dir"] for r in score_dir(p, base)])
+
+        rows = rd.from_items(
+            [{"dir": p} for p in part_dirs]
+        ).map_batches(score_task, batch_format="pandas",
+                      batch_size=64).take_all()
     if not rows:
         return pd.DataFrame({
             "partition": pd.Series(dtype=object),

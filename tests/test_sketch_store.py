@@ -225,3 +225,40 @@ def test_drift_localized_to_shifted_partition(clips_dir, tmp_path):
     assert flagged == new_digests  # exactly the appended chunk
     dur = rep[(rep["col"] == "dur_ms") & rep["partition"].isin(new_digests)]
     assert (dur["psi"].dropna() > cfg.pass_psi).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sketch_regimes_agree_driver_vs_distributed(clips_dir, tmp_path):
+    """The distributed (fan-out) regime of merge_partition_baselines and
+    drift_by_partition must answer exactly like the driver regime —
+    forced via driver_limit=0 on the same small tree."""
+    import pandas as pd
+
+    from schema_guru_ray.pipelines.validate import (
+        ValidationConfig,
+        drift_by_partition,
+        merge_partition_baselines,
+        run_validation_checkpointed,
+    )
+    from schema_guru_ray.sketches.kll import KLL
+
+    cfg = ValidationConfig()
+    out = str(tmp_path / "run")
+    run_validation_checkpointed(clips_dir, out, cfg, num_partitions=2)
+
+    drv_store, drv_n = merge_partition_baselines(out, cfg=cfg)
+    dist_store, dist_n = merge_partition_baselines(out, cfg=cfg, driver_limit=0)
+    assert drv_n == dist_n and set(drv_store) == set(dist_store)
+    for codec in drv_store:
+        for col in drv_store[codec]:
+            a = KLL.from_bytes(drv_store[codec][col])
+            b = KLL.from_bytes(dist_store[codec][col])
+            assert a.n == b.n
+            for q in (0.1, 0.5, 0.9):
+                qa, qb = a.quantile(q), b.quantile(q)
+                if qb:
+                    assert abs(qa - qb) <= 0.03 * abs(qb) + 1e-9
+
+    drv = drift_by_partition(out, drv_store, cfg)
+    dist = drift_by_partition(out, drv_store, cfg, driver_limit=0)
+    pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
