@@ -245,6 +245,26 @@ def _skew_plan(left, right, on: str, threshold: int, join_type: str,
     return hot_sorted, spread_left
 
 
+def _keys_present(ds, key: str, hot_sorted: np.ndarray) -> np.ndarray:
+    """Exact global membership of each ``hot_sorted`` key in ``ds[key]``
+    (bool array aligned with hot_sorted). One vectorized pass; driver
+    traffic is O(#blocks × #hot keys), hot keys are probe-bounded (≤
+    capacity). Needed by the full-outer salted regime: a REPLICATED row
+    may null-extend only when the spread side has zero rows of its key
+    anywhere — per-sub-bucket emptiness proves nothing (the batch-local
+    round-robin can leave any given sub-bucket empty)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        idx, hit = sorted_lookup(hot_sorted, np.asarray(b[key]))
+        return pd.DataFrame({"idx": np.unique(idx[hit]).astype(np.int64)})
+
+    seen = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    present = np.zeros(len(hot_sorted), dtype=bool)
+    if not seen.empty:
+        present[seen["idx"].to_numpy()] = True
+    return present
+
+
 def _empty_typed_frame(columns, schemas: Dict[str, str]) -> pd.DataFrame:
     """Empty frame with stable dtypes so empty buckets unify with full ones."""
     return pd.DataFrame(
@@ -414,6 +434,7 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
         if hot_key_threshold is not None
         else None
     )
+    hot_left_present = None
     if plan is None:
         ltag = _tag_fn("l", on, num_buckets)
         rtag = _tag_fn("r", on, num_buckets)
@@ -424,6 +445,15 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
                               hot_salt)
         rtag = _tag_fn_salted("r", on, num_buckets, hot_sorted, ~spread_left,
                               hot_salt)
+        if join_type in ("outer", "right"):
+            # outer/right under salting: a replicated right row null-extends
+            # once per sub-bucket whose spread (left) slice happens to be
+            # empty — a per-bucket artifact (measured: full outer returned
+            # 1778 rows where the oracle says 515). The correct predicate
+            # is GLOBAL left presence of the key; compute it exactly (hot
+            # set is probe-bounded) and let join_bucket pick the merge
+            # flavor per sub-bucket.
+            hot_left_present = _keys_present(left, on, hot_sorted)
     out_cols = left_cols + [rmap.get(c, c) for c in right_cols
                             if c != on and (c not in left_cols or c in rmap)]
     out_schema = _output_schema(out_cols, lschema, rschema, rename_right=rmap)
@@ -444,8 +474,25 @@ def bucketed_hash_join(left, right, on: str, num_buckets: Optional[int] = None,
             # outer flavors fall through to pandas' own semantics
         if len(l) and len(r) and r[on].dtype != l[on].dtype:
             r = r.astype({on: l[on].dtype})
+        how = join_type
+        if hot_left_present is not None and len(g):
+            b0 = int(g["__bucket"].iloc[0])
+            if b0 >= num_buckets:  # a hot key's private sub-bucket
+                hid, j = divmod(b0 - num_buckets, hot_salt)
+                # the flavor that keeps left null-extensions (if the join
+                # wants them) but NEVER null-extends the replicated side
+                no_repl_ext = "left" if join_type == "outer" else "inner"
+                if hot_left_present[hid]:
+                    # left has rows of this key somewhere → every replica
+                    # is matched globally; spread left rows (unique) keep
+                    # their own null-extensions
+                    how = no_repl_ext
+                else:
+                    # left truly has no rows of this key: null-extend the
+                    # replicas exactly once, in sub-bucket 0
+                    how = join_type if j == 0 else no_repl_ext
         return _to_arrow_clean(
-            l.merge(r, on=on, how=join_type).reindex(columns=out_cols), out_schema
+            l.merge(r, on=on, how=how).reindex(columns=out_cols), out_schema
         )
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

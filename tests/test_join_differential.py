@@ -224,6 +224,42 @@ class TestFullOuterJoinDifferential:
         ).to_pandas()
         _assert_same(got, want, ["k", "lv", "rv"], f"full_outer/seed{seed}")
 
+    @pytest.mark.parametrize("how", ["outer", "right"])
+    @pytest.mark.parametrize("seed", SEEDS[:3])
+    def test_salted_outer_flavors_match_duckdb(self, how, seed):
+        """Regression (round-5 fuzz find): the salted skew regime used to
+        null-extend a REPLICATED right row once per sub-bucket whose
+        spread slice was empty — full outer returned 1778 rows where the
+        oracle says 515. Hot keys on both sides, including keys present
+        ONLY on the right (the left-absent branch must null-extend the
+        replicas exactly once)."""
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import bucketed_hash_join, last_regime
+
+        rng = np.random.default_rng(seed)
+        nl, nr = 300, 400
+        lk = rng.integers(0, 6, nl).astype(np.int64)
+        lk[rng.random(nl) < 0.6] = 2          # hot on left
+        rk = rng.integers(0, 6, nr).astype(np.int64)
+        rk[rng.random(nr) < 0.5] = 100        # hot key ABSENT on left
+        left = pd.DataFrame({"k": lk, "lv": rng.integers(0, 10**6, nl).astype(np.int64)})
+        right = pd.DataFrame({"k": rk, "rv": rng.integers(0, 10**6, nr).astype(np.int64)})
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        sql = ("SELECT k, l.lv, r.rv FROM l FULL JOIN r USING (k)" if how == "outer"
+               else "SELECT k, l.lv, r.rv FROM l RIGHT JOIN r USING (k)")
+        want = con.execute(sql).df()
+        got = bucketed_hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            on="k", num_buckets=4, join_type=how,
+            hot_key_threshold=50, hot_salt=4,
+        ).to_pandas()
+        assert last_regime.get("hot_keys"), "salted regime must engage"
+        _assert_same(got, want, ["k", "lv", "rv"], f"salted_{how}/seed{seed}")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestAntiJoinDifferential:
