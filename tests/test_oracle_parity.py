@@ -185,6 +185,7 @@ class TestOracleParity:
             "clips_speed_perturb",
             "clips_noise_mix",
             "prepare_audio_training_set",
+            "clips_drift_localize",
         ],
     )
     def test_rows_only(self, name, sf_dir, con):
