@@ -195,6 +195,33 @@ class TestBucketedAggregateDifferential:
         _assert_same(got, want, ["k", "s", "mn", "mx", "n"],
                      f"bucketed_aggregate/seed{seed}")
 
+    @pytest.mark.parametrize("seed", SEEDS[:3])
+    def test_multikey_groupby_matches_duckdb(self, seed):
+        """Composite (int, string) grouping keys — the XOR-hash tag path."""
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import bucketed_aggregate
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(10, 3000))
+        df = pd.DataFrame({
+            "k1": rng.integers(0, int(rng.integers(1, 40)), n).astype(np.int64),
+            "k2": rng.choice(["a", "b", "c", "d"], n),
+            "v": rng.integers(-10**6, 10**6, n).astype(np.int64),
+        })
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT k1, k2, sum(v) AS s, min(v) AS mn, count(*) AS n "
+            "FROM t GROUP BY 1, 2").df()
+        got = bucketed_aggregate(
+            rd.from_pandas(df).repartition(3), ["k1", "k2"],
+            {"s": ("v", "sum"), "mn": ("v", "min"), "n": ("v", "count")},
+            n_buckets=4,
+        ).to_pandas()
+        _assert_same(got, want, ["k1", "k2", "s", "mn", "n"],
+                     f"multikey_aggregate/seed{seed}")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestFullOuterJoinDifferential:
