@@ -31,10 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WORK = "/tmp/graft_clips/incr_append"
 
 
-def _write_renamed(ds, tmp_dir: str, dest_dir: str, prefix: str) -> int:
+def _write_renamed(ds, tmp_dir: str, dest_dir: str, prefix: str,
+                   n_files: int = None) -> int:
     """write_parquet to a tmp dir, then move the shards into dest_dir
-    under sortable names ({prefix}-0000.parquet …)."""
+    under sortable names ({prefix}-0000.parquet …). ``n_files``
+    consolidates the output (production appends land as few LARGE
+    shards; tiny-shard appends pay one fixed chunk overhead each)."""
     shutil.rmtree(tmp_dir, ignore_errors=True)
+    if n_files:
+        ds = ds.repartition(n_files)
     ds.write_parquet(tmp_dir)
     files = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
     for i, f in enumerate(files):
@@ -50,6 +55,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--chunks", type=int, default=16,
                     help="approximate number of checkpoint chunks")
+    ap.add_argument("--append-files", type=int, default=None,
+                    help="consolidate the appended clips into this many "
+                         "shards (the production append shape)")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -108,7 +116,8 @@ def main() -> None:
     # overnight: ~append_pct% new clips land as shards sorting last
     n_new_files = _write_renamed(
         clips_range(args.n, args.n + n_append),
-        os.path.join(WORK, "gen"), corpus, "zz-night")
+        os.path.join(WORK, "gen"), corpus, "zz-night",
+        n_files=args.append_files)
 
     t0 = time.perf_counter()
     s2 = run_validation_checkpointed(
