@@ -128,6 +128,43 @@ class TestAsofJoinDifferential:
         _assert_same(got, want, ["k", "ts", "lv", "rts", "rv"],
                      f"asof_join/seed{seed}/tol={tol}")
 
+    @pytest.mark.parametrize("seed", SEEDS[:3])
+    def test_forward_asof_matches_duckdb(self, seed):
+        """direction='forward': earliest right row with rts >= ts."""
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import asof_join
+
+        rng = np.random.default_rng(seed)
+        nl, nr = int(rng.integers(5, 300)), int(rng.integers(5, 300))
+        card = int(rng.integers(1, 20))
+        base = pd.Timestamp("2024-01-01")
+        left = pd.DataFrame({
+            "k": rng.integers(0, card, nl).astype(np.int64),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10**6, nl), unit="s"),
+            "lv": np.arange(nl, dtype=np.int64),
+        })
+        rts = rng.choice(10**6, size=nr, replace=False)
+        right = pd.DataFrame({
+            "k": rng.integers(0, card, nr).astype(np.int64),
+            "rts": base + pd.to_timedelta(rts, unit="s"),
+            "rv": np.arange(nr, dtype=np.int64),
+        }).drop_duplicates(["k", "rts"])
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        want = con.execute(
+            "SELECT l.k, l.ts, l.lv, r.rts, r.rv "
+            "FROM l ASOF JOIN r ON l.k = r.k AND l.ts <= r.rts").df()
+        got = asof_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            key="k", left_ts="ts", right_ts="rts", num_buckets=4,
+            direction="forward",
+        ).to_pandas()
+        _assert_same(got, want, ["k", "ts", "lv", "rts", "rv"],
+                     f"forward_asof/seed{seed}")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRangeJoinDifferential:
