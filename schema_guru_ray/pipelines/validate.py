@@ -150,6 +150,13 @@ class CodecAgg:
 # real codec label.
 NULL_CODEC = "\x00<null>"
 
+# codec_verdicts takes the driver-fold fast path when the partial-state row
+# count is at most this (each row ~50 KB of pickled sketches: bounded pull).
+# A full-corpus run (hundreds of blocks × codecs × salts) stays on the
+# distributed two-level groupby; a checkpoint chunk of a few blocks skips
+# two all-to-all plan executions of pure fixed overhead.
+DRIVER_FOLD_PARTIALS = 512
+
 
 class CodecPartialAggregator:
     """map_batches kernel over verdict batches → one pickled CodecAgg per
@@ -277,20 +284,40 @@ def codec_verdicts(
     sort-based groupby moves dozens of rows — the aggregate tail stays
     O(seconds) regardless of block count (the Amdahl term of the N-vs-4N
     scaling measurement).
+
+    Small-partition fast path: when the materialized partials hold at
+    most ``DRIVER_FOLD_PARTIALS`` state rows (a checkpoint CHUNK of a few
+    blocks — the shape the incremental runner executes dozens of times
+    per resubmission), the two sort-based groupby levels are replaced by
+    one ``take_all`` + driver fold: the merge is associative, the pull is
+    ≤ limit × ~50 KB, and the two all-to-all plan executions (~1-2 s of
+    fixed overhead each at tiny data) disappear.
     """
     partials = verdicts.map_batches(
         CodecPartialAggregator(cfg), batch_format="pyarrow", batch_size=None
     ).materialize()
-    combined = partials.map_batches(
-        _local_merge_batch, batch_format="pandas", batch_size=4096
-    )
-    level1 = combined.groupby(["codec", "salt"]).map_groups(
-        _merge_agg_group, batch_format="pandas"
-    )
-    level2 = level1.groupby("codec").map_groups(_merge_agg_group, batch_format="pandas")
+    if partials.count() <= DRIVER_FOLD_PARTIALS:
+        merged: Dict[str, CodecAgg] = {}
+        for row in partials.take_all():
+            a = pickle.loads(row["agg"])
+            c = row["codec"]
+            merged[c] = merged[c].merge(a) if c in merged else a
+        level2_rows = [
+            {"codec": c, "agg": pickle.dumps(a)} for c, a in sorted(merged.items())
+        ]
+    else:
+        combined = partials.map_batches(
+            _local_merge_batch, batch_format="pandas", batch_size=4096
+        )
+        level1 = combined.groupby(["codec", "salt"]).map_groups(
+            _merge_agg_group, batch_format="pandas"
+        )
+        level2 = level1.groupby("codec").map_groups(
+            _merge_agg_group, batch_format="pandas")
+        level2_rows = level2.take_all()  # one row per codec — tiny
     rows = []
     store: Dict[Optional[str], Dict[str, bytes]] = {}
-    for row in level2.take_all():  # one row per codec — tiny
+    for row in level2_rows:
         codec = None if row["codec"] == NULL_CODEC else row["codec"]
         agg: CodecAgg = pickle.loads(row["agg"])
         if return_store:

@@ -137,3 +137,40 @@ class TestCheckpointResume:
         # manifest carries lineage
         meta = json.load(open(glob.glob(f"{out_dir}/partition=*/_SUCCESS.json")[0]))
         assert meta["inputs"] and meta["config_hash"] and "metrics" in meta
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_codec_verdicts_driver_fold_matches_distributed(monkeypatch, tmp_path):
+    """The small-partition driver-fold fast path of codec_verdicts must
+    answer exactly like the two-level distributed groupby (below KLL
+    compaction size the sketches are order-exact, so the frames are
+    bit-equal)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from schema_guru_ray.pipelines import validate as V
+    from schema_guru_ray.sources.clips import ClipsConfig, generate_clips_table
+
+    cfg = V.ValidationConfig()
+    verdicts = V.validate_clips(
+        rd.from_arrow(generate_clips_table(500, ClipsConfig(seed=11))), cfg
+    ).materialize()
+
+    fast, fast_store = V.codec_verdicts(verdicts, cfg, return_store=True)
+    monkeypatch.setattr(V, "DRIVER_FOLD_PARTIALS", -1)  # force distributed
+    dist, dist_store = V.codec_verdicts(verdicts, cfg, return_store=True)
+    pd.testing.assert_frame_equal(fast, dist)
+    # sketch BYTES differ by within-level concatenation order; the
+    # retained value multiset (and so every quantile) must be identical
+    import numpy as np
+
+    from schema_guru_ray.sketches.kll import KLL
+
+    assert set(fast_store) == set(dist_store)
+    for codec in fast_store:
+        for col in fast_store[codec]:
+            a = KLL.from_bytes(fast_store[codec][col])
+            b = KLL.from_bytes(dist_store[codec][col])
+            assert a.n == b.n
+            np.testing.assert_array_equal(
+                np.sort(a.support()), np.sort(b.support()))
