@@ -56,6 +56,9 @@ def main(argv=None) -> int:
     p.add_argument("--num-cpus", type=int, default=None,
                    help="standalone only; ignored under ray job submit")
     args = p.parse_args(argv)
+    if args.drift_report and not args.baseline:
+        # validate BEFORE the (multi-hour at scale) run, not after it
+        p.error("--drift-report requires --baseline")
 
     import ray
 
@@ -125,14 +128,12 @@ def main(argv=None) -> int:
 
             import ray.data as rd
 
-            from schema_guru_ray.pipelines.validate import build_baseline
+            from schema_guru_ray.pipelines.validate import (
+                _sketch_part_dirs,
+                build_baseline,
+            )
 
-            if active is not None:
-                part_dirs = [os.path.join(args.out, f"partition={d}")
-                             for d in active]
-            else:
-                part_dirs = sorted(
-                    glob.glob(os.path.join(args.out, "partition=*")))
+            part_dirs = _sketch_part_dirs(args.out, active)
             verdict_files = sorted(
                 f for p in part_dirs
                 for f in glob.glob(os.path.join(p, "verdicts", "*.parquet"))
@@ -150,16 +151,23 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     if args.drift_report:
-        if baseline is None:
-            p.error("--drift-report requires --baseline")
         from schema_guru_ray.pipelines.validate import drift_by_partition
 
-        report = drift_by_partition(
-            args.out, baseline, cfg, active=summary.get("active"))
-        report.to_parquet(args.drift_report)
-        n_drift = int(report["drifted"].sum())
-        print(f"drift report written: {args.drift_report} "
-              f"({n_drift} drifted partition-codec-col rows)", file=sys.stderr)
+        try:
+            report = drift_by_partition(
+                args.out, baseline, cfg, active=summary.get("active"))
+        except (FileNotFoundError, ValueError, OSError, KeyError) as exc:
+            # e.g. a resumed pre-upgrade tree whose checkpoint hits never
+            # wrote sketches.json: warn, keep the run's summary output
+            print(f"drift report unavailable ({exc}); rerun the affected "
+                  "partitions (config change or --gc-orphans + fresh out "
+                  "dir) to commit per-partition sketches", file=sys.stderr)
+        else:
+            report.to_parquet(args.drift_report)
+            n_drift = int(report["drifted"].sum())
+            print(f"drift report written: {args.drift_report} "
+                  f"({n_drift} drifted partition-codec-col rows)",
+                  file=sys.stderr)
 
     print(json.dumps(summary, default=str))
     ray.shutdown()

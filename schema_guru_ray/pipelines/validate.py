@@ -482,6 +482,22 @@ def _sketch_part_dirs(out_dir: str, active: Optional[list]):
     return sorted(glob.glob(os.path.join(out_dir, "partition=*")))
 
 
+def _require_sketches(part_dirs) -> None:
+    """Driver-side existence pre-check: raise a CATCHABLE FileNotFoundError
+    for legacy trees (partitions committed before per-partition sketches)
+    BEFORE any fan-out — inside a Ray task the same raise would surface as
+    RayTaskError and slip past the caller's typed fallback."""
+    import os
+
+    missing = [p for p in part_dirs
+               if not os.path.exists(os.path.join(p, "sketches.json"))]
+    if missing:
+        raise FileNotFoundError(
+            f"{len(missing)} partition(s) lack sketches.json (first: "
+            f"{missing[0]}) — they predate per-partition sketches; rebuild "
+            "from verdict rows instead")
+
+
 # above this many partitions the sketch loads/merges fan out as Ray tasks
 # (each KB-sized, so thousands are fine on the driver; a 10^12-clip tree
 # has ~10^5 partitions and 10s of GB of blobs — that must parallelize)
@@ -518,15 +534,12 @@ def merge_partition_baselines(
     )
 
     part_dirs = _sketch_part_dirs(out_dir, active)
+    _require_sketches(part_dirs)
     expect = sketch_cfg_hash(cfg)
 
     def load_one(p: str):
-        path = os.path.join(p, "sketches.json")
-        if not os.path.exists(path):
-            raise FileNotFoundError(
-                f"{path} missing — partition predates per-partition "
-                "sketches; rebuild from verdict rows instead")
-        return load_baseline(path, expect_cfg_hash=expect)
+        return load_baseline(
+            os.path.join(p, "sketches.json"), expect_cfg_hash=expect)
 
     if len(part_dirs) <= driver_limit:
         stores, n_clips = [], 0
@@ -547,7 +560,15 @@ def merge_partition_baselines(
     parts = rd.from_items(
         [{"dir": p} for p in part_dirs]
     ).map_batches(merge_task, batch_format="pandas", batch_size=64)
-    rows = parts.take_all()  # ≤ #tasks rows, one pre-merged store each
+    try:
+        rows = parts.take_all()  # ≤ #tasks rows, one pre-merged store each
+    except Exception as exc:
+        # a failure inside a Ray task surfaces as RayTaskError, which the
+        # caller's typed fallback (ValueError/OSError/...) would NOT catch
+        # — normalize so the slow-but-always-correct row-level rebuild
+        # engages in the distributed regime too
+        raise ValueError(
+            f"distributed sketch merge failed: {exc}") from exc
     return (
         merge_stores([pickle.loads(r["store"]) for r in rows]),
         int(sum(r["n"] for r in rows)),
@@ -585,6 +606,7 @@ def drift_by_partition(
     from schema_guru_ray.state.sketch_store import load_baseline, sketch_cfg_hash
 
     part_dirs = _sketch_part_dirs(out_dir, active)
+    _require_sketches(part_dirs)
     expect = sketch_cfg_hash(cfg)
 
     def score_dir(p: str, base: Dict) -> list:
@@ -622,10 +644,15 @@ def drift_by_partition(
             return pd.DataFrame(
                 [r for p in b["dir"] for r in score_dir(p, base)])
 
-        rows = rd.from_items(
-            [{"dir": p} for p in part_dirs]
-        ).map_batches(score_task, batch_format="pandas",
-                      batch_size=64).take_all()
+        try:
+            rows = rd.from_items(
+                [{"dir": p} for p in part_dirs]
+            ).map_batches(score_task, batch_format="pandas",
+                          batch_size=64).take_all()
+        except Exception as exc:
+            # normalize RayTaskError for typed callers (see _require_sketches)
+            raise ValueError(
+                f"distributed drift scoring failed: {exc}") from exc
     if not rows:
         return pd.DataFrame({
             "partition": pd.Series(dtype=object),

@@ -54,8 +54,10 @@ def _partition_dir(out_dir: str, idx: int) -> str:
     return os.path.join(out_dir, f"partition={idx:04d}")
 
 
-def is_partition_done(out_dir: str, idx: int, cfg_hash: str, files: Sequence[str]) -> bool:
-    p = os.path.join(_partition_dir(out_dir, idx), SUCCESS)
+def _success_matches(final_dir: str, cfg_hash: str, files: Sequence[str]) -> bool:
+    """True iff the partition dir holds a committed ``_SUCCESS.json`` whose
+    config hash AND input lineage match the current run."""
+    p = os.path.join(final_dir, SUCCESS)
     if not os.path.exists(p):
         return False
     try:
@@ -64,6 +66,58 @@ def is_partition_done(out_dir: str, idx: int, cfg_hash: str, files: Sequence[str
     except (OSError, ValueError):
         return False
     return meta.get("config_hash") == cfg_hash and meta.get("inputs") == sorted(files)
+
+
+def is_partition_done(out_dir: str, idx: int, cfg_hash: str, files: Sequence[str]) -> bool:
+    return _success_matches(_partition_dir(out_dir, idx), cfg_hash, files)
+
+
+def _execute_partitions(
+    parts,
+    out_dir: str,
+    process_partition: Callable[[List[str], str], Dict],
+    cfg_hash: str,
+    summary: Dict,
+    id_key: str,
+    log: Optional[Callable[[str], None]],
+) -> None:
+    """Shared commit protocol for both runners: for each ``(name, ident,
+    files)`` (name = the ``partition=`` dir suffix, ident = the summary
+    id value), skip on a matching ``_SUCCESS`` lineage, else run into a
+    ``.tmp-`` sibling and atomically rename. Any future change to the
+    commit protocol (fsync, crash-window handling, manifest fields) lands
+    here ONCE for both the striped and the incremental runner."""
+    for name, ident, files in parts:
+        final_dir = os.path.join(out_dir, f"partition={name}")
+        if _success_matches(final_dir, cfg_hash, files):
+            summary["skipped"] += 1
+            summary["partitions"].append({id_key: ident, "status": "skipped"})
+            if log:
+                log(f"partition {ident}: checkpoint hit, skipping")
+            continue
+        tmp_dir = os.path.join(out_dir, f".tmp-partition={name}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        t0 = time.time()
+        metrics = process_partition(list(files), tmp_dir)
+        meta = {
+            "partition": ident,
+            "inputs": sorted(files),
+            "config_hash": cfg_hash,
+            "wall_sec": round(time.time() - t0, 3),
+            "metrics": metrics,
+        }
+        with open(os.path.join(tmp_dir, SUCCESS), "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.replace(tmp_dir, final_dir)
+        summary["ran"] += 1
+        summary["partitions"].append(
+            {id_key: ident, "status": "ran", "wall_sec": meta["wall_sec"],
+             "metrics": metrics}
+        )
+        if log:
+            log(f"partition {ident}: done in {meta['wall_sec']}s")
 
 
 def run_partitioned(
@@ -80,36 +134,10 @@ def run_partitioned(
     os.makedirs(out_dir, exist_ok=True)
     parts = partition_inputs(input_files, num_partitions)
     summary = {"config_hash": cfg_hash, "partitions": [], "skipped": 0, "ran": 0}
-    for idx, files in enumerate(parts):
-        final_dir = _partition_dir(out_dir, idx)
-        if is_partition_done(out_dir, idx, cfg_hash, files):
-            summary["skipped"] += 1
-            summary["partitions"].append({"idx": idx, "status": "skipped"})
-            if log:
-                log(f"partition {idx}: checkpoint hit, skipping")
-            continue
-        tmp_dir = os.path.join(out_dir, f".tmp-partition={idx:04d}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        os.makedirs(tmp_dir)
-        t0 = time.time()
-        metrics = process_partition(list(files), tmp_dir)
-        meta = {
-            "partition": idx,
-            "inputs": sorted(files),
-            "config_hash": cfg_hash,
-            "wall_sec": round(time.time() - t0, 3),
-            "metrics": metrics,
-        }
-        with open(os.path.join(tmp_dir, SUCCESS), "w") as f:
-            json.dump(meta, f, indent=1, sort_keys=True)
-        shutil.rmtree(final_dir, ignore_errors=True)
-        os.replace(tmp_dir, final_dir)
-        summary["ran"] += 1
-        summary["partitions"].append(
-            {"idx": idx, "status": "ran", "wall_sec": meta["wall_sec"], "metrics": metrics}
-        )
-        if log:
-            log(f"partition {idx}: done in {meta['wall_sec']}s")
+    _execute_partitions(
+        [(f"{idx:04d}", idx, files) for idx, files in enumerate(parts)],
+        out_dir, process_partition, cfg_hash, summary, "idx", log,
+    )
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True, default=str)
     return summary
@@ -159,53 +187,14 @@ def run_incremental(
     crash during GC never loses live work, only delays reclamation)."""
     os.makedirs(out_dir, exist_ok=True)
     parts = partition_chunks(input_files, files_per_partition)
-    active = []
+    active = [partition_digest(files) for files in parts]
     summary = {"config_hash": cfg_hash, "partitions": [], "skipped": 0,
                "ran": 0, "orphaned": 0, "mode": "incremental",
                "files_per_partition": int(files_per_partition)}
-    for files in parts:
-        d = partition_digest(files)
-        active.append(d)
-        final_dir = os.path.join(out_dir, f"partition={d}")
-        success = os.path.join(final_dir, SUCCESS)
-        done = False
-        if os.path.exists(success):
-            try:
-                with open(success) as f:
-                    meta = json.load(f)
-                done = (meta.get("config_hash") == cfg_hash
-                        and meta.get("inputs") == sorted(files))
-            except (OSError, ValueError):
-                done = False
-        if done:
-            summary["skipped"] += 1
-            summary["partitions"].append({"digest": d, "status": "skipped"})
-            if log:
-                log(f"partition {d}: checkpoint hit, skipping")
-            continue
-        tmp_dir = os.path.join(out_dir, f".tmp-partition={d}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        os.makedirs(tmp_dir)
-        t0 = time.time()
-        metrics = process_partition(list(files), tmp_dir)
-        meta = {
-            "partition": d,
-            "inputs": sorted(files),
-            "config_hash": cfg_hash,
-            "wall_sec": round(time.time() - t0, 3),
-            "metrics": metrics,
-        }
-        with open(os.path.join(tmp_dir, SUCCESS), "w") as f:
-            json.dump(meta, f, indent=1, sort_keys=True)
-        shutil.rmtree(final_dir, ignore_errors=True)
-        os.replace(tmp_dir, final_dir)
-        summary["ran"] += 1
-        summary["partitions"].append(
-            {"digest": d, "status": "ran", "wall_sec": meta["wall_sec"],
-             "metrics": metrics}
-        )
-        if log:
-            log(f"partition {d}: done in {meta['wall_sec']}s")
+    _execute_partitions(
+        [(d, d, files) for d, files in zip(active, parts)],
+        out_dir, process_partition, cfg_hash, summary, "digest", log,
+    )
     current = {p for p in os.listdir(out_dir) if p.startswith("partition=")}
     orphans = sorted(current - {f"partition={d}" for d in active})
     summary["orphaned"] = len(orphans)

@@ -262,3 +262,20 @@ def test_sketch_regimes_agree_driver_vs_distributed(clips_dir, tmp_path):
     drv = drift_by_partition(out, drv_store, cfg)
     dist = drift_by_partition(out, drv_store, cfg, driver_limit=0)
     pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
+
+
+def test_legacy_tree_raises_catchably_in_distributed_regime(tmp_path):
+    """The legacy-tree FileNotFoundError must be raised on the DRIVER even
+    in the fan-out regime — inside a Ray task it would surface as
+    RayTaskError and slip past the job's typed fallback."""
+    from schema_guru_ray.pipelines.validate import (
+        drift_by_partition,
+        merge_partition_baselines,
+    )
+
+    for i in range(3):
+        (tmp_path / "out" / f"partition={i:04d}").mkdir(parents=True)
+    with pytest.raises(FileNotFoundError, match="predate"):
+        merge_partition_baselines(str(tmp_path / "out"), driver_limit=0)
+    with pytest.raises(FileNotFoundError, match="predate"):
+        drift_by_partition(str(tmp_path / "out"), {}, driver_limit=0)

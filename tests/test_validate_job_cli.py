@@ -100,3 +100,54 @@ def test_job_incremental_mode_appends_and_baselines(clips_path, tmp_path_factory
     # rebuilt baseline covers the grown corpus (active set, not a stale glob)
     store2 = json.load(open(base))
     assert store2["meta"]["n_clips"] == n_first + tbl.num_rows
+
+
+def test_drift_report_requires_baseline_fails_fast():
+    """--drift-report without --baseline must error at ARGUMENT time, not
+    after a (multi-hour at scale) validation run."""
+    import time
+
+    t0 = time.time()
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    out = subprocess.run(
+        [sys.executable, JOB, "/nonexistent", "--out", "/tmp/never",
+         "--drift-report", "/tmp/never.parquet"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=60,
+    )
+    assert out.returncode == 2  # argparse error
+    assert "--drift-report requires --baseline" in out.stderr
+    assert time.time() - t0 < 30  # no Ray session, no run
+
+
+def test_drift_report_legacy_tree_degrades_gracefully(clips_path, tmp_path_factory):
+    """A resumed pre-upgrade tree (checkpoint hits, no sketches.json) must
+    warn and still emit the run summary, not crash after the run."""
+    out_dir = str(tmp_path_factory.mktemp("vjob_legacy"))
+    base = os.path.join(out_dir, "baseline.json")
+    summary, _ = _run([clips_path, "--out", out_dir, "--partitions", "2",
+                       "--num-cpus", "4", "--write-baseline", base])
+
+    # simulate a pre-upgrade tree: drop the committed sketches
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(out_dir, "partition=*", "sketches.json")):
+        os.remove(p)
+
+    summary2, err = _run([clips_path, "--out", out_dir, "--partitions", "2",
+                          "--num-cpus", "4", "--baseline", base,
+                          "--drift-report", os.path.join(out_dir, "d.parquet")])
+    # NB: --baseline changes the config hash, so partitions re-ran and
+    # re-committed sketches — the report should succeed on the fresh tree
+    assert summary2["ran"] == len(summary2["partitions"])
+    assert "drift report written" in err
+
+    # now a PURE resume (same config): checkpoint hits, sketches stripped
+    for p in _glob.glob(os.path.join(out_dir, "partition=*", "sketches.json")):
+        os.remove(p)
+    summary3, err3 = _run([clips_path, "--out", out_dir, "--partitions", "2",
+                           "--num-cpus", "4", "--baseline", base,
+                           "--drift-report", os.path.join(out_dir, "d2.parquet")])
+    assert summary3["skipped"] == len(summary3["partitions"])  # pure resume
+    assert "drift report unavailable" in err3
+    assert not os.path.exists(os.path.join(out_dir, "d2.parquet"))
