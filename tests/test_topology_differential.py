@@ -130,3 +130,46 @@ class TestWindowAggDifferential:
         ).to_pandas()
         _assert_same(got, want, ["k1", "window_start", "n", "sum_value_milli"],
                      f"hopping/seed{seed}/w={w}/hop={hop}")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartitionedWindowDifferential:
+    @pytest.mark.parametrize("seed", [11, 23, 37])
+    def test_window_functions_match_duckdb(self, seed):
+        """row_number / running sum / lag through the bucketed window
+        operator vs DuckDB OVER (PARTITION BY ... ORDER BY ...) on random
+        skew-free tables (unique order column; tie semantics are covered
+        by grouped_topk's tie_col tests)."""
+        import ray.data as rd
+
+        from schema_guru_ray.stages.joins import partitioned_window
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(10, 2500))
+        card = int(rng.integers(1, 40))
+        df = pd.DataFrame({
+            "k": rng.integers(0, card, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(-10**6, 10**6, n).astype(np.int64),
+        })
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT k, o, v, row_number() OVER w AS rn, "
+            "sum(v) OVER (PARTITION BY k ORDER BY o ROWS UNBOUNDED "
+            "PRECEDING) AS rsum, lag(v) OVER w AS prev "
+            "FROM t WINDOW w AS (PARTITION BY k ORDER BY o)").df()
+
+        def apply_fn(g):
+            gb = g.groupby("k", sort=False)
+            return g.assign(rn=gb.cumcount() + 1,
+                            rsum=gb["v"].cumsum(),
+                            prev=gb["v"].shift())
+
+        got = partitioned_window(
+            rd.from_pandas(df).repartition(3), "k", ["o"], apply_fn,
+            n_buckets=4).to_pandas()
+        cols = ["k", "o", "v", "rn", "rsum", "prev"]
+        g = got[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+        w = want[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
